@@ -1,13 +1,48 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Clean, Dedup, Quality}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each module contributes a `queries` map (name → DataFrame builder) and,
+  * where the semantics are ANSI-SQL-expressible, a matching `oracles` map
+  * of DuckDB SQL the driver hash-compares against. Column names are aliased
+  * identically on both sides — the driver sorts columns by name before
+  * hashing.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: the reference's full pipeline shape over `documents` —
+    * regex clean → min-length filter → exact dedup (first-seen wins) →
+    * quality reason cascade → per-(lang, reason) histogram. All narrow
+    * transforms except one hash-key shuffle (dedup) and one tiny-key
+    * aggregation; the whole thing whole-stage-codegens over the scan. */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cleaned = docs
+      .withColumn("text", Clean.cleanText(col("text")))
+      .filter(length(col("text")) >= 100)
+    Dedup.exactDedup(cleaned)
+      .withColumn("reason", Quality.reason())
+      .groupBy(col("lang"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (Clean.queries, Clean.oracles),
+      (Quality.queries, Quality.oracles),
+      (Dedup.queries, Dedup.oracles),
+      (graft.relational.Relational.queries, graft.relational.Relational.oracles))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.iterator.map(_._1).reduce(_ ++ _)
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted keys get a weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    modules.iterator.map(_._2).reduce(_ ++ _)
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's parquet tables (see /root/repo/TESTDATA.md).
+  *
+  * All loads are plain `spark.read.parquet` so Catalyst keeps full pushdown
+  * (column pruning + predicate pushdown reach the vectorized parquet scan).
+  * At 100 TB these tables would be partitioned/bucketed on their join keys;
+  * the loaders centralize the access path so that swap is one-line.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+
+  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as
+    * a plain long (`spark.sql.legacy.parquet.nanosAsLong`) and expose both:
+    *   - `ts_ns`: raw epoch nanoseconds (lossless, BIGINT)
+    *   - `ts`:    µs-precision TIMESTAMP derived from it
+    * Oracle-compared queries must only emit values derived from `ts_ns`
+    * (epoch buckets, dates) — never a raw timestamp — because DuckDB keeps
+    * ns precision and would hash-differ on the sub-µs digits.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+}

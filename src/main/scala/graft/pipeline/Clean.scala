@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-cleaning stage.
+  *
+  * Reproduces the reference cleaner's semantics (reference:
+  * src/processing/cleaner.py:52-161) as composable, codegen-friendly
+  * `Column` transforms — one narrow `Project` over the scan, zero shuffles,
+  * so the whole stage pipelines inside a single WholeStageCodegen span at
+  * any scale.
+  *
+  * Every regex here is written in the common subset of Java regex (Spark)
+  * and RE2 (DuckDB oracle): no character-class intersection (`&&`), no
+  * lookaround, no possessive quantifiers. The control-character class is
+  * spelled as explicit ranges for that reason.
+  */
+object Clean {
+
+  /** reference: cleaner.py:52-54 */
+  val UrlRe = """https?://(?:[-\w.]|(?:%[\da-fA-F]{2}))+[/\w\-.~:/?#\[\]@!$&'()*+,;=%]*"""
+  /** reference: cleaner.py:55-57 */
+  val EmailRe = """\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"""
+  /** reference: cleaner.py:58 (case-insensitive) */
+  val CitationRe = """(?i)\[\d+\]|\[citation needed\]|\[note \d+\]"""
+  /** Unicode category Cc minus \n (0A) and \t (09) — reference cleaner.py:134-138
+    * drops control chars except newline/tab. Spelled as ranges because RE2
+    * has no `[\p{Cc}&&[^\n\t]]`. */
+  val ControlRe = """[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]"""
+  /** reference: cleaner.py:59 */
+  val SpacesRe = """[ \t]+"""
+  /** reference: cleaner.py:60 */
+  val NewlinesRe = """\n{3,}"""
+  /** Python str.strip() trims all whitespace, not just spaces. */
+  val EdgeWsRe = """^\s+|\s+$"""
+
+  /** Whitespace-token count == Python len(text.split()); no empty-edge cases. */
+  val NonSpaceRunRe = """\S+"""
+
+  /** Strip URLs (reference cleaner.py:118-122). */
+  def stripUrls(c: Column): Column = regexp_replace(c, UrlRe, " ")
+  /** Strip emails (reference cleaner.py:124-128). */
+  def stripEmails(c: Column): Column = regexp_replace(c, EmailRe, " ")
+  /** Strip citation markers `[1]`, `[citation needed]` (cleaner.py:130-132). */
+  def stripCitations(c: Column): Column = regexp_replace(c, CitationRe, "")
+  /** Drop control characters except \n and \t (cleaner.py:134-138). */
+  def stripControl(c: Column): Column = regexp_replace(c, ControlRe, "")
+  /** Collapse runs of spaces/tabs, squeeze 3+ newlines, strip edges
+    * (cleaner.py:140-144). */
+  def normalizeWhitespace(c: Column): Column =
+    regexp_replace(
+      regexp_replace(regexp_replace(c, SpacesRe, " "), NewlinesRe, "\n\n"),
+      EdgeWsRe, "")
+
+  /** Full regex-only clean chain, in the reference's fixed order
+    * (cleaner.py:92-144). Mojibake/NFKC (cleaner.py:107-116) are the two
+    * UDF-backed steps and live in [[CleanUdfs]]; they default off here so
+    * this chain stays 100% built-in (codegen + oracle-comparable). */
+  def cleanText(c: Column): Column =
+    normalizeWhitespace(stripControl(stripCitations(stripEmails(stripUrls(c)))))
+
+  /** Count of whitespace-delimited words, == Python len(text.split()). */
+  def wordCount(c: Column): Column = regexp_count(c, lit(NonSpaceRunRe))
+
+  // ---------------------------------------------------------------------
+  // Registered queries
+  // ---------------------------------------------------------------------
+
+  /** Clean + per-doc stats (reference cleaner.py:146-155: CleaningStats). */
+  def cleanRegexQuery(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      cleanText(col("text")).as("text_clean"),
+      regexp_count(col("text"), lit(UrlRe)).as("urls_removed"),
+      regexp_count(col("text"), lit(EmailRe)).as("emails_removed"),
+      length(col("text")).as("original_length"),
+      length(cleanText(col("text"))).as("cleaned_length"))
+
+  /** P2: drop docs whose cleaned text is shorter than minLen
+    * (reference cleaner.py:157-159; config default 100). */
+  def minLenFilterQuery(docs: DataFrame, minLen: Int = 100): DataFrame =
+    docs.select(col("doc_id"), cleanText(col("text")).as("text_clean"))
+      .filter(length(col("text_clean")) >= minLen)
+      .select(col("doc_id"), length(col("text_clean")).as("cleaned_length"))
+
+  /** Corpus-level cleaning aggregates per source (reference A1/A2:
+    * src/main.py:176,197-213) — map-side partial agg then single shuffle
+    * on the low-cardinality `source` key. */
+  def corpusStatsQuery(docs: DataFrame): DataFrame =
+    docs.select(
+        col("source"),
+        octet_length(col("text")).as("bytes_in"),
+        (length(col("text")) - length(cleanText(col("text")))).as("removed"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("bytes_in")).as("total_bytes"),
+        sum(col("removed")).as("chars_removed"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "clean_regex" -> ((s, d) => cleanRegexQuery(Tables.documents(s, d))),
+    "clean_minlen_filter" -> ((s, d) => minLenFilterQuery(Tables.documents(s, d))),
+    "clean_corpus_stats" -> ((s, d) => corpusStatsQuery(Tables.documents(s, d))))
+
+  /** Escape a regex for embedding in a single-quoted SQL literal. */
+  private def q(re: String): String = re.replace("'", "''")
+
+  /** DuckDB equivalents. NB: DuckDB regexp_replace is first-match-only
+    * without the 'g' flag; every replace below passes it. */
+  def oracles: Map[String, String] = {
+    val cleanSql =
+      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |  text, '${q(UrlRe)}', ' ', 'g'),
+         |  '${q(EmailRe)}', ' ', 'g'),
+         |  '${q(CitationRe)}', '', 'g'),
+         |  '${q(ControlRe)}', '', 'g'),
+         |  '${q(SpacesRe)}', ' ', 'g'),
+         |  '${q(NewlinesRe)}', e'\n\n', 'g'),
+         |  '${q(EdgeWsRe)}', '', 'g')""".stripMargin
+    Map(
+      "clean_regex" ->
+        s"""SELECT doc_id,
+           |  $cleanSql AS text_clean,
+           |  len(regexp_extract_all(text, '${q(UrlRe)}')) AS urls_removed,
+           |  len(regexp_extract_all(text, '${q(EmailRe)}')) AS emails_removed,
+           |  length(text) AS original_length,
+           |  length($cleanSql) AS cleaned_length
+           |FROM documents""".stripMargin,
+      "clean_minlen_filter" ->
+        s"""SELECT doc_id, length(text_clean) AS cleaned_length
+           |FROM (SELECT doc_id, $cleanSql AS text_clean FROM documents)
+           |WHERE length(text_clean) >= 100""".stripMargin,
+      "clean_corpus_stats" ->
+        s"""SELECT source,
+           |  count(*) AS n_docs,
+           |  sum(strlen(text)) AS total_bytes,
+           |  sum(length(text) - length($cleanSql)) AS chars_removed
+           |FROM documents GROUP BY source""".stripMargin)
+  }
+}
