@@ -24,8 +24,7 @@ object SparkEntry {
     val cleaned = docs
       .withColumn("text", Clean.cleanText(col("text")))
       .filter(length(col("text")) >= 100)
-    Dedup.exactDedup(cleaned)
-      .withColumn("reason", Quality.reason())
+    Quality.withReason(Dedup.exactDedup(cleaned))
       .groupBy(col("lang"), col("reason"))
       .agg(count(lit(1)).as("n_docs"))
   }

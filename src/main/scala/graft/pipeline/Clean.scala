@@ -133,10 +133,13 @@ object Clean {
            |FROM (SELECT doc_id, $cleanSql AS text_clean FROM documents)
            |WHERE length(text_clean) >= 100""".stripMargin,
       "clean_corpus_stats" ->
+        // CAST ... AS BIGINT: DuckDB sum(BIGINT) returns HUGEINT, which
+        // pandas renders as float64 and the driver's value hash then
+        // differs from Spark's int64 even when values are equal.
         s"""SELECT source,
            |  count(*) AS n_docs,
-           |  sum(strlen(text)) AS total_bytes,
-           |  sum(length(text) - length($cleanSql)) AS chars_removed
+           |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           |  CAST(sum(length(text) - length($cleanSql)) AS BIGINT) AS chars_removed
            |FROM documents GROUP BY source""".stripMargin)
   }
 }

@@ -56,6 +56,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) =>
       exactDedup(Tables.documents(s, d)).select("doc_id", "content_hash")),
+    "dedup_exact_dupmap" -> ((s, d) => exactDuplicateOf(Tables.documents(s, d))),
     "dedup_exact_stats" -> ((s, d) => exactStatsQuery(Tables.documents(s, d))))
 
   def oracles: Map[String, String] = Map(
@@ -68,6 +69,14 @@ object Dedup {
          |           ORDER BY doc_id) AS rn
          |  FROM documents)
          |WHERE rn = 1""".stripMargin,
+    "dedup_exact_dupmap" ->
+      s"""SELECT doc_id AS duplicate_id, original_id FROM (
+         |  SELECT doc_id,
+         |         first_value(doc_id) OVER (
+         |           PARTITION BY md5(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')))
+         |           ORDER BY doc_id) AS original_id
+         |  FROM documents)
+         |WHERE doc_id <> original_id""".stripMargin,
     "dedup_exact_stats" ->
       s"""SELECT count(*) AS total_documents,
          |       count(DISTINCT h) AS unique_documents,

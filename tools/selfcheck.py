@@ -36,6 +36,14 @@ def compare(name, got, exp):
     got, exp = normalize(got), normalize(exp)
     if list(got.columns) != list(exp.columns):
         return f"schema mismatch: got {list(got.columns)} vs oracle {list(exp.columns)}"
+    # Dtype-strict, like the driver's value-hash: int64 8570 and float64
+    # 8570.0 render differently even though == says equal (the exact failure
+    # class of clean_corpus_stats in round 1 — DuckDB sum(BIGINT)→HUGEINT→
+    # float64 vs Spark int64).
+    for c in got.columns:
+        if str(got[c].dtype) != str(exp[c].dtype):
+            return (f"col {c}: dtype mismatch: got {got[c].dtype} vs "
+                    f"oracle {exp[c].dtype} (driver hash would differ)")
     if len(got) != len(exp):
         return f"row count mismatch: got {len(got)} vs oracle {len(exp)}"
     for c in got.columns:
