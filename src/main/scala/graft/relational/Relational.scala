@@ -1,6 +1,7 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -15,10 +16,127 @@ import graft.Tables
   * through a DECIMAL cast — exact, associative, order-independent — and is
   * cast back to DOUBLE for output. Per-row double arithmetic is IEEE-
   * deterministic and needs no such treatment.
+  *
+  * Timestamp policy: `events.ts` is ns-precision parquet; DuckDB truncates
+  * it to µs at read, exactly like `ts_ns div 1000` (verified). Every
+  * oracle-compared expression over event time therefore uses the derived
+  * µs epoch (`ts_us`) — ordering included — never raw ns or TIMESTAMP.
   */
 object Relational {
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(28, 6))
+  private def dec(c: Column) = c.cast(DecimalType(28, 6))
+
+  /** Events with the µs epoch all oracle-compared queries key on. */
+  private def eventsUs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+
+  // -----------------------------------------------------------------------
+  // Joins
+  // -----------------------------------------------------------------------
+
+  /** Revenue per nation: orders ⨝ customer (shuffle/SMJ on the big keys)
+    * ⨝ nation (explicit broadcast — a dim table is broadcast at any scale).
+    * The canonical star-schema plan: one wide shuffle on o_custkey, the
+    * nation lookup never shuffles. */
+  def revenueByNation(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_revenue"))
+
+  /** P4-style left-semi: customers holding at least one open ('P') order.
+    * Semi joins ship only the key column of the build side — at 100 TB the
+    * orders side is pre-aggregated to distinct keys by Spark's plan. */
+  def customersWithOpenOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(
+        orders.filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** Left-anti twin: customers with NO open order (56 rows at sf0.01 —
+    * chosen over plain "no orders", which is vacuously empty here). */
+  def customersWithoutOpenOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(
+        orders.filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  // -----------------------------------------------------------------------
+  // Window functions over events
+  // -----------------------------------------------------------------------
+
+  /** Latest 3 events per user: rank in a per-user window. One shuffle on
+    * user_id; per-partition sort only (no global sort). */
+  def latestEventsPerUser(events: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("user_id"), col("rn"), col("event_id"), col("event_type"), col("ts_us"))
+  }
+
+  /** Sliding-frame aggregate: per-user running sum of `value` over the
+    * current + 3 preceding events (DECIMAL-exact, so frame order can't
+    * perturb the float hash). */
+  def rollingValuePerUser(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    events.select(
+      col("user_id"), col("event_id"), col("ts_us"),
+      sum(dec(col("value"))).over(w).cast("double").as("rolling_value"))
+  }
+
+  /** Tumbling 1-hour windows: classic streaming-shaped aggregation done in
+    * batch — group on the derived hour bucket (µs epoch div 3.6e9). */
+  def hourlyEventStats(events: DataFrame): DataFrame =
+    events.groupBy(
+        expr("ts_us div 3600000000").as("hour_bucket"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  // -----------------------------------------------------------------------
+  // Top-k per group, set ops, sketches
+  // -----------------------------------------------------------------------
+
+  /** Top-3 parts per brand by retail price (deterministic p_partkey
+    * tiebreak). Window top-k: shuffle on the group key only, never a
+    * global sort — the plan that survives any scale. */
+  def topPartsPerBrand(part: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    part.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_name"), col("p_retailprice"))
+  }
+
+  /** UNION / INTERSECT / EXCEPT in one result, tagged. Set A = BUILDING-
+    * segment customers, set B = acctbal > 5000 customers. Spark's
+    * `intersect`/`except` are set-distinct; the union branch adds an
+    * explicit distinct to match SQL UNION. */
+  def customerSetOps(customer: DataFrame): DataFrame = {
+    val a = customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val b = customer.filter(col("c_acctbal") > 5000).select("c_custkey")
+    a.union(b).distinct().withColumn("op", lit("union"))
+      .union(a.intersect(b).withColumn("op", lit("intersect")))
+      .union(a.except(b).withColumn("op", lit("except")))
+      .select("op", "c_custkey")
+  }
+
+  /** A4-at-scale: HyperLogLog++ cardinality next to the exact count. No
+    * DuckDB oracle (different sketch) — registered for the rows-only
+    * check; the exact column lets a reader judge the sketch error. */
+  def approxDistinctUsers(events: DataFrame): DataFrame =
+    events.agg(
+      approx_count_distinct(col("user_id")).as("approx_users"),
+      countDistinct(col("user_id")).as("exact_users"),
+      count(lit(1)).as("n_events"))
 
   /** TPC-H Q1-style pricing summary. Map-side partial aggregation into a
     * 6-group shuffle — the canonical "scales to any size" aggregate. */
@@ -36,7 +154,19 @@ object Relational {
         count(lit(1)).as("count_order"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "r_q1_pricing_summary" -> ((s, d) => q1(Tables.lineitem(s, d))))
+    "r_q1_pricing_summary" -> ((s, d) => q1(Tables.lineitem(s, d))),
+    "r_revenue_by_nation" -> ((s, d) =>
+      revenueByNation(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "r_semi_open_orders" -> ((s, d) =>
+      customersWithOpenOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "r_anti_open_orders" -> ((s, d) =>
+      customersWithoutOpenOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "r_latest_events_per_user" -> ((s, d) => latestEventsPerUser(eventsUs(s, d))),
+    "r_rolling_value_per_user" -> ((s, d) => rollingValuePerUser(eventsUs(s, d))),
+    "r_hourly_event_stats" -> ((s, d) => hourlyEventStats(eventsUs(s, d))),
+    "r_top_parts_per_brand" -> ((s, d) => topPartsPerBrand(Tables.part(s, d))),
+    "r_set_ops_customers" -> ((s, d) => customerSetOps(Tables.customer(s, d))),
+    "r_approx_distinct_users" -> ((s, d) => approxDistinctUsers(eventsUs(s, d))))
 
   def oracles: Map[String, String] = Map(
     "r_q1_pricing_summary" ->
@@ -48,5 +178,57 @@ object Relational {
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "r_revenue_by_nation" ->
+      """SELECT n_name,
+        |  count(*) AS n_orders,
+        |  count(DISTINCT c_custkey) AS n_customers,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "r_semi_open_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin,
+    "r_anti_open_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin,
+    "r_latest_events_per_user" ->
+      """SELECT user_id, rn, event_id, event_type, ts_us FROM (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn <= 3""".stripMargin,
+    "r_rolling_value_per_user" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_value
+        |FROM events""".stripMargin,
+    "r_hourly_event_stats" ->
+      """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    "r_top_parts_per_brand" ->
+      """SELECT p_brand, rn, p_partkey, p_name, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+        |         row_number() OVER (PARTITION BY p_brand
+        |                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part)
+        |WHERE rn <= 3""".stripMargin,
+    "r_set_ops_customers" ->
+      """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |SELECT 'union' AS op, c_custkey FROM (SELECT c_custkey FROM a UNION SELECT c_custkey FROM b)
+        |UNION ALL
+        |SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
+        |UNION ALL
+        |SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)""".stripMargin)
 }
