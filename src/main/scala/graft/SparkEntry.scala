@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Clean, Dedup, Quality}
+import graft.pipeline.{Clean, Dedup, MinHash, Quality}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +34,7 @@ object SparkEntry {
       (Clean.queries, Clean.oracles),
       (Quality.queries, Quality.oracles),
       (Dedup.queries, Dedup.oracles),
+      (MinHash.queries, MinHash.oracles),
       (graft.relational.Relational.queries, graft.relational.Relational.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */

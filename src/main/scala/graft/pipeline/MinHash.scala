@@ -1,0 +1,207 @@
+package graft.pipeline
+
+import java.util.Locale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** MinHash + LSH near-duplicate detection (D1-D5, D7; reference:
+  * src/processing/deduplicator.py:110-260, config pipeline_config.yaml:32-38:
+  * num_perm=128, threshold=0.8, shingle_size=5).
+  *
+  * Everything is deterministic 64-bit integer arithmetic — polynomial
+  * shingle hashes mod 2^31-1, 128 affine permutations from a fixed LCG,
+  * 16 bands x 8 rows — so the DuckDB oracle replicates the EXACT pipeline
+  * in SQL and the driver's hash compare holds bit-for-bit. (The reference
+  * uses datasketch's SHA1-based permutations; we re-derive the algorithm,
+  * not its constants.)
+  *
+  * Scale design (the 100 TB story):
+  *  - signature: narrow per-row UDF (a tight JVM loop, ~40 K long ops per
+  *    300-char doc) — embarrassingly parallel, no shuffle;
+  *  - candidates: explode 16 (band, bandHash) keys per doc and self-join
+  *    on them — the classic banded-LSH shuffle, never an all-pairs join.
+  *    Bands carry only (doc_id, band, hash); signatures are re-joined by
+  *    id afterwards so the wide sig arrays cross the wire once, not 16x;
+  *  - hot buckets (boilerplate near-identical docs) are the skew risk:
+  *    AQE skew-join handles moderate cases; pathological buckets would be
+  *    capped/salted upstream.
+  *
+  * Semantics note (SURVEY §2.4): the reference's incremental index is
+  * order-dependent; this set-oriented rebuild defines duplicates
+  * pairwise — doc B is a duplicate iff some A < B shares an LSH band and
+  * estimated Jaccard >= threshold; B's "original" is the smallest such A.
+  * On transitive chains (A~B, B~C, A!~C) the two definitions diverge at
+  * the margins; reference tests only exercise clusters of size <= 2.
+  */
+object MinHash {
+
+  val NumPerm = 128
+  val ShingleSize = 5
+  val Threshold = 0.8
+  val NumBands = 16
+  val RowsPerBand = 8
+  /** matches/NumPerm >= Threshold as an integer compare. */
+  val MinMatches: Int = math.ceil(NumPerm * Threshold).toInt // 103
+  val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  val HashMult = 131L
+
+  /** Affine permutation constants from a classic LCG, seed 42 — fixed
+    * forever so signatures are reproducible across engines and rounds. */
+  val (permA, permB): (Array[Long], Array[Long]) = {
+    var x = 42L
+    def next(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
+    val a = Array.fill(NumPerm)((next() % (P - 1)) + 1)
+    val b = Array.fill(NumPerm)(next() % P)
+    (a, b)
+  }
+
+  /** ASCII whitespace collapse, spelled identically in Java and RE2
+    * (Java \s and RE2 \s disagree on \x0B, so neither is used). */
+  private val WsRe = "[ \t\n\f\r]+"
+  private val WsPattern = java.util.regex.Pattern.compile(WsRe)
+
+  /** D1+D2: normalized char-5-gram shingles -> 128 min-hashes. Works on
+    * CODEPOINTS (matching DuckDB substr/ord semantics). Deterministic. */
+  def signature(text: String): Array[Long] = {
+    val norm = WsPattern.matcher(text.toLowerCase(Locale.ROOT)).replaceAll(" ")
+    val cps = norm.codePoints().toArray
+    val hashes: Array[Long] =
+      if (cps.isEmpty) Array(0L)
+      else if (cps.length < ShingleSize) Array(poly(cps, 0, cps.length))
+      else Array.tabulate(cps.length - ShingleSize + 1)(i => poly(cps, i, ShingleSize))
+    val sig = Array.fill(NumPerm)(Long.MaxValue)
+    var si = 0
+    while (si < hashes.length) {
+      val h = hashes(si)
+      var k = 0
+      while (k < NumPerm) {
+        val v = (permA(k) * h + permB(k)) % P
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      si += 1
+    }
+    sig
+  }
+
+  /** H(s) = reduceLeft over codepoints: h -> (h*131 + c) mod P. */
+  private def poly(cps: Array[Int], from: Int, len: Int): Long = {
+    var h = cps(from).toLong
+    var i = from + 1
+    while (i < from + len) { h = (h * HashMult + cps(i)) % P; i += 1 }
+    h
+  }
+
+  private val sigUdf = udf(signature _)
+
+  /** D3: per-band hash over 8 signature slots, as a Spark SQL transform
+    * (reduceLeft, same fold as the shingle hash). */
+  private val bandsExpr: String =
+    s"""transform(sequence(0, ${NumBands - 1}), j ->
+       |  aggregate(slice(sig, j * $RowsPerBand + 2, ${RowsPerBand - 1}),
+       |            element_at(sig, j * $RowsPerBand + 1),
+       |            (h, v) -> (h * $HashMult + v) % $P))""".stripMargin
+
+  /** (doc_id, sig) — the narrow, shuffle-free stage. */
+  def signatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), sigUdf(col("text")).as("sig"))
+
+  /** D4/D5: duplicate -> original attribution via banded LSH join. */
+  def duplicateOf(docs: DataFrame): DataFrame = {
+    val sigs = signatures(docs)
+    val bands = sigs.select(col("doc_id"), posexplode(expr(bandsExpr)).as(Seq("band", "bh")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val verified = cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("matches",
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"))
+      .filter(col("matches") >= MinMatches)
+    verified.groupBy(col("id_b").as("duplicate_id"))
+      .agg(min(col("id_a")).as("original_id"))
+  }
+
+  /** D5: the surviving documents (near-dups removed, lowest id wins). */
+  def dedup(docs: DataFrame): DataFrame =
+    docs.join(duplicateOf(docs), docs("doc_id") === col("duplicate_id"), "left_anti")
+
+  /** D7: DeduplicationResult counters (deduplicator.py:29-43, 210-215). */
+  def statsQuery(docs: DataFrame): DataFrame = {
+    val dups = duplicateOf(docs)
+    docs.select(count(lit(1)).as("total_documents"))
+      .crossJoin(dups.select(
+        count(lit(1)).as("duplicate_documents"),
+        countDistinct(col("original_id")).as("duplicate_clusters")))
+      .select(
+        col("total_documents"),
+        (col("total_documents") - col("duplicate_documents")).as("unique_documents"),
+        col("duplicate_documents"),
+        col("duplicate_clusters"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash" -> ((s, d) =>
+      dedup(Tables.documents(s, d)).select("doc_id", "n_chars")),
+    "dedup_minhash_dupmap" -> ((s, d) => duplicateOf(Tables.documents(s, d))),
+    "dedup_minhash_stats" -> ((s, d) => statsQuery(Tables.documents(s, d))))
+
+  // -----------------------------------------------------------------------
+  // DuckDB oracle: the identical pipeline in SQL (integer-exact).
+  // -----------------------------------------------------------------------
+
+  private def lit128(xs: Array[Long]): String = xs.mkString("[", ",", "]")
+
+  /** Shared CTE prefix: norm -> shingle hashes -> signatures -> bands ->
+    * candidate pairs -> verified pairs -> dup map. */
+  private val oraclePrefix: String =
+    s"""WITH consts AS (SELECT ${lit128(permA)} AS pa, ${lit128(permB)} AS pb),
+       |nrm AS (SELECT doc_id, regexp_replace(lower(text), '$WsRe', ' ', 'g') AS nrm FROM documents),
+       |hs AS (SELECT doc_id,
+       |  CASE WHEN length(nrm) = 0 THEN [CAST(0 AS BIGINT)]
+       |  ELSE list_transform(
+       |    CASE WHEN length(nrm) >= $ShingleSize
+       |         THEN list_transform(range(1, length(nrm) - ${ShingleSize - 2}), i -> substr(nrm, i, $ShingleSize))
+       |         ELSE [nrm] END,
+       |    s -> list_reduce(list_transform(range(1, length(s) + 1), i -> CAST(ord(substr(s, i, 1)) AS BIGINT)),
+       |                     (h, c) -> (h * $HashMult + c) % $P)) END AS hashes
+       |  FROM nrm),
+       |sigs AS (SELECT doc_id,
+       |  list_transform(range(1, ${NumPerm + 1}), k ->
+       |    list_min(list_transform(hashes, h -> (pa[k] * h + pb[k]) % $P))) AS sig
+       |  FROM hs, consts),
+       |bnds AS (SELECT doc_id,
+       |  unnest(range(0, $NumBands)) AS band,
+       |  unnest(list_transform(range(0, $NumBands), j ->
+       |    list_reduce(sig[$RowsPerBand * j + 1 : $RowsPerBand * j + $RowsPerBand],
+       |                (h, v) -> (h * $HashMult + v) % $P))) AS bh
+       |  FROM sigs),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bnds x JOIN bnds y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |ver AS (SELECT id_a, id_b FROM cand
+       |  JOIN sigs sa ON sa.doc_id = id_a
+       |  JOIN sigs sb ON sb.doc_id = id_b
+       |  WHERE list_sum(list_transform(range(1, ${NumPerm + 1}), k ->
+       |          CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END)) >= $MinMatches),
+       |dups AS (SELECT id_b AS duplicate_id, min(id_a) AS original_id FROM ver GROUP BY id_b)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "dedup_minhash" ->
+      s"""$oraclePrefix
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT duplicate_id FROM dups)""".stripMargin,
+    "dedup_minhash_dupmap" ->
+      s"""$oraclePrefix
+         |SELECT duplicate_id, original_id FROM dups""".stripMargin,
+    "dedup_minhash_stats" ->
+      s"""$oraclePrefix
+         |SELECT (SELECT count(*) FROM documents) AS total_documents,
+         |       (SELECT count(*) FROM documents) - (SELECT count(*) FROM dups) AS unique_documents,
+         |       (SELECT count(*) FROM dups) AS duplicate_documents,
+         |       (SELECT count(DISTINCT original_id) FROM dups) AS duplicate_clusters""".stripMargin)
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.pipeline.MinHash
+
+/** Mirrors reference tests/test_pipeline.py:57-104 (TestDeduplicator):
+  * exact dup detected with original-id attribution, near-dup tolerance,
+  * batch counts — plus the set-rebuild invariants from SURVEY §2.4. */
+class MinHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val longA =
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly " +
+      "behind the distant mountains and the river flows quietly through the valley"
+  private val longB = longA.replace("jumps", "leaps") // near-dup (tiny edit)
+  private val other =
+    "completely different content about databases indexes partitions shuffles " +
+      "aggregations joins windows and the rest of the relational algebra zoo"
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("n_chars",
+      org.apache.spark.sql.functions.length($"text"))
+
+  test("signature is deterministic and shape-128") {
+    val s1 = MinHash.signature(longA)
+    val s2 = MinHash.signature(longA)
+    assert(s1.length == MinHash.NumPerm)
+    assert(s1.sameElements(s2))
+  }
+
+  test("exact duplicate: identical text detected, first-seen (lowest id) wins") {
+    val d = docs(1L -> longA, 2L -> longA, 3L -> other)
+    val dup = MinHash.duplicateOf(d).as[(Long, Long)].collect().toSet
+    assert(dup == Set((2L, 1L)))
+  }
+
+  test("case and whitespace variants are exact dups after normalization") {
+    val d = docs(5L -> longA, 9L -> longA.toUpperCase.replace(" ", "  "))
+    val dup = MinHash.duplicateOf(d).as[(Long, Long)].collect().toSet
+    assert(dup == Set((9L, 5L)))
+  }
+
+  test("near-duplicate (one word changed) is detected; unrelated doc is kept") {
+    val d = docs(1L -> longA, 2L -> longB, 3L -> other)
+    val survivors = MinHash.dedup(d).select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L))
+  }
+
+  test("output is a subset of input and partitions with the dup map") {
+    val d = docs(1L -> longA, 2L -> longB, 3L -> other, 4L -> longA)
+    val all = Set(1L, 2L, 3L, 4L)
+    val survivors = MinHash.dedup(d).select("doc_id").as[Long].collect().toSet
+    val dups = MinHash.duplicateOf(d).select("duplicate_id").as[Long].collect().toSet
+    assert(survivors.subsetOf(all))
+    assert((survivors ++ dups) == all)
+    assert(survivors.intersect(dups).isEmpty)
+  }
+
+  test("stats query counts totals, uniques, dups, clusters") {
+    val d = docs(1L -> longA, 2L -> longB, 3L -> other, 4L -> longA)
+    val row = MinHash.statsQuery(d).collect().head
+    assert(row.getLong(0) == 4L) // total
+    assert(row.getLong(1) == 2L) // unique
+    assert(row.getLong(2) == 2L) // duplicates (2 and 4 -> original 1)
+    assert(row.getLong(3) == 1L) // one cluster
+  }
+
+  test("disjoint docs produce no duplicates") {
+    val d = docs(1L -> longA, 2L -> other)
+    assert(MinHash.duplicateOf(d).count() == 0L)
+  }
+}
