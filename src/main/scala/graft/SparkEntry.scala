@@ -35,7 +35,8 @@ object SparkEntry {
       (Quality.queries, Quality.oracles),
       (Dedup.queries, Dedup.oracles),
       (MinHash.queries, MinHash.oracles),
-      (graft.relational.Relational.queries, graft.relational.Relational.oracles))
+      (graft.relational.Relational.queries, graft.relational.Relational.oracles),
+      (graft.relational.Similarity.queries, graft.relational.Similarity.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,151 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors) —
+  * the builder brief's ANN component. Two variants:
+  *
+  *  - [[topK]] (`sim_topk`): exact brute-force cosine top-k for a small,
+  *    broadcast query set. The scan side stays narrow (no shuffle until
+  *    the per-query top-k window). This is the CORRECTNESS baseline.
+  *  - [[annTopK]] (`sim_ann_lsh`): random-hyperplane LSH — an 8-bit sign
+  *    signature buckets the vectors; a query only scores its own bucket.
+  *    This is the SCALE path: at 100 TB the bucket id is a shuffle/
+  *    partition key, each query touches ~1/256 of the data, and recall is
+  *    tuned by bits/tables/multi-probe (more tables OR fewer bits ⇒ higher
+  *    recall). The oracle replicates the same planes, so results compare
+  *    exactly — ANN-vs-exact recall is visible by diffing the two queries.
+  *
+  * Float determinism: every dot/norm is a LEFT FOLD over
+  * double-cast elements starting at 0.0, written identically in Spark
+  * (`aggregate(zip_with(...))`) and DuckDB (`list_reduce(list_prepend(...))`)
+  * — same operations in the same order ⇒ bit-identical IEEE doubles, so
+  * the driver's value-hash agrees with no rounding tricks.
+  *
+  * The top-k window shuffles everything onto n_queries partitions; at real
+  * scale replace with a two-phase top-k (per-partition partial top-k via
+  * sorted aggregation, then merge) — noted here so the plan reads honestly.
+  */
+object Similarity {
+
+  val Dim = 64
+  val TopK = 10
+  val NumQueries = 5 // query set: vec_id < 5
+  val NumPlanes = 8
+
+  /** Deterministic ±1 hyperplane components, LCG seed 7 — fixed forever. */
+  val planes: Array[Array[Double]] = {
+    var x = 7L
+    def next(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
+    Array.fill(NumPlanes, Dim)(if (((next() >> 16) & 1L) == 1L) 1.0 else -1.0)
+  }
+
+  /** Spark-side deterministic left-fold dot product of two vector columns. */
+  private def dotS(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (s, v) -> s + v)"
+
+  /** Spark-side signed projection against plane p (literal ±1 array). */
+  private def planeDotS(emb: String, p: Int): String = {
+    val arr = planes(p).map(v => s"${v}D").mkString("array(", ", ", ")")
+    s"aggregate(zip_with($emb, $arr, (x, s) -> CAST(x AS DOUBLE) * s), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+  }
+
+  /** 8-bit LSH bucket id from sign bits of the plane projections. */
+  private def bucketS(emb: String): String =
+    (0 until NumPlanes)
+      .map(p => s"(CASE WHEN ${planeDotS(emb, p)} > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+
+  private def queriesDf(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** Exact cosine top-k per query vector (self excluded). */
+  def topK(emb: DataFrame, k: Int = TopK): DataFrame = {
+    val scored = emb.crossJoin(broadcast(queriesDf(emb)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", expr(dotS("embedding", "q_emb")))
+      .withColumn("na", expr(dotS("embedding", "embedding")))
+      .withColumn("nb", expr(dotS("q_emb", "q_emb")))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("sim", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"), col("label"))
+  }
+
+  /** LSH-bucketed ANN top-k: score only the query's own sign-bucket. */
+  def annTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
+    val bucketed = emb.withColumn("bucket", expr(bucketS("embedding")))
+    val q = queriesDf(bucketed.select(col("vec_id"), col("embedding")))
+      .withColumn("q_bucket", expr(bucketS("q_emb")))
+    val scored = bucketed.join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("dot", expr(dotS("embedding", "q_emb")))
+      .withColumn("na", expr(dotS("embedding", "embedding")))
+      .withColumn("nb", expr(dotS("q_emb", "q_emb")))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("sim", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"), col("label"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk" -> ((s, d) => topK(Tables.embeddings(s, d))),
+    "sim_ann_lsh" -> ((s, d) => annTopK(Tables.embeddings(s, d))))
+
+  // -----------------------------------------------------------------------
+  // DuckDB oracle — identical fold arithmetic.
+  // -----------------------------------------------------------------------
+
+  /** DuckDB left-fold dot product (list_prepend provides the 0.0 init). */
+  private def dotD(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (s, v) -> s + v)"""
+
+  private def planeDotD(emb: String, p: Int): String = {
+    val arr = planes(p).mkString("[", ", ", "]")
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${Dim + 1}), i -> CAST($emb[i] AS DOUBLE) * ($arr)[i])), (a, v) -> a + v)"""
+  }
+
+  private def bucketD(emb: String): String =
+    (0 until NumPlanes)
+      .map(p => s"(CASE WHEN ${planeDotD(emb, p)} > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+
+  def oracles: Map[String, String] = Map(
+    "sim_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q_id, vec_id, label,
+         |         ${dotD("embedding", "q_emb")} AS dot,
+         |         ${dotD("embedding", "embedding")} AS na,
+         |         ${dotD("q_emb", "q_emb")} AS nb
+         |  FROM embeddings, q WHERE vec_id <> q_id),
+         |sims AS (SELECT q_id, vec_id, label, dot / (sqrt(na) * sqrt(nb)) AS sim
+         |         FROM scored WHERE na > 0 AND nb > 0),
+         |ranked AS (SELECT q_id, vec_id, label, sim,
+         |                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+         |           FROM sims)
+         |SELECT q_id, rn, vec_id, sim, label FROM ranked WHERE rn <= $TopK""".stripMargin,
+    "sim_ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding, label, ${bucketD("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket FROM b WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q_id, vec_id, label,
+         |         ${dotD("embedding", "q_emb")} AS dot,
+         |         ${dotD("embedding", "embedding")} AS na,
+         |         ${dotD("q_emb", "q_emb")} AS nb
+         |  FROM b JOIN q ON bucket = q_bucket AND vec_id <> q_id),
+         |sims AS (SELECT q_id, vec_id, label, dot / (sqrt(na) * sqrt(nb)) AS sim
+         |         FROM scored WHERE na > 0 AND nb > 0),
+         |ranked AS (SELECT q_id, vec_id, label, sim,
+         |                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+         |           FROM sims)
+         |SELECT q_id, rn, vec_id, sim, label FROM ranked WHERE rn <= $TopK""".stripMargin)
+}
