@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Clean, Dedup, MinHash, Quality}
+import graft.pipeline.{Bpe, Clean, Dedup, MinHash, Quality, Tokenize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,6 +35,8 @@ object SparkEntry {
       (Quality.queries, Quality.oracles),
       (Dedup.queries, Dedup.oracles),
       (MinHash.queries, MinHash.oracles),
+      (Tokenize.queries, Tokenize.oracles),
+      (Bpe.queries, Bpe.oracles),
       (graft.relational.Relational.queries, graft.relational.Relational.oracles),
       (graft.relational.Similarity.queries, graft.relational.Similarity.oracles))
 

@@ -1,0 +1,200 @@
+package graft.pipeline
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Byte-pair-encoding tokenizer (T1-T6; reference:
+  * src/processing/tokenizer.py:58-310, which wraps the Rust HuggingFace
+  * trainer). Re-derived from the classic published BPE algorithm
+  * (Sennrich et al. 2016): iteratively merge the most frequent adjacent
+  * symbol pair over a frequency-weighted word lexicon.
+  *
+  * Distribution strategy (SURVEY §7 step 5): the corpus-sized work — word
+  * frequency counting — is a Spark aggregation with map-side combine; the
+  * merge loop then runs on the driver over the aggregated lexicon, which
+  * is vocabulary-sized, not corpus-sized (at 100 TB: cap the lexicon at
+  * the top ~1M words; tail words back off to char encoding via <unk>-free
+  * char symbols). Encoding is a deterministic per-row UDF, embarrassingly
+  * parallel.
+  *
+  * Determinism: pair selection breaks ties by (count DESC, pair ASC);
+  * vocab ids are specials, then sorted chars, then merges in creation
+  * order. Same corpus ⇒ same model, bit for bit.
+  */
+object Bpe {
+
+  val EndOfWord = "</w>"
+  val Specials: Seq[String] = Seq("<pad>", "<unk>", "<bos>", "<eos>")
+  val UnkId = 1
+
+  final case class Model(vocab: Map[String, Int], merges: List[(String, String)]) {
+    @transient private lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+
+    def vocabSize: Int = vocab.size
+
+    /** T4: encode one whitespace-pretokenized text to ids. */
+    def encode(text: String): Array[Int] =
+      text.split("[ \t\n\f\r]+").filter(_.nonEmpty).flatMap(encodeWord)
+
+    def encodeWord(word: String): Array[Int] = {
+      var syms = word.map(_.toString).toBuffer :+ EndOfWord
+      var done = false
+      while (!done && syms.length > 1) {
+        // lowest-rank (earliest-learned) pair present wins — standard BPE
+        var best = -1
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          if (r < bestRank) { bestRank = r; best = i }
+          i += 1
+        }
+        if (best < 0 || bestRank == Int.MaxValue) done = true
+        else {
+          val merged = syms(best) + syms(best + 1)
+          syms = (syms.take(best) :+ merged) ++ syms.drop(best + 2)
+        }
+      }
+      syms.map(s => vocab.getOrElse(s, UnkId)).toArray
+    }
+
+    /** T5: decode ids back to text (lossy on unknown ids, like the
+      * reference acknowledges at tests/test_pipeline.py:220). */
+    def decode(ids: Seq[Int]): String = {
+      val rev = vocab.map(_.swap)
+      ids.map(rev.getOrElse(_, "<unk>")).mkString("")
+        .replace(EndOfWord, " ").trim
+    }
+
+    /** T3: JSON round-trip (hand-rolled writer; Jackson reader from the
+      * Spark classpath). */
+    def toJson: String = {
+      def esc(s: String) = s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      }
+      val v = vocab.toSeq.sortBy(_._2)
+        .map { case (t, i) => s""""${esc(t)}": $i""" }.mkString("{", ", ", "}")
+      val m = merges.map { case (a, b) => s""""${esc(a + " " + b)}"""" }
+        .mkString("[", ", ", "]")
+      s"""{"model": "bpe", "vocab": $v, "merges": $m}"""
+    }
+  }
+
+  def save(model: Model, path: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), model.toJson)
+
+  def load(path: String): Model =
+    fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
+  def fromJson(json: String): Model = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    val vb = Map.newBuilder[String, Int]
+    root.get("vocab").fields().forEachRemaining(e => vb += (e.getKey -> e.getValue.asInt()))
+    val mb = List.newBuilder[(String, String)]
+    root.get("merges").forEach { n =>
+      val Array(a, b) = n.asText().split(" ", 2)
+      mb += ((a, b))
+    }
+    Model(vb.result(), mb.result())
+  }
+
+  /** T1+T2: train from a frequency-weighted lexicon (driver-side loop). */
+  def train(wordFreq: Map[String, Long], vocabSize: Int, minFreq: Long = 2L): Model = {
+    // words as mutable symbol sequences, weighted
+    val words: Array[(mutable.ArrayBuffer[String], Long)] =
+      wordFreq.toArray.sortBy(_._1).map { case (w, f) =>
+        (mutable.ArrayBuffer(w.map(_.toString): _*) += EndOfWord, f)
+      }
+    val chars: Seq[String] =
+      (words.flatMap(_._1).distinct.sorted).toSeq
+    val baseSize = Specials.size + chars.size
+    val merges = List.newBuilder[(String, String)]
+    var learned = 0
+    val target = math.max(0, vocabSize - baseSize)
+    var exhausted = false
+    while (learned < target && !exhausted) {
+      val counts = mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val (bestPair, bestCount) = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }
+        if (bestCount < minFreq) exhausted = true
+        else {
+          merges += bestPair
+          learned += 1
+          val mergedSym = bestPair._1 + bestPair._2
+          words.foreach { case (syms, _) =>
+            var i = 0
+            while (i < syms.length - 1) {
+              if (syms(i) == bestPair._1 && syms(i + 1) == bestPair._2) {
+                syms(i) = mergedSym
+                syms.remove(i + 1)
+              } else i += 1
+            }
+          }
+        }
+      }
+    }
+    val mergeList = merges.result()
+    val symbols = chars ++ mergeList.map { case (a, b) => a + b }
+    val vocab = (Specials ++ symbols.distinct).zipWithIndex.toMap
+    Model(vocab, mergeList)
+  }
+
+  /** Distributed word-frequency aggregation feeding the driver loop.
+    * `maxLexicon` bounds driver memory at any corpus size. */
+  def wordFrequencies(docs: DataFrame, maxLexicon: Int = 100000): Map[String, Long] =
+    docs.select(explode(split(col("text"), "[ \t\n\f\r]+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w"))
+      .limit(maxLexicon)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+
+  def trainOn(docs: DataFrame, vocabSize: Int = 64): Model =
+    train(wordFrequencies(docs), vocabSize)
+
+  /** T7 over a BPE model trained on the same corpus: stats of the encoded
+    * corpus. Registered rows-only (the merge table isn't SQL-derivable);
+    * semantics are pinned by BpeSpec goldens instead. */
+  def statsQuery(spark: SparkSession, docs: DataFrame, vocabSize: Int = 64): DataFrame = {
+    val model = trainOn(docs, vocabSize)
+    val enc = udf((t: String) => model.encode(t))
+    docs.select(col("doc_id"), length(col("text")).as("n_chars"),
+        size(enc(col("text"))).as("n_tokens"))
+      .agg(
+        count(lit(1)).as("total_documents"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        lit(model.vocabSize).as("vocab_size"))
+      .select(col("*"),
+        (col("total_tokens").cast("double") / col("total_documents").cast("double"))
+          .as("avg_tokens_per_doc"),
+        (col("total_chars").cast("double") / col("total_tokens").cast("double"))
+          .as("compression_ratio"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tok_bpe_stats" -> ((s, d) => statsQuery(s, Tables.documents(s, d))))
+
+  /** No DuckDB oracle: the learned merge table is not SQL-derivable.
+    * The driver records the weaker rows-only check; BpeSpec pins exact
+    * encode/decode behavior on golden fixtures. */
+  def oracles: Map[String, String] = Map.empty
+}

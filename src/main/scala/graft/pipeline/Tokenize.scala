@@ -1,0 +1,138 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Word-level tokenizer family (T1/T4/T6/T7 in their SQL-expressible
+  * form; reference: src/processing/tokenizer.py). The reference's default
+  * is BPE (see [[Bpe]] for the real trainer/encoder); this word-level
+  * variant expresses the whole tokenize-and-count path in pure relational
+  * operations so the driver's DuckDB oracle can hash-check it end to end:
+  *
+  *  - vocab: top-N words by (freq DESC, word ASC) with row_number ids
+  *    offset past the 4 specials (<pad>=0 <unk>=1 <bos>=2 <eos>=3,
+  *    tokenizer.py:58-133) — a distributed groupBy + one tiny window;
+  *  - encode: explode words, broadcast-join the vocab, re-aggregate per
+  *    doc (+2 tokens for bos/eos framing) — no UDF anywhere;
+  *  - stats: TokenizationStats (tokenizer.py:24-55): totals, averages,
+  *    compression ratio.
+  *
+  * At 100 TB the vocab build is a word-frequency aggregation (map-side
+  * combine into a ~vocab-sized shuffle) and encode is a broadcast join —
+  * both canonical scale-safe shapes. VocabWords is deliberately smaller
+  * than the corpus vocabulary so the <unk> path is exercised.
+  */
+object Tokenize {
+
+  val VocabWords = 20
+  val NumSpecials = 4 // <pad> <unk> <bos> <eos>
+  val UnkId = 1
+  val BosId = 2
+  val EosId = 3
+
+  /** (token, id, freq) — specials + top-N corpus words. */
+  def vocabQuery(docs: DataFrame): DataFrame = {
+    val words = docs.select(explode(split(col("text"), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val w = Window.orderBy(col("freq").desc, col("token"))
+    val top = words.groupBy("token").agg(count(lit(1)).as("freq"))
+      .withColumn("id", (row_number().over(w) + NumSpecials - 1).cast("int"))
+      .filter(col("id") < VocabWords + NumSpecials)
+    val specials = Seq(("<pad>", 0), ("<unk>", UnkId), ("<bos>", BosId), ("<eos>", EosId))
+    docs.sparkSession.createDataFrame(specials).toDF("token", "id")
+      .select(col("token"), col("id"), lit(0L).as("freq"))
+      .union(top.select(col("token"), col("id"), col("freq")))
+  }
+
+  /** Per-doc encode summary: token counts, unk counts, id checksum.
+    * (The id *sequence* is an array — summarized to scalars here because
+    * the driver hash-compares scalar columns; the sum is order-free.) */
+  def encodeQuery(docs: DataFrame): DataFrame = {
+    val vocab = vocabQuery(docs).filter(col("id") >= NumSpecials)
+      .select(col("token"), col("id"))
+    val words = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    words.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(
+        (count(lit(1)) + 2).as("n_tokens"), // + <bos> and <eos>
+        sum(when(col("id").isNull, 1).otherwise(0)).as("n_unk"),
+        (sum(coalesce(col("id"), lit(UnkId))) + BosId + EosId).as("sum_ids"))
+  }
+
+  /** T7 corpus stats (TokenizationStats, tokenizer.py:24-55). */
+  def statsQuery(docs: DataFrame): DataFrame = {
+    val enc = encodeQuery(docs)
+    val chars = docs.agg(sum(length(col("text"))).as("total_chars"))
+    enc.agg(
+        count(lit(1)).as("total_documents"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_unk")).as("total_unk"))
+      .crossJoin(chars)
+      .select(
+        col("total_documents"), col("total_tokens"), col("total_unk"), col("total_chars"),
+        (col("total_tokens").cast("double") / col("total_documents").cast("double"))
+          .as("avg_tokens_per_doc"),
+        (col("total_chars").cast("double") / col("total_tokens").cast("double"))
+          .as("compression_ratio"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tok_vocab" -> ((s, d) => vocabQuery(Tables.documents(s, d))),
+    "tok_encode" -> ((s, d) => encodeQuery(Tables.documents(s, d))),
+    "tok_stats" -> ((s, d) => statsQuery(Tables.documents(s, d))))
+
+  // -----------------------------------------------------------------------
+  // DuckDB oracle
+  // -----------------------------------------------------------------------
+
+  private val vocabCte =
+    s"""words AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token
+       |          FROM documents),
+       |freqs AS (SELECT token, count(*) AS freq FROM words WHERE token <> ''
+       |          GROUP BY token),
+       |top AS (SELECT token, CAST(row_number() OVER (ORDER BY freq DESC, token) + ${NumSpecials - 1} AS INT) AS id,
+       |               CAST(freq AS BIGINT) AS freq
+       |        FROM freqs
+       |        QUALIFY id < ${VocabWords + NumSpecials})""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "tok_vocab" ->
+      s"""WITH $vocabCte
+         |SELECT token, id, freq FROM (VALUES
+         |  ('<pad>', CAST(0 AS INT), CAST(0 AS BIGINT)), ('<unk>', $UnkId, 0),
+         |  ('<bos>', $BosId, 0), ('<eos>', $EosId, 0)) AS s(token, id, freq)
+         |UNION ALL
+         |SELECT token, id, freq FROM top""".stripMargin,
+    "tok_encode" ->
+      s"""WITH $vocabCte,
+         |doc_words AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+         |              FROM documents),
+         |joined AS (SELECT doc_id, id FROM doc_words LEFT JOIN top USING (token)
+         |           WHERE token <> '')
+         |SELECT doc_id,
+         |  CAST(count(*) + 2 AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+         |  CAST(sum(coalesce(id, $UnkId)) + $BosId + $EosId AS BIGINT) AS sum_ids
+         |FROM joined GROUP BY doc_id""".stripMargin,
+    "tok_stats" ->
+      s"""WITH $vocabCte,
+         |doc_words AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+         |              FROM documents),
+         |joined AS (SELECT doc_id, id FROM doc_words LEFT JOIN top USING (token)
+         |           WHERE token <> ''),
+         |enc AS (SELECT doc_id, count(*) + 2 AS n_tokens,
+         |               sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS n_unk
+         |        FROM joined GROUP BY doc_id),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_documents,
+         |               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |               CAST(sum(n_unk) AS BIGINT) AS total_unk
+         |        FROM enc),
+         |ch AS (SELECT CAST(sum(length(text)) AS BIGINT) AS total_chars FROM documents)
+         |SELECT total_documents, total_tokens, total_unk, total_chars,
+         |       CAST(total_tokens AS DOUBLE) / CAST(total_documents AS DOUBLE) AS avg_tokens_per_doc,
+         |       CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS compression_ratio
+         |FROM tot, ch""".stripMargin)
+}
