@@ -107,18 +107,22 @@ object Clean {
   /** Escape a regex for embedding in a single-quoted SQL literal. */
   private def q(re: String): String = re.replace("'", "''")
 
+  /** DuckDB transliteration of [[cleanText]] over column `c` (shared with
+    * the pipeline-summary oracle). */
+  def cleanSqlD(c: String = "text"): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |  $c, '${q(UrlRe)}', ' ', 'g'),
+       |  '${q(EmailRe)}', ' ', 'g'),
+       |  '${q(CitationRe)}', '', 'g'),
+       |  '${q(ControlRe)}', '', 'g'),
+       |  '${q(SpacesRe)}', ' ', 'g'),
+       |  '${q(NewlinesRe)}', e'\n\n', 'g'),
+       |  '${q(EdgeWsRe)}', '', 'g')""".stripMargin
+
   /** DuckDB equivalents. NB: DuckDB regexp_replace is first-match-only
     * without the 'g' flag; every replace below passes it. */
   def oracles: Map[String, String] = {
-    val cleanSql =
-      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |  text, '${q(UrlRe)}', ' ', 'g'),
-         |  '${q(EmailRe)}', ' ', 'g'),
-         |  '${q(CitationRe)}', '', 'g'),
-         |  '${q(ControlRe)}', '', 'g'),
-         |  '${q(SpacesRe)}', ' ', 'g'),
-         |  '${q(NewlinesRe)}', e'\n\n', 'g'),
-         |  '${q(EdgeWsRe)}', '', 'g')""".stripMargin
+    val cleanSql = cleanSqlD()
     Map(
       "clean_regex" ->
         s"""SELECT doc_id,

@@ -158,8 +158,9 @@ object MinHash {
   private def lit128(xs: Array[Long]): String = xs.mkString("[", ",", "]")
 
   /** Shared CTE prefix: norm -> shingle hashes -> signatures -> bands ->
-    * candidate pairs -> verified pairs -> dup map. */
-  private val oraclePrefix: String =
+    * candidate pairs -> verified pairs -> dup map. Reused by the
+    * pipeline semi-join oracle. */
+  private[pipeline] val oraclePrefix: String =
     s"""WITH consts AS (SELECT ${lit128(permA)} AS pa, ${lit128(permB)} AS pb),
        |nrm AS (SELECT doc_id, regexp_replace(lower(text), '$WsRe', ' ', 'g') AS nrm FROM documents),
        |hs AS (SELECT doc_id,

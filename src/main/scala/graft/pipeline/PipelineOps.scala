@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Whole-pipeline composition operators: the P4 semi-join, the S9/A1-A6
+  * run-summary, and the structural flagship shape
+  * clean → filter → dedup → quality (reference: src/main.py:80-150).
+  */
+object PipelineOps {
+
+  /** P4 (src/main.py:250-256): keep original documents whose id survived
+    * dedup — an explicit left-semi join (ships only ids, never payloads). */
+  def uniqueDocs(docs: DataFrame): DataFrame =
+    docs.join(MinHash.dedup(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source")
+
+  /** S9/A1-A6 (src/main.py:407-420, utils/metrics.py:89-170): one-row
+    * run summary over the sequential pipeline
+    * clean → min-length filter → exact dedup → quality. Each stage count
+    * is a scalar aggregate; the crossJoins below are 1x1 row combines. */
+  def summaryQuery(docs: DataFrame): DataFrame = {
+    val ingest = docs.agg(
+      count(lit(1)).as("docs_ingested"),
+      sum(octet_length(col("text"))).as("total_bytes"))
+    val cleaned = docs
+      .withColumn("orig_len", length(col("text")))
+      .withColumn("text", Clean.cleanText(col("text")))
+      .filter(length(col("text")) >= 100)
+    val cleanAgg = cleaned.agg(
+      count(lit(1)).as("docs_after_clean"),
+      sum(col("orig_len") - length(col("text"))).as("chars_removed"))
+    val deduped = Dedup.exactDedup(cleaned)
+    val dedupAgg = deduped.agg(count(lit(1)).as("docs_after_dedup"))
+    val passedAgg = Quality.withReason(deduped)
+      .agg(sum(when(col("reason") === "passed", 1L).otherwise(0L)).as("docs_passed_quality"))
+    ingest.crossJoin(cleanAgg).crossJoin(dedupAgg).crossJoin(passedAgg)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_unique_docs" -> ((s, d) => uniqueDocs(Tables.documents(s, d))),
+    "pipeline_summary" -> ((s, d) => summaryQuery(Tables.documents(s, d))))
+
+  def oracles: Map[String, String] = Map(
+    "pipeline_unique_docs" ->
+      s"""${MinHash.oraclePrefix}
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT duplicate_id FROM dups)""".stripMargin,
+    "pipeline_summary" -> {
+      val cascade = Quality.reasonCascadeD(Quality.Config())
+      s"""WITH cleaned AS (
+         |  SELECT doc_id, length(text) AS orig_len, ${Clean.cleanSqlD()} AS text
+         |  FROM documents),
+         |kept AS (SELECT * FROM cleaned WHERE length(text) >= 100),
+         |uniq AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |           row_number() OVER (
+         |             PARTITION BY md5(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')))
+         |             ORDER BY doc_id) AS rn
+         |    FROM kept)
+         |  WHERE rn = 1)
+         |SELECT
+         |  (SELECT count(*) FROM documents) AS docs_ingested,
+         |  CAST((SELECT sum(strlen(text)) FROM documents) AS BIGINT) AS total_bytes,
+         |  (SELECT count(*) FROM kept) AS docs_after_clean,
+         |  CAST((SELECT sum(orig_len - length(text)) FROM kept) AS BIGINT) AS chars_removed,
+         |  (SELECT count(*) FROM uniq) AS docs_after_dedup,
+         |  CAST((SELECT count(*) FROM uniq WHERE ($cascade) = 'passed') AS BIGINT) AS docs_passed_quality""".stripMargin
+    })
+}

@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** Output sinks (S6-S9; reference: src/main.py:353-420) and per-stage
+  * observed metrics (A6; utils/metrics.py:89-170).
+  *
+  * Sinks are plain distributed writers — each executor writes its own
+  * partition files, nothing funnels through the driver. Only the one-row
+  * summary (S9) is driver-side, as in the reference.
+  */
+object Sinks {
+
+  /** S6: snappy Parquet (src/main.py:369-385). `maxRecordsPerFile`
+    * honors the reference's max_file_size hint (pipeline_config.yaml:77)
+    * in the unit Spark controls. */
+  def writeParquet(df: DataFrame, path: String, maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.write.mode("overwrite").option("compression", "snappy")
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
+      .parquet(path)
+  }
+
+  /** S7: one JSON object per line, full docs (src/main.py:387-398). */
+  def writeDocsJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** S8: tokens-only JSONL (src/main.py:400-405, tokenizer.py:282-310). */
+  def writeTokensJsonl(df: DataFrame, path: String): Unit =
+    df.select(col("tokens")).write.mode("overwrite").json(path)
+
+  /** S9: single-row summary → one JSON object file (src/main.py:407-420).
+    * Collects exactly one row on the driver. */
+  def writeSummaryJson(summary: DataFrame, path: String): Unit = {
+    val json = summary.toJSON.collect() match {
+      case Array(one) => one
+      case rows => rows.mkString("[", ",", "]")
+    }
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.writeString(Paths.get(path), json + "\n")
+  }
+
+  /** A6: attach named observed metrics to a stage. The returned
+    * Observation yields rows/bytes counters after the next action, without
+    * a second pass over the data (vs the reference's per-stage timers,
+    * utils/metrics.py:40-59). */
+  def observeStage(df: DataFrame, stage: String): (DataFrame, Observation) = {
+    val obs = Observation(stage)
+    val observed = df.observe(obs,
+      count(lit(1)).as("rows"),
+      sum(octet_length(col("text"))).as("text_bytes"))
+    (observed, obs)
+  }
+}

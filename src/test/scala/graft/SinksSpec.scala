@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.pipeline.Sinks
+import org.apache.spark.sql.functions._
+
+/** Sinks (S6-S9) and observed stage metrics (A6). */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "hello world", Array(2, 7, 3)),
+    (2L, "spark flink beam", Array(2, 9, 4, 3))).toDF("doc_id", "text", "tokens")
+
+  test("parquet sink round-trips with snappy") {
+    val dir = Files.createTempDirectory("snk").toString + "/pq"
+    Sinks.writeParquet(docs, dir)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("docs JSONL sink writes one object per line") {
+    val dir = Files.createTempDirectory("snk").toString + "/docs"
+    Sinks.writeDocsJsonl(docs, dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == 2)
+    assert(back.columns.toSet == Set("doc_id", "text", "tokens"))
+  }
+
+  test("tokens JSONL sink keeps only the tokens column") {
+    val dir = Files.createTempDirectory("snk").toString + "/tok"
+    Sinks.writeTokensJsonl(docs, dir)
+    val back = spark.read.json(dir)
+    assert(back.columns.toSeq == Seq("tokens"))
+    assert(back.count() == 2)
+  }
+
+  test("summary JSON sink writes a single object file") {
+    val path = Files.createTempDirectory("snk").toString + "/sub/summary.json"
+    Sinks.writeSummaryJson(docs.agg(count(lit(1)).as("n")), path)
+    val txt = Files.readString(java.nio.file.Paths.get(path)).trim
+    assert(txt == """{"n":2}""")
+  }
+
+  test("observed stage metrics report rows and bytes after one action") {
+    val (observed, obs) = Sinks.observeStage(docs, "clean_stage_test")
+    observed.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("rows") == 2L)
+    assert(m("text_bytes") == ("hello world".length + "spark flink beam".length).toLong)
+  }
+}
