@@ -1,0 +1,40 @@
+package graft
+
+import graft.pipeline.Dedup
+
+/** Mirrors reference tests/test_pipeline.py:107-124
+  * (TestExactHashDeduplicator): first-seen wins, case-insensitive. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact duplicate: first-seen (lowest id) wins") {
+    val d = docs(3L -> "same text here", 1L -> "same text here", 2L -> "different")
+    val kept = Dedup.exactDedup(d).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("case-insensitive and edge-whitespace-insensitive hashing") {
+    val d = docs(1L -> "Hello World", 2L -> "  hello world  ", 3L -> "HELLO WORLD")
+    val kept = Dedup.exactDedup(d).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("dupmap attributes duplicates to the first-seen original") {
+    val d = docs(1L -> "aaa", 2L -> "bbb", 3L -> "AAA", 4L -> "aaa")
+    val m = Dedup.exactDuplicateOf(d).as[(Long, Long)].collect().toSet
+    assert(m == Set((3L, 1L), (4L, 1L)))
+  }
+
+  test("stats: totals, uniques, duplicates") {
+    val d = docs(1L -> "a a", 2L -> "b", 3L -> "A A")
+    val row = Dedup.exactStatsQuery(d).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((3L, 2L, 1L)))
+  }
+
+  test("interior whitespace differences are NOT collapsed (strip is edges-only)") {
+    val d = docs(1L -> "a  b", 2L -> "a b")
+    assert(Dedup.exactDedup(d).count() == 2L)
+  }
+}

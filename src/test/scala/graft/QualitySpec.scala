@@ -1,0 +1,76 @@
+package graft
+
+import graft.pipeline.Quality
+
+/** Mirrors reference tests/test_pipeline.py:127-177 (TestQualityFilter):
+  * first-failing-reason semantics at the reference's own thresholds. */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = Quality.Config.reference // minWords=50, maxWords=100000
+
+  private def reasonOf(text: String): String =
+    Quality.withReason(Seq((1L, text)).toDF("doc_id", "text"), cfg)
+      .select("reason").as[String].collect().head
+
+  private val goodText =
+    ("The history of science is the study of how natural knowledge was developed " +
+      "and refined over many years by people in different parts of the world. " +
+      "It is a field that draws on the work of many scholars and it was shaped " +
+      "by the tools that were available at each point in time.").trim
+
+  test("good English text passes") {
+    assert(reasonOf(goodText) == "passed")
+  }
+
+  test("too-short text fails with too_short") {
+    assert(reasonOf("Too short.") == "too_short")
+  }
+
+  test("too-long text fails with too_long") {
+    val long = Seq.fill(100001)("word").mkString(" ")
+    assert(reasonOf(long) == "too_long")
+  }
+
+  test("symbol/digit soup fails with low_alpha_ratio (alpha checked before digit)") {
+    val soup = Seq.fill(30)("12345 !!##!").mkString(" ")
+    assert(reasonOf(soup) == "low_alpha_ratio")
+  }
+
+  test("repeated-line text fails with high_repetition") {
+    val rep = (Seq.fill(20)("the same exact line of text here again now") :+
+      "one different closing line of text right here").mkString("\n")
+    assert(reasonOf(rep) == "high_repetition")
+  }
+
+  test("bullet-list text fails with mostly_bullet_list") {
+    val bullets = Seq.fill(60)("- the bullet item text here").mkString("\n")
+    // every line stripped-identical would trip repetition first — vary them
+    val varied = (0 until 60).map(i => s"- the bullet item number $i in the list")
+      .mkString("\n")
+    assert(reasonOf(varied) == "mostly_bullet_list")
+    assert(reasonOf(bullets) == "high_repetition") // ordering: Q6 before Q7
+  }
+
+  test("boilerplate-heavy text fails with boilerplate_content") {
+    val boiler = goodText + " Copyright 2021. All rights reserved. " +
+      "Terms of service apply. See our privacy policy. Click here to continue."
+    assert(reasonOf(boiler) == "boilerplate_content")
+  }
+
+  test("non-English text fails with wrong_language; undetectable passes") {
+    val german = ("Die Geschichte der Wissenschaft ist das Studium der Entwicklung " +
+      "des Wissens und sie ist mit der Arbeit von vielen Menschen verbunden die " +
+      "nicht nur in einem Land gelebt haben und es ist auch ein Feld das von den " +
+      "Werkzeugen der Zeit geformt wurde und von dem Austausch der Ideen lebt.").trim
+    assert(reasonOf(german) == "wrong_language")
+  }
+
+  test("metric columns surface per-doc scores (Q11)") {
+    val df = Quality.cascadeQuery(Seq((7L, goodText)).toDF("doc_id", "text"), cfg)
+    val row = df.collect().head
+    assert(row.getAs[Int]("word_count") >= 50)
+    assert(row.getAs[String]("detected_language") == "en")
+    assert(row.getAs[String]("reason") == "passed")
+  }
+}
