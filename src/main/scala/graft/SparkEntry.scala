@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Bpe, Clean, Dedup, MinHash, PipelineOps, Quality, Tokenize, Wiki}
+import graft.pipeline.{Analytics, Bpe, Clean, Dedup, MinHash, PipelineOps, Quality, Tokenize, Wiki}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,6 +39,7 @@ object SparkEntry {
       (Bpe.queries, Bpe.oracles),
       (Wiki.queries, Wiki.oracles),
       (PipelineOps.queries, PipelineOps.oracles),
+      (Analytics.queries, Analytics.oracles),
       (graft.relational.Relational.queries, graft.relational.Relational.oracles),
       (graft.relational.Similarity.queries, graft.relational.Similarity.oracles))
 

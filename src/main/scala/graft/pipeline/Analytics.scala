@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Reporting/analytics operators (O1, A8; reference: utils/metrics.py:
+  * 210-215 sorted reason report, notebooks/data_exploration.ipynb
+  * describe + histogram cells) plus JSON property extraction over the
+  * `events.props` column (the driver's semi-structured surface).
+  */
+object Analytics {
+
+  /** O1: filter-reason report sorted by count desc (metrics.py:210-215).
+    * Deterministic secondary sort on the reason label; the global sort is
+    * over <= 12 rows, post-aggregation — trivially scale-safe. */
+  def reasonReportQuery(docs: DataFrame, cfg: Quality.Config = Quality.Config()): DataFrame =
+    Quality.withReason(docs, cfg)
+      .groupBy("reason").agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        col("n_docs").cast("double") / sum(col("n_docs")).over().cast("double"))
+      .orderBy(col("n_docs").desc, col("reason"))
+
+  /** A8: document-length histogram, 100-char buckets (the notebook's
+    * length-distribution cell) — a groupBy on a derived bucket key. */
+  def docLengthHistogramQuery(docs: DataFrame, bucket: Int = 100): DataFrame =
+    docs.groupBy(expr(s"n_chars div $bucket").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  /** A8: describe()-style corpus summary of n_chars per source. Variance
+    * is computed exactly via DECIMAL sums (sum, sum of squares) so the
+    * float hash agrees with the oracle — the same one-pass shape
+    * `describe()` itself uses. */
+  def corpusDescribeQuery(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = DecimalType(38, 6)
+    docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars").cast(d)).as("sum_chars_d"),
+        sum((col("n_chars") * col("n_chars")).cast(d)).as("sum_sq_d"))
+      .select(
+        col("source"), col("n_docs"), col("min_chars"), col("max_chars"),
+        col("sum_chars_d").cast("bigint").as("sum_chars"),
+        (col("sum_chars_d").cast("double") / col("n_docs").cast("double")).as("mean_chars"),
+        ((col("sum_sq_d").cast("double") / col("n_docs").cast("double")) -
+          (col("sum_chars_d").cast("double") / col("n_docs").cast("double")) *
+          (col("sum_chars_d").cast("double") / col("n_docs").cast("double")))
+          .as("var_chars"))
+  }
+
+  /** Semi-structured extraction: pull typed fields out of the JSON
+    * `props` string (events.parquet). `get_json_object` is codegen'd and
+    * pushes the parse into the projection — no UDF. */
+  def eventsPropsQuery(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_reason_report" -> ((s, d) => reasonReportQuery(Tables.documents(s, d))),
+    "doc_length_histogram" -> ((s, d) => docLengthHistogramQuery(Tables.documents(s, d))),
+    "corpus_describe" -> ((s, d) => corpusDescribeQuery(Tables.documents(s, d))),
+    "events_props_extract" -> ((s, d) => eventsPropsQuery(Tables.events(s, d))))
+
+  def oracles: Map[String, String] = Map(
+    "quality_reason_report" ->
+      s"""SELECT reason, count(*) AS n_docs,
+         |  CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE) AS share
+         |FROM (SELECT ${Quality.reasonCascadeD(Quality.Config())} AS reason FROM documents)
+         |GROUP BY reason
+         |ORDER BY n_docs DESC, reason""".stripMargin,
+    "doc_length_histogram" ->
+      """SELECT n_chars // 100 AS bucket, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "corpus_describe" ->
+      """SELECT source, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars,
+        |  (CAST(sum(CAST(n_chars * n_chars AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |   - (CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |     * (CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS var_chars
+        |FROM documents GROUP BY source""".stripMargin,
+    "events_props_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin)
+}
