@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.streaming.StreamPipeline
+
+/** D6: streaming clean+quality+exact-dedup over a file source. */
+class StreamPipelineSpec extends SparkSpec {
+
+  private def jsonLine(id: Long, text: String): String = {
+    val esc = text.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"doc_id": $id, "text": "$esc", "lang": "en", "source": "s", "n_chars": ${text.length}}"""
+  }
+
+  private val longText =
+    "The history of science is the study of how natural knowledge was developed " +
+      "and refined over many years by people in many parts of the world and it " +
+      "is a field that draws on the work of many scholars over time and it " +
+      "was shaped by the tools and ideas that were available at each point."
+
+  test("streaming micro-batches are cleaned and deduplicated across batches") {
+    val dir: Path = Files.createTempDirectory("stream-in")
+    val stream = StreamPipeline.cleanedDeduped(
+      StreamPipeline.readDocs(spark, dir.toString),
+      cfg = graft.pipeline.Quality.Config.reference)
+    val q = StreamPipeline.toMemorySink(stream, "stream_out").start()
+    try {
+      // batch 1: two distinct docs
+      Files.writeString(dir.resolve("b1.json"),
+        jsonLine(1, longText) + "\n" + jsonLine(2, longText + " Extra tail sentence here.") + "\n")
+      q.processAllAvailable()
+      // batch 2: an exact dup of doc 1 (case/edge variants) + one new doc
+      Files.writeString(dir.resolve("b2.json"),
+        jsonLine(3, longText.toUpperCase) + "\n" +
+          jsonLine(4, longText.replace("science", "art")) + "\n")
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, reason FROM stream_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // doc 3 is a dup of doc 1 (hash is case-insensitive) and must not appear
+      assert(out.keySet == Set(1L, 2L, 4L))
+      assert(out(1L) == "passed")
+    } finally q.stop()
+  }
+}
