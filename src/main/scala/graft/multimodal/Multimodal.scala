@@ -1,0 +1,117 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support: image/audio/video as opaque `binary`
+  * columns with typed metadata (builder brief — the reference pipeline is
+  * text-only; this is the engine capability a 100 TB training-data
+  * pipeline needs for mixed corpora).
+  *
+  * What is REAL here and designed for scale:
+  *   - the schema contract (binary payload + metadata struct),
+  *   - the batch shape: per-PARTITION processing via `mapPartitions`
+  *     with one-time "codec/model" init amortized across the partition
+  *     (the JVM analogue of Python's `mapInPandas` batching),
+  *   - partitioning control so decode parallelism matches cores, and
+  *   - the column-level decode path (a deterministic header parse that
+  *     whole-stage codegen treats like any other expression).
+  *
+  * What is a STUB: the codec itself. This container has no image/audio
+  * libraries, so decode parses GRAFT's own deterministic fake header and
+  * the "embedding" is a seeded hash projection — swap `decodeStub` /
+  * `embedStub` for javax.imageio / a real model runtime in deployment.
+  * Every stub is marked `STUB:` below.
+  */
+object Multimodal {
+
+  val FeatureDim = 16
+
+  /** media row contract. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("duration_ms", IntegerType, nullable = true))), nullable = true)))
+
+  /** STUB: fake 12-byte header `GRF!` + width:int32 + height:int32 (LE).
+    * A real build replaces this with an actual codec probe. */
+  def decodeStub(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (bytes == null || bytes.length < 12 ||
+      !(bytes(0) == 'G' && bytes(1) == 'R' && bytes(2) == 'F' && bytes(3) == '!')) None
+    else {
+      val bb = ByteBuffer.wrap(bytes, 4, 8).order(ByteOrder.LITTLE_ENDIAN)
+      Some((bb.getInt, bb.getInt))
+    }
+
+  /** STUB: deterministic pseudo-embedding — a seeded byte-hash projection
+    * standing in for a real vision/audio model. Stable across runs. */
+  def embedStub(bytes: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    if (bytes == null) return out
+    var k = 0
+    while (k < FeatureDim) {
+      var h = 1125899906842597L + k
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      out(k) = ((h % 2000003L).toFloat / 1000001.5f) - 1.0f
+      k += 1
+    }
+    out
+  }
+
+  /** Decoded dimensions as columns. The decode is a deterministic scalar
+    * function, so Catalyst prunes/pushes around it like any projection. */
+  def withDecodedMeta(media: DataFrame): DataFrame = {
+    val dec = udf((b: Array[Byte]) => decodeStub(b))
+    media.withColumn("decoded", dec(col("content")))
+      .withColumn("dec_width", col("decoded._1"))
+      .withColumn("dec_height", col("decoded._2"))
+      .drop("decoded")
+  }
+
+  /** Feature extraction with per-partition init: the expensive "model
+    * load" happens once per partition, rows then stream through it —
+    * the batch shape that keeps 1000-executor decode jobs model-bound,
+    * not init-bound. Input: (media_id, content). */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val rows = media.select(col("media_id"), col("content")).rdd.mapPartitions { it =>
+      // STUB: stands in for `val model = loadModel()` — once per partition
+      val model: Array[Byte] => Array[Float] = embedStub
+      it.map { r =>
+        Row(r.getLong(0), model(r.getAs[Array[Byte]]("content")).toSeq)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size chunk of the payload
+    * (STUB for real video frame extraction; the array-of-binary output
+    * shape and the exploded downstream form are the real contract). */
+  def sampleFrames(media: DataFrame, frameSize: Int = 8, stride: Int = 4): DataFrame = {
+    val sample = udf { (b: Array[Byte]) =>
+      if (b == null) Array.empty[Array[Byte]]
+      else (0 until (b.length / frameSize) by stride)
+        .map(i => b.slice(i * frameSize, (i + 1) * frameSize)).toArray
+    }
+    media.withColumn("frames", sample(col("content")))
+      .withColumn("n_frames", size(col("frames")))
+  }
+
+  /** Decode-parallelism control: spread payloads evenly before heavy
+    * per-row work (payload sizes are skewed in real corpora). */
+  def repartitionForDecode(media: DataFrame, partitions: Int): Dataset[Row] =
+    media.repartition(partitions, col("media_id"))
+}
