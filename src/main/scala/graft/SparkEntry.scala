@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Analytics, Bpe, Clean, Dedup, MinHash, PipelineOps, Quality, Tokenize, Wiki}
+import graft.pipeline.{Analytics, Bpe, Clean, Dedup, MinHash, NearDup, PipelineOps, Quality, Tokenize, Wiki}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,6 +40,7 @@ object SparkEntry {
       (Wiki.queries, Wiki.oracles),
       (PipelineOps.queries, PipelineOps.oracles),
       (Analytics.queries, Analytics.oracles),
+      (NearDup.queries, NearDup.oracles),
       (graft.relational.Relational.queries, graft.relational.Relational.oracles),
       (graft.relational.Similarity.queries, graft.relational.Similarity.oracles))
 

@@ -62,15 +62,20 @@ object MinHash {
   private val WsRe = "[ \t\n\f\r]+"
   private val WsPattern = java.util.regex.Pattern.compile(WsRe)
 
-  /** D1+D2: normalized char-5-gram shingles -> 128 min-hashes. Works on
-    * CODEPOINTS (matching DuckDB substr/ord semantics). Deterministic. */
-  def signature(text: String): Array[Long] = {
+  /** D1: normalized char-5-gram shingle hash multiset (all windows; min/
+    * sign aggregations are duplicate-insensitive or duplicate-weighted by
+    * design). Works on CODEPOINTS (matching DuckDB substr/ord semantics). */
+  def shingleHashes(text: String): Array[Long] = {
     val norm = WsPattern.matcher(text.toLowerCase(Locale.ROOT)).replaceAll(" ")
     val cps = norm.codePoints().toArray
-    val hashes: Array[Long] =
-      if (cps.isEmpty) Array(0L)
-      else if (cps.length < ShingleSize) Array(poly(cps, 0, cps.length))
-      else Array.tabulate(cps.length - ShingleSize + 1)(i => poly(cps, i, ShingleSize))
+    if (cps.isEmpty) Array(0L)
+    else if (cps.length < ShingleSize) Array(poly(cps, 0, cps.length))
+    else Array.tabulate(cps.length - ShingleSize + 1)(i => poly(cps, i, ShingleSize))
+  }
+
+  /** D2: 128 min-hashes over the shingle hashes. Deterministic. */
+  def signature(text: String): Array[Long] = {
+    val hashes = shingleHashes(text)
     val sig = Array.fill(NumPerm)(Long.MaxValue)
     var si = 0
     while (si < hashes.length) {
@@ -157,12 +162,10 @@ object MinHash {
 
   private def lit128(xs: Array[Long]): String = xs.mkString("[", ",", "]")
 
-  /** Shared CTE prefix: norm -> shingle hashes -> signatures -> bands ->
-    * candidate pairs -> verified pairs -> dup map. Reused by the
-    * pipeline semi-join oracle. */
-  private[pipeline] val oraclePrefix: String =
-    s"""WITH consts AS (SELECT ${lit128(permA)} AS pa, ${lit128(permB)} AS pb),
-       |nrm AS (SELECT doc_id, regexp_replace(lower(text), '$WsRe', ' ', 'g') AS nrm FROM documents),
+  /** DuckDB CTEs for the shingle-hash multiset (shared with the SimHash
+    * and fingerprint oracles). */
+  private[pipeline] val shingleCtesD: String =
+    s"""nrm AS (SELECT doc_id, regexp_replace(lower(text), '$WsRe', ' ', 'g') AS nrm FROM documents),
        |hs AS (SELECT doc_id,
        |  CASE WHEN length(nrm) = 0 THEN [CAST(0 AS BIGINT)]
        |  ELSE list_transform(
@@ -171,7 +174,14 @@ object MinHash {
        |         ELSE [nrm] END,
        |    s -> list_reduce(list_transform(range(1, length(s) + 1), i -> CAST(ord(substr(s, i, 1)) AS BIGINT)),
        |                     (h, c) -> (h * $HashMult + c) % $P)) END AS hashes
-       |  FROM nrm),
+       |  FROM nrm)""".stripMargin
+
+  /** Shared CTE prefix: norm -> shingle hashes -> signatures -> bands ->
+    * candidate pairs -> verified pairs -> dup map. Reused by the
+    * pipeline semi-join oracle. */
+  private[pipeline] val oraclePrefix: String =
+    s"""WITH consts AS (SELECT ${lit128(permA)} AS pa, ${lit128(permB)} AS pb),
+       |$shingleCtesD,
        |sigs AS (SELECT doc_id,
        |  list_transform(range(1, ${NumPerm + 1}), k ->
        |    list_min(list_transform(hashes, h -> (pa[k] * h + pb[k]) % $P))) AS sig

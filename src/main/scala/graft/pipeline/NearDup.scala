@@ -1,0 +1,198 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The rest of the near-duplicate family from the builder brief:
+  * SimHash, exact n-gram Jaccard join, and winnowing fingerprints.
+  * (Exact hash dedup: [[Dedup]]; MinHash LSH: [[MinHash]];
+  * embedding-cosine: [[graft.relational.Similarity.embedDedup]].)
+  *
+  * All three follow the MinHash playbook: deterministic integer
+  * arithmetic shared bit-for-bit with a DuckDB oracle, narrow per-row
+  * hashing, and block/inverted-index joins instead of all-pairs.
+  */
+object NearDup {
+
+  // -----------------------------------------------------------------------
+  // SimHash (32-bit) with pigeonhole-blocked Hamming join
+  // -----------------------------------------------------------------------
+
+  val SimBits = 62 // 31 bits from h, 31 from a derived second hash
+  val NumChunks = 4 // 16-bit chunks; Hamming <= 3 guarantees a shared chunk
+  val MaxHamming = 3
+  val ChunkBits = 16
+  /** second-hash affine constants (same LCG family, seed 99). */
+  val A2 = 1431655765L % MinHash.P
+  val B2 = 858993459L % MinHash.P
+
+  /** 62-bit SimHash over the shingle-hash multiset: bit b is the sign of
+    * the +-1 vote sum of each shingle's bit b; bits 31..61 come from the
+    * affine-derived second hash (the poly hash only carries 31 bits — 32
+    * bits proved too coarse: same-vocabulary corpora collapse to within
+    * 3 Hamming of each other). Window duplicates weight the vote —
+    * identically in the oracle. */
+  def simHash(text: String): Long = {
+    val hashes = MinHash.shingleHashes(text)
+    val h2 = new Array[Long](hashes.length)
+    var i = 0
+    while (i < hashes.length) { h2(i) = (A2 * hashes(i) + B2) % MinHash.P; i += 1 }
+    var result = 0L
+    var b = 0
+    while (b < SimBits) {
+      var w = 0L
+      var j = 0
+      while (j < hashes.length) {
+        val src = if (b < 31) hashes(j) >> b else h2(j) >> (b - 31)
+        w += (if ((src & 1L) == 1L) 1L else -1L)
+        j += 1
+      }
+      if (w > 0) result |= (1L << b)
+      b += 1
+    }
+    result
+  }
+
+  private val simHashUdf = udf(simHash _)
+
+  /** Duplicate -> original attribution: block on the 4 byte-chunks
+    * (pigeonhole: Hamming <= 3 differing bits cannot touch all 4 chunks),
+    * verify with bit_count(xor) <= MaxHamming, lowest id wins. */
+  def simhashDuplicateOf(docs: DataFrame): DataFrame = {
+    val sims = docs.select(col("doc_id"), simHashUdf(col("text")).as("sh"))
+    val blocks = sims.select(col("doc_id"), col("sh"),
+      posexplode(expr(
+        s"transform(sequence(0, ${NumChunks - 1}), c -> (sh >> ($ChunkBits * c)) & ${(1 << ChunkBits) - 1})"))
+        .as(Seq("chunk", "cv")))
+    val cand = blocks.as("x").join(blocks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("x.sh").as("sh_a"),
+        col("y.doc_id").as("id_b"), col("y.sh").as("sh_b"))
+      .distinct()
+    cand.filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= MaxHamming)
+      .groupBy(col("id_b").as("duplicate_id"))
+      .agg(min(col("id_a")).as("original_id"))
+  }
+
+  // -----------------------------------------------------------------------
+  // Exact word-trigram Jaccard via inverted-index join
+  // -----------------------------------------------------------------------
+
+  /** jaccard >= 0.6 as the integer compare 10*inter >= 6*union. */
+  val JaccardNumer = 6
+  val JaccardDenom = 10
+
+  private val gramsExpr =
+    """array_distinct(CASE WHEN size(filter(split(lower(text), '\\s+'), w -> w <> '')) >= 3
+      |  THEN transform(sequence(1, size(filter(split(lower(text), '\\s+'), w -> w <> '')) - 2),
+      |    i -> concat(element_at(filter(split(lower(text), '\\s+'), w -> w <> ''), i), ' ',
+      |                element_at(filter(split(lower(text), '\\s+'), w -> w <> ''), i + 1), ' ',
+      |                element_at(filter(split(lower(text), '\\s+'), w -> w <> ''), i + 2)))
+      |  ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin
+
+  /** Exact set-similarity self-join: explode distinct trigrams, join on
+    * the gram (the inverted index), count shared grams per pair, compare
+    * against |A|+|B|-inter with integers only. At scale: classic prefix-
+    * filtering would prune the index; hot grams are the skew to watch. */
+  def jaccardDuplicateOf(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(expr(gramsExpr)).as("g"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = grams.as("x").join(grams.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(lit(JaccardDenom) * col("inter") >=
+        lit(JaccardNumer) * (col("na") + col("nb") - col("inter")))
+      .groupBy(col("id_b").as("duplicate_id"))
+      .agg(min(col("id_a")).as("original_id"))
+  }
+
+  // -----------------------------------------------------------------------
+  // Winnowing fingerprints (rolling-hash document sketch)
+  // -----------------------------------------------------------------------
+
+  val WinnowWindow = 8
+
+  private val shingleHashesUdf = udf(MinHash.shingleHashes _)
+
+  /** Per-doc winnowing sketch (Schleimer et al. 2003 shape): min shingle
+    * hash per sliding window, deduplicated. Emitted as scalar summary
+    * columns (count + checksum) so the driver can hash-compare. */
+  def fingerprintQuery(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingleHashesUdf(col("text")).as("h"))
+      .withColumn("fps", expr(
+        s"""array_distinct(CASE WHEN size(h) >= $WinnowWindow
+           |  THEN transform(sequence(1, size(h) - ${WinnowWindow - 1}),
+           |                 i -> array_min(slice(h, i, $WinnowWindow)))
+           |  ELSE array(array_min(h)) END)""".stripMargin))
+      .select(
+        col("doc_id"),
+        size(col("fps")).as("n_fingerprints"),
+        expr(s"aggregate(fps, CAST(0 AS BIGINT), (s, v) -> (s + v) % ${MinHash.P})")
+          .as("fp_checksum"))
+
+  // -----------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_simhash_dupmap" -> ((s, d) => simhashDuplicateOf(Tables.documents(s, d))),
+    "dedup_jaccard_dupmap" -> ((s, d) => jaccardDuplicateOf(Tables.documents(s, d))),
+    "doc_fingerprints" -> ((s, d) => fingerprintQuery(Tables.documents(s, d))))
+
+  def oracles: Map[String, String] = {
+    val simBitsSql = (0 until SimBits).map { b =>
+      val src = if (b < 31) s"(h >> $b)" else s"((($A2 * h + $B2) % ${MinHash.P}) >> ${b - 31})"
+      s"(CASE WHEN list_sum(list_transform(hashes, h -> CASE WHEN ($src & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)"
+    }.mkString(" + ")
+    val gramsD =
+      """list_distinct(CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')) >= 3
+        |  THEN list_transform(range(1, len(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')) - 1),
+        |    i -> concat(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')[i], ' ',
+        |                list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')[i + 1], ' ',
+        |                list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')[i + 2]))
+        |  ELSE [] END)""".stripMargin
+    Map(
+      "dedup_simhash_dupmap" ->
+        s"""WITH ${MinHash.shingleCtesD},
+           |sims AS (SELECT doc_id, $simBitsSql AS sh FROM hs),
+           |blocks AS (SELECT doc_id, sh,
+           |  unnest(range(0, $NumChunks)) AS chunk,
+           |  unnest(list_transform(range(0, $NumChunks), c -> (sh >> ($ChunkBits * c)) & ${(1 << ChunkBits) - 1})) AS cv
+           |  FROM sims),
+           |cand AS (SELECT DISTINCT x.doc_id AS id_a, x.sh AS sh_a, y.doc_id AS id_b, y.sh AS sh_b
+           |  FROM blocks x JOIN blocks y
+           |    ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id)
+           |SELECT id_b AS duplicate_id, min(id_a) AS original_id FROM cand
+           |WHERE bit_count(xor(sh_a, sh_b)) <= $MaxHamming
+           |GROUP BY id_b""".stripMargin,
+      "dedup_jaccard_dupmap" ->
+        s"""WITH grams AS (SELECT doc_id, unnest($gramsD) AS g FROM documents),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+           |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+           |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_b AS duplicate_id, min(id_a) AS original_id
+           |FROM inter
+           |JOIN sizes sa ON sa.doc_id = id_a
+           |JOIN sizes sb ON sb.doc_id = id_b
+           |WHERE $JaccardDenom * inter >= $JaccardNumer * (sa.n + sb.n - inter)
+           |GROUP BY id_b""".stripMargin,
+      "doc_fingerprints" ->
+        s"""WITH ${MinHash.shingleCtesD},
+           |fp AS (SELECT doc_id,
+           |  list_distinct(CASE WHEN len(hashes) >= $WinnowWindow
+           |    THEN list_transform(range(1, len(hashes) - ${WinnowWindow - 2}),
+           |                        i -> list_min(hashes[i : i + ${WinnowWindow - 1}]))
+           |    ELSE [list_min(hashes)] END) AS fps
+           |  FROM hs)
+           |SELECT doc_id,
+           |  CAST(len(fps) AS INT) AS n_fingerprints,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (s, v) -> (s + v) % ${MinHash.P}) AS fp_checksum
+           |FROM fp""".stripMargin)
+  }
+}

@@ -96,9 +96,35 @@ object Similarity {
       .select(col("q_id"), col("rn"), col("vec_id"), col("sim"), col("label"))
   }
 
+  val DedupCosine = 0.95
+
+  /** Embedding-cosine near-duplicate detection (builder-brief dedup
+    * family): pairs inside the same LSH sign-bucket with cosine >=
+    * [[DedupCosine]]; lowest vec_id wins. Near-identical vectors agree on
+    * every sign bit, so bucket blocking loses only boundary cases — and
+    * keeps the join ~1/256 of all-pairs at any scale. (The driver's
+    * synthetic embeddings top out at cosine 0.51, so the sf result is
+    * legitimately empty; SimilaritySpec plants real near-dups.) */
+  def embedDedup(emb: DataFrame, threshold: Double = DedupCosine): DataFrame = {
+    val b = emb.select(col("vec_id"), col("embedding"),
+      expr(bucketS("embedding")).as("bucket"))
+    val pairs = b.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("bucket"))
+      .join(b.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("bucket")),
+        "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", expr(dotS("e_a", "e_b")))
+      .withColumn("na", expr(dotS("e_a", "e_a")))
+      .withColumn("nb", expr(dotS("e_b", "e_b")))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .filter(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))) >= threshold)
+    pairs.groupBy(col("id_b").as("duplicate_id"))
+      .agg(min(col("id_a")).as("original_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> ((s, d) => topK(Tables.embeddings(s, d))),
-    "sim_ann_lsh" -> ((s, d) => annTopK(Tables.embeddings(s, d))))
+    "sim_ann_lsh" -> ((s, d) => annTopK(Tables.embeddings(s, d))),
+    "sim_embed_dedup" -> ((s, d) => embedDedup(Tables.embeddings(s, d))))
 
   // -----------------------------------------------------------------------
   // DuckDB oracle — identical fold arithmetic.
@@ -119,6 +145,17 @@ object Similarity {
       .mkString(" + ")
 
   def oracles: Map[String, String] = Map(
+    "sim_embed_dedup" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketD("embedding")} AS bucket FROM embeddings),
+         |pairs AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |         ${dotD("x.embedding", "y.embedding")} AS dot,
+         |         ${dotD("x.embedding", "x.embedding")} AS na,
+         |         ${dotD("y.embedding", "y.embedding")} AS nb
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT id_b AS duplicate_id, min(id_a) AS original_id FROM pairs
+         |WHERE na > 0 AND nb > 0 AND dot / (sqrt(na) * sqrt(nb)) >= $DedupCosine
+         |GROUP BY id_b""".stripMargin,
     "sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NumQueries),
          |scored AS (
