@@ -40,8 +40,9 @@ object WikiXml {
       .filter(col("value").contains("<page>"))
 
   /** Parsed + filtered articles (WikiArticle shape, wiki_parser.py:21-44:
-    * title, page_id, namespace, text + derived word/char counts). */
-  def articles(spark: SparkSession, path: String): DataFrame = {
+    * title, page_id, namespace, text + derived word/char counts).
+    * `maxArticles` is the O3/P5 ingest cap (wiki_parser.py:122-124). */
+  def articles(spark: SparkSession, path: String, maxArticles: Option[Long] = None): DataFrame = {
     val p = pages(spark, path)
       .select(
         xmlUnescape(regexp_extract(col("value"), "<title>([^<]*)</title>", 1)).as("title"),
@@ -50,12 +51,13 @@ object WikiXml {
         regexp_extract(col("value"), "<id>(\\d+)</id>", 1).cast("long").as("page_id"),
         regexp_extract(col("value"), "<redirect[^>]*title=\"([^\"]*)\"", 1).as("redirect"),
         xmlUnescape(regexp_extract(col("value"), "(?s)<text[^>]*>(.*?)</text>", 1)).as("text"))
-    p.filter(col("namespace") === 0)
+    val filtered = p.filter(col("namespace") === 0)
       .filter(col("redirect") === "")
       .filter(length(regexp_replace(col("text"), """^\s+|\s+$""", "")) >= MinTextChars)
       .select(
         col("page_id"), col("title"), col("namespace"), col("text"),
         regexp_count(col("text"), lit("""\S+""")).as("word_count"),
         length(col("text")).as("char_count"))
+    maxArticles.fold(filtered)(n => filtered.limit(n.toInt))
   }
 }
