@@ -84,21 +84,22 @@ object NearDup {
   val JaccardNumer = 6
   val JaccardDenom = 10
 
-  private val gramsExpr =
-    """array_distinct(CASE WHEN size(filter(split(lower(text), '\\s+'), w -> w <> '')) >= 3
-      |  THEN transform(sequence(1, size(filter(split(lower(text), '\\s+'), w -> w <> '')) - 2),
-      |    i -> concat(element_at(filter(split(lower(text), '\\s+'), w -> w <> ''), i), ' ',
-      |                element_at(filter(split(lower(text), '\\s+'), w -> w <> ''), i + 1), ' ',
-      |                element_at(filter(split(lower(text), '\\s+'), w -> w <> ''), i + 2)))
-      |  ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin
-
   /** Exact set-similarity self-join: explode distinct trigrams, join on
     * the gram (the inverted index), count shared grams per pair, compare
     * against |A|+|B|-inter with integers only. At scale: classic prefix-
-    * filtering would prune the index; hot grams are the skew to watch. */
+    * filtering would prune the index; hot grams are the skew to watch.
+    * The words array is staged as its own projection so the per-trigram
+    * `element_at` lambdas index a computed column instead of re-running
+    * the split (the round-1 quality-cascade lesson). */
   def jaccardDuplicateOf(docs: DataFrame): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), explode(expr(gramsExpr)).as("g"))
+    val words = docs.select(col("doc_id"),
+      expr("""filter(split(lower(text), '\\s+'), w -> w <> '')""").as("w"))
+    val grams = words
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(CASE WHEN size(w) >= 3
+          |  THEN transform(sequence(1, size(w) - 2),
+          |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin)).as("g"))
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = grams.as("x").join(grams.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
