@@ -21,6 +21,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (codegen compiler, parquet footers, shuffle machinery)
+    // so the alphabetically-first query doesn't absorb JVM startup cost.
+    try spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -138,6 +138,51 @@ object Relational {
       countDistinct(col("user_id")).as("exact_users"),
       count(lit(1)).as("n_events"))
 
+  /** As-of join, composed from existing ops (the brief's example of an
+    * operator Spark lacks): for every purchase event, the most recent
+    * prior click by the same user. Instead of a per-key sort-probe, one
+    * window pass per user carries the last-seen click forward
+    * (`last(when(...), ignoreNulls)`) — a single shuffle on user_id,
+    * no self-join, no range explosion; the formulation that scales. */
+  def asofPurchaseAfterClick(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"), col("event_id"), col("ts_us"),
+        col("last_click_ts"),
+        (col("ts_us") - col("last_click_ts")).as("us_since_click"))
+  }
+
+  /** Non-equi range join: events banded by value against an inline band
+    * dim. The dim is broadcast, so the plan is a BroadcastNestedLoopJoin
+    * — the correct shape for tiny-dim range predicates at any scale. */
+  def valueBandJoin(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val bands = spark.createDataFrame(Seq(
+        ("low", 0.0, 5.0), ("mid", 5.0, 10.0), ("high", 10.0, 15.0),
+        ("extreme", 15.0, 1e9)))
+      .toDF("band", "lo", "hi")
+    events.join(broadcast(bands),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+  }
+
+  /** ROLLUP aggregation: order counts/revenue at (status, priority),
+    * (status), and grand-total levels in one pass. */
+  def orderRollup(orders: DataFrame): DataFrame =
+    orders.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+
   /** TPC-H Q1-style pricing summary. Map-side partial aggregation into a
     * 6-group shuffle — the canonical "scales to any size" aggregate. */
   def q1(lineitem: DataFrame): DataFrame =
@@ -166,7 +211,10 @@ object Relational {
     "r_hourly_event_stats" -> ((s, d) => hourlyEventStats(eventsUs(s, d))),
     "r_top_parts_per_brand" -> ((s, d) => topPartsPerBrand(Tables.part(s, d))),
     "r_set_ops_customers" -> ((s, d) => customerSetOps(Tables.customer(s, d))),
-    "r_approx_distinct_users" -> ((s, d) => approxDistinctUsers(eventsUs(s, d))))
+    "r_approx_distinct_users" -> ((s, d) => approxDistinctUsers(eventsUs(s, d))),
+    "r_asof_purchase_click" -> ((s, d) => asofPurchaseAfterClick(eventsUs(s, d))),
+    "r_value_band_join" -> ((s, d) => valueBandJoin(eventsUs(s, d))),
+    "r_order_rollup" -> ((s, d) => orderRollup(Tables.orders(s, d))))
 
   def oracles: Map[String, String] = Map(
     "r_q1_pricing_summary" ->
@@ -223,6 +271,29 @@ object Relational {
         |                            ORDER BY p_retailprice DESC, p_partkey) AS rn
         |  FROM part)
         |WHERE rn <= 3""".stripMargin,
+    "r_asof_purchase_click" ->
+      """SELECT user_id, event_id, ts_us, last_click_ts,
+        |       ts_us - last_click_ts AS us_since_click
+        |FROM (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        |  FROM events)
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "r_value_band_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('low', 0.0, 5.0), ('mid', 5.0, 10.0), ('high', 10.0, 15.0),
+        |  ('extreme', 15.0, 1000000000.0))
+        |SELECT band, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band""".stripMargin,
+    "r_order_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
     "r_set_ops_customers" ->
       """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
         |     b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
