@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** S3 source registry (reference download_wiki.py:22-25,160-168:
+    * name → dump URL, raw URLs pass through). Download itself is out of
+    * engine scope (SURVEY §2.1) — data arrives as files; this resolves
+    * the reference's `ingestion.source` config key. */
+  val SourceRegistry: Map[String, String] = Map(
+    "simplewiki" -> "https://dumps.wikimedia.org/simplewiki/latest/simplewiki-latest-pages-articles.xml.bz2",
+    "enwiki" -> "https://dumps.wikimedia.org/enwiki/latest/enwiki-latest-pages-articles.xml.bz2")
+
+  def resolveSource(nameOrUrl: String): String =
+    SourceRegistry.getOrElse(nameOrUrl, nameOrUrl)
+
   /** pipeline_config.yaml:24-31 */
   final case class CleaningConfig(
       removeUrls: Boolean = true,

@@ -1,9 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.DataStreamWriter
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import graft.pipeline.{Clean, Dedup, Quality}
 
 /** Structured Streaming variant of the pipeline (D6/S4 analogue;
@@ -49,4 +48,47 @@ object StreamPipeline {
     * in-memory sink table. */
   def toMemorySink(out: DataFrame, name: String): DataStreamWriter[Row] =
     out.writeStream.format("memory").queryName(name).outputMode("append")
+
+  /** Watermarked tumbling-window aggregation over an event-time stream —
+    * the streaming twin of Relational.hourlyEventStats. The watermark
+    * bounds state: windows older than the horizon are finalized, emitted
+    * (append mode), and their state dropped — the knob that keeps a
+    * 100 TB/day stream's state finite. */
+  def windowedEventCounts(events: DataFrame, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** D4-with-state in streaming form: first-seen-wins dedup WITH
+    * duplicate→original attribution via flatMapGroupsWithState — the
+    * reference's growing index (`duplicate_of`, deduplicator.py:150-180)
+    * as explicit keyed state. Emits every doc, tagging duplicates with
+    * the id of the first-seen original in their hash group. */
+  def dedupWithAttribution(docs: DataFrame): Dataset[DedupVerdict] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("content_hash", Dedup.contentHash(col("text")))
+      .select(col("content_hash"), col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, DedupVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Long]) =>
+          // within a micro-batch, arrival order decides first-seen (the
+          // reference's iteration-order semantics)
+          val out = rows.map { case (_, id) =>
+            if (!state.exists) { state.update(id); DedupVerdict(id, isDuplicate = false, None) }
+            else DedupVerdict(id, isDuplicate = true, Some(state.get))
+          }
+          out.toList.iterator
+      }
+  }
 }
+
+/** Output row of [[StreamPipeline.dedupWithAttribution]]. */
+final case class DedupVerdict(docId: Long, isDuplicate: Boolean, originalId: Option[Long])
