@@ -98,37 +98,43 @@ object NearDup {
   def jaccardDuplicateOf(docs: DataFrame): DataFrame = {
     val words = docs.select(col("doc_id"),
       expr("""filter(split(lower(text), '\\s+'), w -> w <> '')""").as("w"))
-    val grams = words
-      .select(col("doc_id"), explode(expr(
+    // one row per doc with its (distinct, sorted-construction-order) gram set.
+    // PERSISTED: this subtree feeds the df-count, both prefix sides, and
+    // both verification joins — recomputing the (interpreted, HOF-heavy)
+    // trigram build per consumer cost ~8x the data pass. Persisting the
+    // two small reused frames is the multi-use-subtree idiom MLlib uses.
+    val gramsArr = words
+      .select(col("doc_id"), expr(
         """array_distinct(CASE WHEN size(w) >= 3
           |  THEN transform(sequence(1, size(w) - 2),
           |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))
-          |  ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin)).as("g"))
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin).as("ga"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = gramsArr.withColumn("n", size(col("ga")))
+      .select(col("doc_id"), col("n"), explode(col("ga")).as("g"))
     // global rarity order: (document frequency, gram) — ties broken by text
     val gramDf = grams.groupBy("g").agg(count(lit(1)).as("df"))
     val t = JaccardNumer.toDouble / JaccardDenom
-    val prefix = grams.join(gramDf, "g").join(sizes, "doc_id")
+    val prefix = grams.join(gramDf, "g")
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
       .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
       .select(col("doc_id"), col("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    // exact verification: count the shared grams of each surviving pair
-    val inter = cand
-      .join(grams.select(col("doc_id").as("id_a"), col("g")), "id_a")
-      .join(grams.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+    // exact verification: intersect the two gram ARRAYS per candidate pair
+    // (per-pair set ops on ~60-element arrays beat a per-gram re-join +
+    // groupBy: the verify cost tracks the candidate count, not gram rows)
+    cand
+      .join(gramsArr.select(col("doc_id").as("id_a"), col("ga").as("ga_a")), "id_a")
+      .join(gramsArr.select(col("doc_id").as("id_b"), col("ga").as("ga_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("ga_a"), col("ga_b"))))
       .filter(lit(JaccardDenom) * col("inter") >=
-        lit(JaccardNumer) * (col("na") + col("nb") - col("inter")))
+        lit(JaccardNumer) * (size(col("ga_a")) + size(col("ga_b")) - col("inter")))
       .groupBy(col("id_b").as("duplicate_id"))
       .agg(min(col("id_a")).as("original_id"))
   }
