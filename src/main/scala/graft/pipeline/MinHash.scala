@@ -113,9 +113,13 @@ object MinHash {
   def signatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), sigUdf(col("text")).as("sig"))
 
-  /** D4/D5: duplicate -> original attribution via banded LSH join. */
+  /** D4/D5: duplicate -> original attribution via banded LSH join.
+    * Signatures are persisted: the sig subtree (a 40k-op UDF per row)
+    * feeds both band-join sides and both verification joins — without the
+    * persist it would be recomputed 4x (the multi-use-subtree idiom). */
   def duplicateOf(docs: DataFrame): DataFrame = {
     val sigs = signatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select(col("doc_id"), posexplode(expr(bandsExpr)).as(Seq("band", "bh")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&

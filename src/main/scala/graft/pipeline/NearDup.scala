@@ -60,7 +60,9 @@ object NearDup {
     * (pigeonhole: Hamming <= 3 differing bits cannot touch all 4 chunks),
     * verify with bit_count(xor) <= MaxHamming, lowest id wins. */
   def simhashDuplicateOf(docs: DataFrame): DataFrame = {
+    // persisted: feeds both sides of the chunk-block self-join
     val sims = docs.select(col("doc_id"), simHashUdf(col("text")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = sims.select(col("doc_id"), col("sh"),
       posexplode(expr(
         s"transform(sequence(0, ${NumChunks - 1}), c -> (sh >> ($ChunkBits * c)) & ${(1 << ChunkBits) - 1})"))
