@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Analytics, Bpe, Clean, Dedup, MinHash, NearDup, PipelineOps, Quality, Tokenize, Wiki}
+import graft.pipeline.{Analytics, Bpe, Clean, Dedup, MinHash, NearDup, PipelineOps, Quality, Tokenize, Unigram, Wiki}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,7 @@ object SparkEntry {
       (MinHash.queries, MinHash.oracles),
       (Tokenize.queries, Tokenize.oracles),
       (Bpe.queries, Bpe.oracles),
+      (Unigram.queries, Unigram.oracles),
       (Wiki.queries, Wiki.oracles),
       (PipelineOps.queries, PipelineOps.oracles),
       (Analytics.queries, Analytics.oracles),

@@ -128,4 +128,26 @@ object Unigram {
 
   def trainOn(docs: DataFrame, vocabSize: Int = 64): Model =
     train(Bpe.wordFrequencies(docs), vocabSize)
+
+  /** T7 over a unigram model trained on the same corpus. Rows-only check
+    * (like tok_bpe_stats: the learned pieces aren't SQL-derivable). */
+  def statsQuery(docs: DataFrame, vocabSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val model = trainOn(docs, vocabSize)
+    val enc = udf((t: String) => model.encode(t))
+    docs.select(length(col("text")).as("n_chars"), size(enc(col("text"))).as("n_tokens"))
+      .agg(
+        count(lit(1)).as("total_documents"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        lit(model.vocabSize).as("vocab_size"))
+      .select(col("*"),
+        (col("total_chars").cast("double") / col("total_tokens").cast("double"))
+          .as("compression_ratio"))
+  }
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "tok_unigram_stats" -> ((s, d) => statsQuery(graft.Tables.documents(s, d))))
+
+  def oracles: Map[String, String] = Map.empty
 }

@@ -15,6 +15,7 @@ class EntrySpec extends SparkSpec {
     assert(o.subsetOf(q), s"oracles without queries: ${o.diff(q)}")
     val rowsOnly = q.diff(o)
     // the two sketch/learned queries are rows-only by nature
-    assert(rowsOnly == Set("r_approx_distinct_users", "tok_bpe_stats"), rowsOnly.toString)
+    assert(rowsOnly == Set("r_approx_distinct_users", "tok_bpe_stats", "tok_unigram_stats"),
+      rowsOnly.toString)
   }
 }
