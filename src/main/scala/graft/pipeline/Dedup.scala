@@ -17,7 +17,11 @@ import graft.Tables
 object Dedup {
 
   /** Python `text.strip().lower()` then md5 (deduplicator.py:299-304).
-    * strip() trims all whitespace, so regexp-trim rather than `trim`. */
+    * strip() trims all whitespace, so regexp-trim rather than `trim`.
+    * Documented deviation (ADVICE r1): `\s` here is ASCII-only, while
+    * Python's strip() also trims U+00A0/U+2028-class whitespace — kept
+    * ASCII deliberately so the Spark and DuckDB oracle sides agree; docs
+    * with exotic edge whitespace may hash differently than the reference. */
   def contentHash(text: Column): Column =
     md5(lower(regexp_replace(text, Clean.EdgeWsRe, "")))
 
