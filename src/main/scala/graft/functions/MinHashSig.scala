@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the MinHash signature (brief's
+  * preference ladder: a codegen'd `Expression` beats a Scala UDF). Unlike
+  * the UDF form, this participates in whole-stage codegen — no
+  * encoder/closure indirection, the generated code calls the static
+  * hashing kernel directly — and it needs no session-level registration
+  * to be used from the DataFrame API ([[MinHashSig.apply]]).
+  *
+  * The kernel itself ([[graft.pipeline.MinHash.signature]]) is shared
+  * with the UDF path, so both produce identical signatures.
+  */
+case class MinHashSigExpression(child: Expression)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSigExpression.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashSigExpression.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpression =
+    copy(child = newChild)
+}
+
+object MinHashSigExpression {
+  /** Static kernel entry used by both interpreted eval and generated code. */
+  def compute(s: UTF8String): ArrayData =
+    new GenericArrayData(graft.pipeline.MinHash.signature(s.toString))
+}
+
+object MinHashSig {
+  /** DataFrame-API form: `MinHashSig(col("text"))`. */
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(MinHashSigExpression(GraftSqlBridge.expression(c)))
+}

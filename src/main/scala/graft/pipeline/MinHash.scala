@@ -99,7 +99,10 @@ object MinHash {
     h
   }
 
-  private val sigUdf = udf(signature _)
+  /** Native Catalyst expression form (codegen-participating; see
+    * [[graft.functions.MinHashSigExpression]]) — same kernel, no UDF
+    * closure/encoder indirection. */
+  private def sigCol(c: org.apache.spark.sql.Column) = graft.functions.MinHashSig(c)
 
   /** D3: per-band hash over 8 signature slots, as a Spark SQL transform
     * (reduceLeft, same fold as the shingle hash). */
@@ -111,7 +114,7 @@ object MinHash {
 
   /** (doc_id, sig) — the narrow, shuffle-free stage. */
   def signatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), sigUdf(col("text")).as("sig"))
+    docs.select(col("doc_id"), sigCol(col("text")).as("sig"))
 
   /** D4/D5: duplicate -> original attribution via banded LSH join.
     * Signatures are persisted: the sig subtree (a 40k-op UDF per row)

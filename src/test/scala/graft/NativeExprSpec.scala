@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.MinHashSig
+import graft.pipeline.MinHash
+import org.apache.spark.sql.functions._
+
+/** The native Catalyst minhash expression: value parity with the kernel,
+  * codegen execution, and SQL registration via the extensions triple. */
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a", "", "MIXED Case   with\nnewlines\tand tabs")
+
+  test("expression output matches the shared kernel exactly") {
+    val rows = texts.toDF("text")
+      .select(MinHashSig($"text").as("sig"))
+      .as[Array[Long]].collect()
+    texts.zip(rows).foreach { case (t, sig) =>
+      assert(sig.sameElements(MinHash.signature(t)), s"mismatch for '$t'")
+    }
+  }
+
+  test("expression runs inside a plan with other operators (codegen path)") {
+    val df = texts.toDF("text")
+      .withColumn("sig", MinHashSig($"text"))
+      .withColumn("first_hash", element_at($"sig", 1))
+      .filter($"first_hash".isNotNull)
+    assert(df.count() == texts.length)
+    // no ScalaUDF node: the expression plans natively
+    assert(!df.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+  }
+
+  test("SQL form works once registered through the extensions triple") {
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    val sig = spark.sql("SELECT graft_minhash_sig('hello world') AS s")
+      .as[Array[Long]].collect().head
+    assert(sig.sameElements(MinHash.signature("hello world")))
+  }
+}
