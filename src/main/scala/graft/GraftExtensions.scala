@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.MinHashSigExpression
+import graft.functions.{MinHashSigExpression, SimHashExpression}
 
 /** SparkSessionExtensions injector: registers graft's native Catalyst
   * functions for SQL use. Activate with
@@ -20,5 +20,8 @@ object GraftExtensions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpression].getName, "graft_minhash_sig"),
-      (children: Seq[Expression]) => MinHashSigExpression(children.head)))
+      (children: Seq[Expression]) => MinHashSigExpression(children.head)),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpression].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHashExpression(children.head)))
 }

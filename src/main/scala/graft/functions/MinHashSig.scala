@@ -50,3 +50,33 @@ object MinHashSig {
   def apply(c: Column): Column =
     GraftSqlBridge.column(MinHashSigExpression(GraftSqlBridge.expression(c)))
 }
+
+/** Native 62-bit SimHash (same pattern as [[MinHashSigExpression]];
+  * kernel shared with [[graft.pipeline.NearDup.simHash]]). */
+case class SimHashExpression(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashExpression.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashExpression.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpression =
+    copy(child = newChild)
+}
+
+object SimHashExpression {
+  def compute(s: UTF8String): Long = graft.pipeline.NearDup.simHash(s.toString)
+}
+
+object SimHash {
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(SimHashExpression(GraftSqlBridge.expression(c)))
+}

@@ -54,7 +54,8 @@ object NearDup {
     result
   }
 
-  private val simHashUdf = udf(simHash _)
+  /** Native codegen'd expression form (graft.functions.SimHashExpression). */
+  private def simHashUdf(c: org.apache.spark.sql.Column) = graft.functions.SimHash(c)
 
   /** Duplicate -> original attribution: block on the 4 byte-chunks
     * (pigeonhole: Hamming <= 3 differing bits cannot touch all 4 chunks),
