@@ -26,6 +26,7 @@ case class MinHashSigExpression(child: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string argument, got ${child.dataType}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def foldable: Boolean = child.foldable // literal args constant-fold
   override def prettyName: String = "graft_minhash_sig"
 
   override protected def nullSafeEval(input: Any): Any =
@@ -60,6 +61,7 @@ case class SimHashExpression(child: Expression) extends UnaryExpression {
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string argument, got ${child.dataType}")
   override def dataType: DataType = LongType
+  override def foldable: Boolean = child.foldable
   override def prettyName: String = "graft_simhash"
 
   override protected def nullSafeEval(input: Any): Any =

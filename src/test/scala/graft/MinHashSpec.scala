@@ -68,4 +68,36 @@ class MinHashSpec extends SparkSpec {
     val d = docs(1L -> longA, 2L -> other)
     assert(MinHash.duplicateOf(d).count() == 0L)
   }
+
+  test("property: signature-estimated Jaccard tracks exact shingle Jaccard (±0.15)") {
+    // deterministic pseudo-corpus: pairs across the similarity spectrum
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc(): Seq[String] = Seq.fill(80)(vocab(rnd.nextInt(vocab.size)))
+    def mutate(w: Seq[String], k: Int): Seq[String] =
+      w.zipWithIndex.map { case (x, i) =>
+        if (i % math.max(1, w.size / math.max(1, k)) == 0) vocab(rnd.nextInt(vocab.size)) else x
+      }
+    def exactJaccard(a: String, b: String): Double = {
+      def sh(t: String) = {
+        val n = t.toLowerCase.replaceAll("[ \t\n\f\r]+", " ")
+        (0 to n.length - 5).map(i => n.substring(i, i + 5)).toSet
+      }
+      val (sa, sb) = (sh(a), sh(b))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    def estJaccard(a: String, b: String): Double = {
+      val (sa, sb) = (MinHash.signature(a), MinHash.signature(b))
+      sa.zip(sb).count { case (x, y) => x == y }.toDouble / MinHash.NumPerm
+    }
+    for (k <- Seq(0, 2, 5, 10, 40)) {
+      val base = doc()
+      val a = base.mkString(" ")
+      val b = mutate(base, k).mkString(" ")
+      val (ex, est) = (exactJaccard(a, b), estJaccard(a, b))
+      assert(math.abs(ex - est) <= 0.15,
+        s"k=$k exact=$ex est=$est diverge beyond the 128-perm error bound")
+    }
+  }
 }
