@@ -158,6 +158,26 @@ object Relational {
         (col("ts_us") - col("last_click_ts")).as("us_since_click"))
   }
 
+  /** Gap-based sessionization: a new session starts after 30 min of user
+    * inactivity. Two stacked windows on the same (user_id, time) ordering
+    * — Catalyst reuses one sort/exchange for both — then a per-session
+    * aggregation. Pure integer µs arithmetic, fully oracle-able. */
+  def sessionizeEvents(events: DataFrame, gapUs: Long = 30L * 60 * 1000000): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events
+      .withColumn("new_session",
+        when(lag(col("ts_us"), 1).over(w).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+  }
+
   /** Non-equi range join: events banded by value against an inline band
     * dim. The dim is broadcast, so the plan is a BroadcastNestedLoopJoin
     * — the correct shape for tiny-dim range predicates at any scale. */
@@ -213,6 +233,7 @@ object Relational {
     "r_set_ops_customers" -> ((s, d) => customerSetOps(Tables.customer(s, d))),
     "r_approx_distinct_users" -> ((s, d) => approxDistinctUsers(eventsUs(s, d))),
     "r_asof_purchase_click" -> ((s, d) => asofPurchaseAfterClick(eventsUs(s, d))),
+    "r_sessionize_events" -> ((s, d) => sessionizeEvents(eventsUs(s, d))),
     "r_value_band_join" -> ((s, d) => valueBandJoin(eventsUs(s, d))),
     "r_order_rollup" -> ((s, d) => orderRollup(Tables.orders(s, d))))
 
@@ -281,6 +302,23 @@ object Relational {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
         |  FROM events)
         |WHERE event_type = 'purchase'""".stripMargin,
+    "r_sessionize_events" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM t)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+        |       max(ts_us) - min(ts_us) AS duration_us
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
     "r_value_band_join" ->
       """WITH bands(band, lo, hi) AS (VALUES
         |  ('low', 0.0, 5.0), ('mid', 5.0, 10.0), ('high', 10.0, 15.0),
