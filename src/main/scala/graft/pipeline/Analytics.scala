@@ -68,13 +68,62 @@ object Analytics {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
 
+  /** Pearson correlation from exact DECIMAL moment sums (the one-pass
+    * formula `corr` itself uses, but with order-independent sums so the
+    * driver's float hash agrees with DuckDB): per event type, how does
+    * `value` co-move with the JSON `props.k` field. */
+  def valueCorrQuery(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = DecimalType(38, 8)
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    events
+      .withColumn("k", k).filter(col("k").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(d)).as("sx"),
+        sum(col("k").cast(d)).as("sy"),
+        sum((col("value") * col("value")).cast(d)).as("sxx"),
+        sum((col("k") * col("k")).cast(d)).as("syy"),
+        sum((col("value") * col("k")).cast(d)).as("sxy"))
+      .select(
+        col("event_type"), col("n"),
+        ((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+           sqrt(col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))))
+          .as("corr_value_k"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_value_corr" -> ((s, d) => valueCorrQuery(Tables.events(s, d))),
     "quality_reason_report" -> ((s, d) => reasonReportQuery(Tables.documents(s, d))),
     "doc_length_histogram" -> ((s, d) => docLengthHistogramQuery(Tables.documents(s, d))),
     "corpus_describe" -> ((s, d) => corpusDescribeQuery(Tables.documents(s, d))),
     "events_props_extract" -> ((s, d) => eventsPropsQuery(Tables.events(s, d))))
 
   def oracles: Map[String, String] = Map(
+    "events_value_corr" ->
+      """WITH base AS (
+        |  SELECT event_type, value, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |  FROM events
+        |  WHERE value IS NOT NULL AND CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(CAST(value AS DECIMAL(38,8))) AS sx,
+        |         sum(CAST(k AS DECIMAL(38,8))) AS sy,
+        |         sum(CAST(value * value AS DECIMAL(38,8))) AS sxx,
+        |         sum(CAST(k * k AS DECIMAL(38,8))) AS syy,
+        |         sum(CAST(value * k AS DECIMAL(38,8))) AS sxy
+        |  FROM base GROUP BY event_type)
+        |SELECT event_type, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  AS corr_value_k
+        |FROM m""".stripMargin,
     "quality_reason_report" ->
       s"""SELECT reason, count(*) AS n_docs,
          |  CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE) AS share
