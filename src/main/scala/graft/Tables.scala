@@ -32,11 +32,25 @@ object Tables {
     * Oracle-compared queries must only emit values derived from `ts_ns`
     * (epoch buckets, dates) — never a raw timestamp — because DuckDB keeps
     * ns precision and would hash-differ on the sub-µs digits.
+    *
+    * A copy of the table re-written by Spark itself (or any µs-native
+    * writer) carries `ts` as TIMESTAMP/TIMESTAMP_NTZ instead of INT64-nanos;
+    * the loader normalizes either physical encoding to the same
+    * (`ts_ns` BIGINT, `ts` TIMESTAMP) surface. NTZ values are interpreted
+    * as UTC wall-clock (session timezone pinned here), matching how the
+    * ns-long path derives them.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // TIMESTAMP or TIMESTAMP_NTZ (µs precision)
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 }

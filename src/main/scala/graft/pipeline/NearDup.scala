@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import java.util.Locale
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -87,6 +89,25 @@ object NearDup {
   val JaccardNumer = 6
   val JaccardDenom = 10
 
+  /** Distinct word trigrams, first-occurrence order — the same semantics
+    * as `array_distinct(transform(...))` over `filter(split(lower(text),
+    * '\s+'), w -> w <> '')`, but as one tight JVM pass. The HOF spelling
+    * re-evaluated the split per `element_at` lambda (CollapseProject +
+    * Generate both inline the alias), which made the trigram build alone
+    * cost 257 s at the 50k-doc probe; this kernel does it in <1 s. */
+  def trigrams(text: String): Array[String] = {
+    val w = WsSplitJac.split(text.toLowerCase(Locale.ROOT), -1).filter(_.nonEmpty)
+    if (w.length < 3) Array.empty[String]
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + 2 < w.length) { seen.add(w(i) + " " + w(i + 1) + " " + w(i + 2)); i += 1 }
+      seen.toArray(new Array[String](seen.size))
+    }
+  }
+  private val WsSplitJac = java.util.regex.Pattern.compile("\\s+")
+  private val trigramsUdf = udf(trigrams _)
+
   /** Exact set-similarity self-join with PREFIX FILTERING (Bayardo
     * et al.'s All-Pairs): candidates only need to collide on the
     * `n - ceil(t*n) + 1` globally-rarest grams of each doc, so hot grams
@@ -94,47 +115,74 @@ object NearDup {
     * the 10x/50k-doc scale probe because a 31-word vocabulary makes
     * every trigram hot) never generate candidates. Exact: the prefix
     * lemma guarantees no false negatives, and the naive DuckDB oracle
-    * arbitrates that — results are hash-identical to the unpruned join.
-    * The words array is staged as its own projection so the per-trigram
-    * `element_at` lambdas index a computed column instead of re-running
-    * the split (the round-1 quality-cascade lesson). */
+    * arbitrates that — results are hash-identical to the unpruned join. */
   def jaccardDuplicateOf(docs: DataFrame): DataFrame = {
-    val words = docs.select(col("doc_id"),
-      expr("""filter(split(lower(text), '\\s+'), w -> w <> '')""").as("w"))
-    // one row per doc with its (distinct, sorted-construction-order) gram set.
-    // PERSISTED: this subtree feeds the df-count, both prefix sides, and
-    // both verification joins — recomputing the (interpreted, HOF-heavy)
-    // trigram build per consumer cost ~8x the data pass. Persisting the
-    // two small reused frames is the multi-use-subtree idiom MLlib uses.
-    val gramsArr = words
-      .select(col("doc_id"), expr(
-        """array_distinct(CASE WHEN size(w) >= 3
-          |  THEN transform(sequence(1, size(w) - 2),
-          |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))
-          |  ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin).as("ga"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import org.apache.spark.sql.expressions.Window
+    // one row per doc with its (distinct, first-occurrence-order) gram set
+    val gramsArr = docs.select(col("doc_id"), trigramsUdf(col("text")).as("ga"))
+    // PERSISTED: `grams` feeds the df-count and the dictionary join;
+    // `gramsG` feeds both the prefix index and the verification arrays —
+    // persisting the reused skinny frames is the multi-use-subtree idiom.
     val grams = gramsArr.withColumn("n", size(col("ga")))
       .select(col("doc_id"), col("n"), explode(col("ga")).as("g"))
-    // global rarity order: (document frequency, gram) — ties broken by text
-    val gramDf = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    val t = JaccardNumer.toDouble / JaccardDenom
-    val prefix = grams.join(gramDf, "g")
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
-      .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
-      .select(col("doc_id"), col("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Dictionary-encode grams as dense ints in global rarity order
+    // (document frequency, gram) — EXACT (no hash collisions), and gid
+    // order *is* the rarity order, so downstream sorts/windows use the
+    // int. String join keys and per-pair string-array intersections were
+    // ~2x the whole query's cost at the 50k-doc probe. The dictionary is
+    // bounded by the distinct-trigram universe, far smaller than the
+    // corpus; the single-partition row_number over it is deliberate (at
+    // 100 TB you'd swap this for a per-partition offset zipWithIndex —
+    // the ordering only has to be consistent, not this exact one).
+    val gramDict = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .withColumn("gid", row_number().over(Window.orderBy(col("df"), col("g"))))
+      .select("g", "gid")
+    val gramsG = grams.join(gramDict, "g")
+      .select(col("doc_id"), col("n"), col("gid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = JaccardNumer.toDouble / JaccardDenom
+    // rk = position of gid in the doc's grams sorted by global rarity; kept
+    // past the prefix cut because the positional filter below needs it.
+    val prefix = gramsG
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("gid"))))
+      .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
+      .select(col("doc_id"), col("gid"), col("n"), col("rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Candidate join with two further LOSSLESS prunes evaluated inside the
+    // join condition, before the pair ever materializes (PPJoin, Xiao et
+    // al.): with t = N/D and jaccard(a,b) >= t  ⟺  (D+N)·inter >= N·(n_a+n_b),
+    //  - length filter: inter <= min(n_x, n_y), so N·max(n_x,n_y) <= D·min
+    //    is necessary (docs whose sizes differ >t-fold can never match);
+    //  - positional filter: both prefix lists share the one global
+    //    (df, g) order, so a match at positions (rk_x, rk_y) bounds the
+    //    total intersection by 1 + min(n_x - rk_x, n_y - rk_y).
+    // Both matter when the corpus vocabulary is small (every trigram hot):
+    // the prefix filter alone left an ~87 s candidate blowup at the
+    // 50k-doc scale probe.
+    val sumN = col("x.n") + col("y.n")
+    val ubound = lit(1) + least(col("x.n") - col("x.rk"), col("y.n") - col("y.rk"))
     val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id") &&
+          lit(JaccardNumer) * greatest(col("x.n"), col("y.n")) <=
+            lit(JaccardDenom) * least(col("x.n"), col("y.n")) &&
+          lit(JaccardDenom + JaccardNumer) * ubound >= lit(JaccardNumer) * sumN)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    // exact verification: intersect the two gram ARRAYS per candidate pair
-    // (per-pair set ops on ~60-element arrays beat a per-gram re-join +
-    // groupBy: the verify cost tracks the candidate count, not gram rows)
+    // exact verification: intersect the two gid ARRAYS per candidate pair
+    // (per-pair set ops on ~60-element int arrays beat a per-gram re-join
+    // + groupBy: the verify cost tracks the candidate count, not gram rows).
+    // No distinct() on candidates: pairs colliding on several prefix grams
+    // are re-verified (map-side, ~1.4x rows) instead of paying a full
+    // candidate shuffle — the final groupBy(id_b).min(id_a) dedups anyway.
+    // gidArr is one skinny row per doc (id + int array), broadcast so the
+    // verify joins stay shuffle-free; on a corpus too big to broadcast,
+    // drop the hint and these become ordinary shuffled hash joins on id.
+    val gidArr = gramsG.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("gid"))).as("ga"))
     cand
-      .join(gramsArr.select(col("doc_id").as("id_a"), col("ga").as("ga_a")), "id_a")
-      .join(gramsArr.select(col("doc_id").as("id_b"), col("ga").as("ga_b")), "id_b")
+      .join(broadcast(gidArr.select(col("doc_id").as("id_a"), col("ga").as("ga_a"))), "id_a")
+      .join(broadcast(gidArr.select(col("doc_id").as("id_b"), col("ga").as("ga_b"))), "id_b")
       .withColumn("inter", size(array_intersect(col("ga_a"), col("ga_b"))))
       .filter(lit(JaccardDenom) * col("inter") >=
         lit(JaccardNumer) * (size(col("ga_a")) + size(col("ga_b")) - col("inter")))
