@@ -59,24 +59,48 @@ object NearDup {
   /** Native codegen'd expression form (graft.functions.SimHashExpression). */
   private def simHashUdf(c: org.apache.spark.sql.Column) = graft.functions.SimHash(c)
 
-  /** Duplicate -> original attribution: block on the 4 byte-chunks
+  /** Duplicate -> original attribution: block on the 4 16-bit chunks
     * (pigeonhole: Hamming <= 3 differing bits cannot touch all 4 chunks),
-    * verify with bit_count(xor) <= MaxHamming, lowest id wins. */
+    * then enumerate + verify each bucket in a tight JVM loop
+    * (`groupByKey.flatMapGroups`): all (a < b, popcount(xor) <=
+    * MaxHamming) pairs among the bucket's (doc_id, sh) members. Only
+    * survivors leave the group function, so a hot bucket of k docs costs
+    * k^2 xor+popcounts in registers instead of k^2 join-machinery rows —
+    * a same-vocabulary 50k-doc corpus produced 75M chunk collisions but
+    * only ~44k true pairs (a self-join spent ~30 s on enumeration alone).
+    * Skew note: one bucket = one task either way (identical to the
+    * SMJ's per-key group); pathological buckets would be capped/salted
+    * upstream, as with the MinHash bands. A pair sharing several chunks
+    * is emitted once per shared bucket; the final groupBy(id_b).min(id_a)
+    * is duplicate-insensitive. */
   def simhashDuplicateOf(docs: DataFrame): DataFrame = {
-    // persisted: feeds both sides of the chunk-block self-join
+    val ss = docs.sparkSession
+    import ss.implicits._
     val sims = docs.select(col("doc_id"), simHashUdf(col("text")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = sims.select(col("doc_id"), col("sh"),
-      posexplode(expr(
-        s"transform(sequence(0, ${NumChunks - 1}), c -> (sh >> ($ChunkBits * c)) & ${(1 << ChunkBits) - 1})"))
-        .as(Seq("chunk", "cv")))
-    val cand = blocks.as("x").join(blocks.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("x.sh").as("sh_a"),
-        col("y.doc_id").as("id_b"), col("y.sh").as("sh_b"))
-      .distinct()
-    cand.filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= MaxHamming)
+      explode(expr(
+        s"transform(sequence(0, ${NumChunks - 1}), c -> c * ${1L << ChunkBits} + ((sh >> ($ChunkBits * c)) & ${(1 << ChunkBits) - 1}))"))
+        .as("bucket")).as[(Long, Long, Long)]
+    blocks.groupByKey(_._3)
+      .flatMapGroups { (_, members) =>
+        val buf = members.toArray
+        val n = buf.length
+        val out = List.newBuilder[(Long, Long)]
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            if (java.lang.Long.bitCount(buf(i)._2 ^ buf(j)._2) <= MaxHamming) {
+              if (buf(i)._1 < buf(j)._1) out += ((buf(i)._1, buf(j)._1))
+              else if (buf(j)._1 < buf(i)._1) out += ((buf(j)._1, buf(i)._1))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("id_a", "id_b")
       .groupBy(col("id_b").as("duplicate_id"))
       .agg(min(col("id_a")).as("original_id"))
   }
@@ -196,23 +220,47 @@ object NearDup {
 
   val WinnowWindow = 8
 
-  private val shingleHashesUdf = udf(MinHash.shingleHashes _)
-
   /** Per-doc winnowing sketch (Schleimer et al. 2003 shape): min shingle
-    * hash per sliding window, deduplicated. Emitted as scalar summary
-    * columns (count + checksum) so the driver can hash-compare. */
+    * hash per sliding window, deduplicated first-occurrence order, folded
+    * into (count, checksum) summary scalars so the driver can hash-compare.
+    * One O(n) JVM pass with a monotonic deque — the HOF spelling
+    * (`transform(sequence, i -> array_min(slice(h, i, w)))`) is
+    * interpreted, allocates a slice per window, and cost ~15 s at the
+    * 50k-doc probe. */
+  def winnow(text: String): (Int, Long) = {
+    val h = MinHash.shingleHashes(text)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var count = 0
+    var checksum = 0L
+    def emit(v: Long): Unit =
+      if (seen.add(v)) { count += 1; checksum = (checksum + v) % MinHash.P }
+    if (h.length < WinnowWindow) {
+      var m = h(0); var i = 1
+      while (i < h.length) { if (h(i) < m) m = h(i); i += 1 }
+      emit(m)
+    } else {
+      // deque of indices with increasing hash values; head = window min
+      val dq = new Array[Int](h.length)
+      var lo = 0; var hi = 0 // dq[lo, hi) valid
+      var i = 0
+      while (i < h.length) {
+        while (hi > lo && h(dq(hi - 1)) >= h(i)) hi -= 1
+        dq(hi) = i; hi += 1
+        if (dq(lo) <= i - WinnowWindow) lo += 1
+        if (i >= WinnowWindow - 1) emit(h(dq(lo)))
+        i += 1
+      }
+    }
+    (count, checksum)
+  }
+  private val winnowUdf = udf(winnow _)
+
   def fingerprintQuery(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingleHashesUdf(col("text")).as("h"))
-      .withColumn("fps", expr(
-        s"""array_distinct(CASE WHEN size(h) >= $WinnowWindow
-           |  THEN transform(sequence(1, size(h) - ${WinnowWindow - 1}),
-           |                 i -> array_min(slice(h, i, $WinnowWindow)))
-           |  ELSE array(array_min(h)) END)""".stripMargin))
+    docs.select(col("doc_id"), winnowUdf(col("text")).as("w"))
       .select(
         col("doc_id"),
-        size(col("fps")).as("n_fingerprints"),
-        expr(s"aggregate(fps, CAST(0 AS BIGINT), (s, v) -> (s + v) % ${MinHash.P})")
-          .as("fp_checksum"))
+        col("w._1").as("n_fingerprints"),
+        col("w._2").as("fp_checksum"))
 
   // -----------------------------------------------------------------------
 
