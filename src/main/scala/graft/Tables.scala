@@ -14,7 +14,23 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  /** Spread an under-split scan across the session's cores. A parquet
+    * row group is the minimum split unit, so a small single-row-group
+    * file yields ONE task no matter how `maxPartitionBytes` is set — and
+    * every narrow kernel fused above the scan (minhash signatures,
+    * trigrams, quality metrics) then runs single-threaded. The round-robin
+    * exchange costs one pass over the (small, by construction) input; on
+    * a realistically-partitioned dataset (splits >= cores — any 100 TB
+    * table) this is a no-op. Filter pushdown is unaffected for the
+    * document pipelines: their predicates are over computed columns,
+    * which never reach the scan anyway. */
+  private def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    parallelized(load(spark, dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

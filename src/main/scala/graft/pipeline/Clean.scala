@@ -81,7 +81,7 @@ object Clean {
   /** P2: drop docs whose cleaned text is shorter than minLen
     * (reference cleaner.py:157-159; config default 100). */
   def minLenFilterQuery(docs: DataFrame, minLen: Int = 100): DataFrame =
-    docs.select(col("doc_id"), cleanText(col("text")).as("text_clean"))
+    docs.select(col("doc_id"), Stage.once(cleanText(col("text"))).as("text_clean"))
       .filter(length(col("text_clean")) >= minLen)
       .select(col("doc_id"), length(col("text_clean")).as("cleaned_length"))
 

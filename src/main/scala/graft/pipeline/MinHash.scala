@@ -73,16 +73,36 @@ object MinHash {
     else Array.tabulate(cps.length - ShingleSize + 1)(i => poly(cps, i, ShingleSize))
   }
 
-  /** D2: 128 min-hashes over the shingle hashes. Deterministic. */
+  /** x mod P for 0 <= x < 2^62, via the Mersenne identity 2^31 ≡ 1
+    * (mod 2^31-1): fold twice, subtract once. Bit-identical to `% P`
+    * (property-tested) at a fraction of a hardware divide. */
+  @inline private def modP(x0: Long): Long = {
+    var x = (x0 & P) + (x0 >>> 31) // < 2^32
+    x = (x & P) + (x >>> 31) // <= P + 1
+    if (x >= P) x - P else x
+  }
+
+  /** D2: 128 min-hashes over the shingle hashes. Deterministic.
+    * The permutation loop runs over the DISTINCT shingle hashes — min is
+    * duplicate-insensitive, so the signature is unchanged, and repetitive
+    * corpora (the interesting ones for dedup) cut the 128x inner loop by
+    * the repeat factor. */
   def signature(text: String): Array[Long] = {
     val hashes = shingleHashes(text)
-    val sig = Array.fill(NumPerm)(Long.MaxValue)
+    java.util.Arrays.sort(hashes)
+    var n = 0
     var si = 0
-    while (si < hashes.length) {
+    while (si < hashes.length) { // unique in place (array is sorted)
+      if (si == 0 || hashes(si) != hashes(si - 1)) { hashes(n) = hashes(si); n += 1 }
+      si += 1
+    }
+    val sig = Array.fill(NumPerm)(Long.MaxValue)
+    si = 0
+    while (si < n) {
       val h = hashes(si)
       var k = 0
       while (k < NumPerm) {
-        val v = (permA(k) * h + permB(k)) % P
+        val v = modP(permA(k) * h + permB(k))
         if (v < sig(k)) sig(k) = v
         k += 1
       }
@@ -95,7 +115,7 @@ object MinHash {
   private def poly(cps: Array[Int], from: Int, len: Int): Long = {
     var h = cps(from).toLong
     var i = from + 1
-    while (i < from + len) { h = (h * HashMult + cps(i)) % P; i += 1 }
+    while (i < from + len) { h = modP(h * HashMult + cps(i)); i += 1 }
     h
   }
 

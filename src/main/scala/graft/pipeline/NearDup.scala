@@ -142,6 +142,16 @@ object NearDup {
     * arbitrates that — results are hash-identical to the unpruned join. */
   def jaccardDuplicateOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Explicit partition counts on the reused frames, each keyed by the
+    // column its consumers join/group on, serve two purposes: (a) the
+    // partitioning is REUSED across stages (groupBy/window/self-join run
+    // exchange-free on top of the persisted layout), and (b) AQE never
+    // coalesces user-specified counts. The latter matters: these frames
+    // are small in BYTES (AQE's coalescing currency) but the self-join
+    // below explodes them into millions of candidate pairs — size-based
+    // coalescing once collapsed the whole chain to ONE partition and ran
+    // the join single-threaded for 89 s.
+    val numParts = docs.sparkSession.sparkContext.defaultParallelism
     // one row per doc with its (distinct, first-occurrence-order) gram set
     val gramsArr = docs.select(col("doc_id"), trigramsUdf(col("text")).as("ga"))
     // PERSISTED: `grams` feeds the df-count and the dictionary join;
@@ -149,6 +159,7 @@ object NearDup {
     // persisting the reused skinny frames is the multi-use-subtree idiom.
     val grams = gramsArr.withColumn("n", size(col("ga")))
       .select(col("doc_id"), col("n"), explode(col("ga")).as("g"))
+      .repartition(numParts, col("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Dictionary-encode grams as dense ints in global rarity order
     // (document frequency, gram) — EXACT (no hash collisions), and gid
@@ -164,6 +175,7 @@ object NearDup {
       .select("g", "gid")
     val gramsG = grams.join(gramDict, "g")
       .select(col("doc_id"), col("n"), col("gid"))
+      .repartition(numParts, col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val t = JaccardNumer.toDouble / JaccardDenom
     // rk = position of gid in the doc's grams sorted by global rarity; kept
@@ -173,6 +185,7 @@ object NearDup {
         Window.partitionBy(col("doc_id")).orderBy(col("gid"))))
       .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
       .select(col("doc_id"), col("gid"), col("n"), col("rk"))
+      .repartition(numParts, col("gid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Candidate join with two further LOSSLESS prunes evaluated inside the
     // join condition, before the pair ever materializes (PPJoin, Xiao et

@@ -24,14 +24,21 @@ object PipelineOps {
     val ingest = docs.agg(
       count(lit(1)).as("docs_ingested"),
       sum(octet_length(col("text"))).as("total_bytes"))
+    // PERSISTED multi-consumer stages: `cleaned` feeds the clean counters
+    // and the dedup branch, `deduped` feeds the dedup counter and the
+    // quality branch — without the persists the regex clean chain runs 3x
+    // and the dedup window 2x (the branches are separate plan subtrees,
+    // so Catalyst cannot share them).
     val cleaned = docs
       .withColumn("orig_len", length(col("text")))
       .withColumn("text", Clean.cleanText(col("text")))
       .filter(length(col("text")) >= 100)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cleanAgg = cleaned.agg(
       count(lit(1)).as("docs_after_clean"),
       sum(col("orig_len") - length(col("text"))).as("chars_removed"))
     val deduped = Dedup.exactDedup(cleaned)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dedupAgg = deduped.agg(count(lit(1)).as("docs_after_dedup"))
     val passedAgg = Quality.withReason(deduped)
       .agg(sum(when(col("reason") === "passed", 1L).otherwise(0L)).as("docs_passed_quality"))
