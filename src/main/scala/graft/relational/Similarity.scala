@@ -96,6 +96,54 @@ object Similarity {
       .select(col("q_id"), col("rn"), col("vec_id"), col("sim"), col("label"))
   }
 
+  // -----------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the second scale path from the brief
+  // -----------------------------------------------------------------------
+
+  val NumCells = 16
+  val NProbe = 2
+
+  /** IVF top-k: a coarse quantizer of [[NumCells]] data-sampled centroids
+    * (the embeddings of fixed vec_ids — the deterministic stand-in for a
+    * k-means codebook; FAISS-style IVF training at zero effort) assigns
+    * every vector to its nearest-L2 cell; a query scores only its
+    * [[NProbe]] nearest cells. At 100 TB the cell id is the partition/
+    * cluster key: each query touches nprobe/k of the data, recall tuned
+    * by k and nprobe. Distances and similarities are the same left-fold
+    * double arithmetic as [[topK]], so the DuckDB oracle is bit-exact;
+    * diffing `sim_ivf_topk` against `sim_topk` exposes the recall loss.
+    * Ties (equal distance) break by centroid id — identically in both
+    * engines. */
+  def ivfTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
+    val cents = emb
+      .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + NumCells)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    def assign(df: DataFrame, idCol: String, embCol: String, probes: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("l2"), col("c_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("l2", expr(
+          s"aggregate(zip_with($embCol, c_emb, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE), (s, v) -> s + v)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= probes)
+        .drop("l2", "rn", "c_emb")
+    }
+    val cells = assign(emb, "vec_id", "embedding", 1)
+      .withColumnRenamed("c_id", "cell")
+    val q = assign(queriesDf(emb), "q_id", "q_emb", NProbe)
+      .withColumnRenamed("c_id", "q_cell")
+    val scored = cells.join(broadcast(q),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("dot", expr(dotS("embedding", "q_emb")))
+      .withColumn("na", expr(dotS("embedding", "embedding")))
+      .withColumn("nb", expr(dotS("q_emb", "q_emb")))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("sim", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"), col("label"))
+  }
+
   val DedupCosine = 0.95
 
   /** Embedding-cosine near-duplicate detection (builder-brief dedup
@@ -124,6 +172,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> ((s, d) => topK(Tables.embeddings(s, d))),
     "sim_ann_lsh" -> ((s, d) => annTopK(Tables.embeddings(s, d))),
+    "sim_ivf_topk" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "sim_embed_dedup" -> ((s, d) => embedDedup(Tables.embeddings(s, d))))
 
   // -----------------------------------------------------------------------
@@ -170,6 +219,38 @@ object Similarity {
          |                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
          |           FROM sims)
          |SELECT q_id, rn, vec_id, sim, label FROM ranked WHERE rn <= $TopK""".stripMargin,
+    "sim_ivf_topk" -> {
+      val l2D = (a: String, b: String) =>
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${Dim + 1}), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), (s, v) -> s + v)"""
+      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+         |               WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCells}),
+         |cells AS (
+         |  SELECT vec_id, embedding, label, c_id AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, e.label, c.c_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY ${l2D("e.embedding", "c.c_emb")}, c.c_id) AS rn
+         |    FROM embeddings e, cents c)
+         |  WHERE rn = 1),
+         |q AS (
+         |  SELECT q_id, q_emb, c_id AS q_cell FROM (
+         |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.c_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY ${l2D("e.embedding", "c.c_emb")}, c.c_id) AS rn
+         |    FROM embeddings e, cents c WHERE e.vec_id < $NumQueries)
+         |  WHERE rn <= $NProbe),
+         |scored AS (
+         |  SELECT q_id, vec_id, label,
+         |         ${dotD("embedding", "q_emb")} AS dot,
+         |         ${dotD("embedding", "embedding")} AS na,
+         |         ${dotD("q_emb", "q_emb")} AS nb
+         |  FROM cells JOIN q ON cell = q_cell AND vec_id <> q_id),
+         |sims AS (SELECT q_id, vec_id, label, dot / (sqrt(na) * sqrt(nb)) AS sim
+         |         FROM scored WHERE na > 0 AND nb > 0),
+         |ranked AS (SELECT q_id, vec_id, label, sim,
+         |                  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+         |           FROM sims)
+         |SELECT q_id, rn, vec_id, sim, label FROM ranked WHERE rn <= $TopK""".stripMargin
+    },
     "sim_ann_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding, label, ${bucketD("embedding")} AS bucket FROM embeddings),
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket FROM b WHERE vec_id < $NumQueries),

@@ -55,4 +55,28 @@ class NearDupSpec extends SparkSpec {
     val dup = Similarity.embedDedup(emb).as[(Long, Long)].collect().toSet
     assert(dup == Set((20L, 10L)))
   }
+
+  test("IVF top-k: a planted near neighbor lands in the query's probed cell and ranks first") {
+    val rnd = new scala.util.Random(3)
+    // two well-separated clusters; queries (vec_id < NumQueries) and their
+    // planted neighbors live in cluster A, centroid sample ids cover both
+    def around(center: Double, amp: Double) =
+      Array.tabulate(Similarity.Dim)(i =>
+        (math.sin(center * (i + 1)) + amp * rnd.nextGaussian() * 0.01).toFloat)
+    val rows = (0L until 40L).map { id =>
+      val inA = id < Similarity.NumQueries || id % 2 == 0
+      (id, around(if (inA) 1.0 else 9.0, 1.0), if (inA) 0 else 1)
+    }
+    // plant a same-scale near-copy of query 0 (a SCALED copy would land in
+    // a different L2 cell — the quantizer is L2, the metric cosine)
+    val q0 = rows.head._2
+    val planted = rows.updated(25, (25L, q0.map(v => v + 0.0005f), 0))
+    val emb = planted.toDF("vec_id", "embedding", "label")
+    val top = Similarity.ivfTopK(emb)
+      .filter($"q_id" === 0 && $"rn" === 1)
+      .select("vec_id", "sim").as[(Long, Double)].collect()
+    assert(top.length == 1)
+    assert(top.head._1 == 25L, s"expected planted neighbor, got ${top.head}")
+    assert(top.head._2 > 0.999)
+  }
 }
