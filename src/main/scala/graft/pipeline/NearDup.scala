@@ -206,9 +206,12 @@ object NearDup {
             lit(JaccardDenom) * least(col("x.n"), col("y.n")) &&
           lit(JaccardDenom + JaccardNumer) * ubound >= lit(JaccardNumer) * sumN)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-    // exact verification: intersect the two gid ARRAYS per candidate pair
-    // (per-pair set ops on ~60-element int arrays beat a per-gram re-join
-    // + groupBy: the verify cost tracks the candidate count, not gram rows).
+    // exact verification: merge-count the two SORTED gid arrays per
+    // candidate pair (per-pair set ops on ~60-element int arrays beat a
+    // per-gram re-join + groupBy: the verify cost tracks the candidate
+    // count, not gram rows; the merge kernel beats array_intersect's
+    // per-row hash-set build and aborts early once the threshold is
+    // decided either way).
     // No distinct() on candidates: pairs colliding on several prefix grams
     // are re-verified (map-side, ~1.4x rows) instead of paying a full
     // candidate shuffle — the final groupBy(id_b).min(id_a) dedups anyway.
@@ -220,12 +223,34 @@ object NearDup {
     cand
       .join(broadcast(gidArr.select(col("doc_id").as("id_a"), col("ga").as("ga_a"))), "id_a")
       .join(broadcast(gidArr.select(col("doc_id").as("id_b"), col("ga").as("ga_b"))), "id_b")
-      .withColumn("inter", size(array_intersect(col("ga_a"), col("ga_b"))))
-      .filter(lit(JaccardDenom) * col("inter") >=
-        lit(JaccardNumer) * (size(col("ga_a")) + size(col("ga_b")) - col("inter")))
+      .filter(jaccardGeUdf(col("ga_a"), col("ga_b")))
       .groupBy(col("id_b").as("duplicate_id"))
       .agg(min(col("id_a")).as("original_id"))
   }
+
+  /** jaccard(a, b) >= JaccardNumer/JaccardDenom over two SORTED int
+    * arrays, by linear merge with early exit: returns as soon as the
+    * remaining elements cannot change the verdict. Exactly equivalent to
+    * `D * |a∩b| >= N * (|a| + |b| - |a∩b|)` ⟺ `(D+N)·inter >= N·(na+nb)`
+    * — the integer-compare spelling shared with the DuckDB oracle. */
+  def jaccardGE(a: Array[Int], b: Array[Int]): Boolean = {
+    val need = { // ceil(N*(na+nb) / (D+N)): minimum intersection size
+      val num = JaccardNumer * (a.length + b.length)
+      val den = JaccardDenom + JaccardNumer
+      (num + den - 1) / den
+    }
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (inter >= need) return true
+      // even matching every remaining element can't reach `need`
+      if (inter + math.min(a.length - i, b.length - j) < need) return false
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter >= need
+  }
+  private val jaccardGeUdf = udf(jaccardGE _)
 
   // -----------------------------------------------------------------------
   // Winnowing fingerprints (rolling-hash document sketch)
