@@ -152,12 +152,27 @@ object MinHash {
     val verified = cand
       .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("matches",
-        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"))
-      .filter(col("matches") >= MinMatches)
+      .filter(sigMatchGeUdf(col("sig_a"), col("sig_b")))
     verified.groupBy(col("id_b").as("duplicate_id"))
       .agg(min(col("id_a")).as("original_id"))
   }
+
+  /** `matches(a, b) >= MinMatches` with early exit both ways — the JVM
+    * form of `size(filter(zip_with(sig_a, sig_b, (x,y) -> x = y), v -> v))
+    * >= MinMatches` (the HOF spelling runs interpreted and allocates two
+    * intermediate arrays per candidate pair). */
+  def sigMatchesGE(a: Array[Long], b: Array[Long]): Boolean = {
+    var i = 0; var m = 0
+    while (i < NumPerm) {
+      if (a(i) == b(i)) {
+        m += 1
+        if (m >= MinMatches) return true
+      } else if (m + (NumPerm - i - 1) < MinMatches) return false
+      i += 1
+    }
+    m >= MinMatches
+  }
+  private val sigMatchGeUdf = udf(sigMatchesGE _)
 
   /** D5: the surviving documents (near-dups removed, lowest id wins). */
   def dedup(docs: DataFrame): DataFrame =
