@@ -25,9 +25,10 @@ import graft.Tables
   * — same operations in the same order ⇒ bit-identical IEEE doubles, so
   * the driver's value-hash agrees with no rounding tricks.
   *
-  * The top-k window shuffles everything onto n_queries partitions; at real
-  * scale replace with a two-phase top-k (per-partition partial top-k via
-  * sorted aggregation, then merge) — noted here so the plan reads honestly.
+  * [[topK]] runs as a two-phase top-k (partial top-k map-side via a typed
+  * Aggregator, merge reduce-side), so only O(k) rows per partition reach
+  * the per-query shuffle. The bucketed variants keep the window form:
+  * their scored relations are already cut to 1/cells of the data.
   */
 object Similarity {
 
@@ -63,8 +64,39 @@ object Similarity {
     emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
-  /** Exact cosine top-k per query vector (self excluded). */
+  /** One scored candidate; ordering is (sim DESC, vec_id ASC) — the
+    * doubles are bit-identical across engines (left-fold arithmetic), so
+    * the sort is deterministic. */
+  case class Scored(vec_id: Long, sim: Double, label: Long)
+
+  /** Partial top-k aggregator: `reduce` keeps the running state bounded
+    * at ~2k entries, so the map-side (partial) aggregation ships only
+    * O(k) rows per partition per query into the final shuffle — versus
+    * the window form, which funnels the ENTIRE scored relation onto
+    * n_queries partitions (the 100 TB risk previously only documented
+    * here; now implemented away). */
+  private class TopKAgg(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[(Long, Scored), List[Scored], Seq[Scored]] {
+    private def best(xs: List[Scored]): List[Scored] =
+      xs.sortBy(s => (-s.sim, s.vec_id)).take(k)
+    def zero: List[Scored] = Nil
+    def reduce(b: List[Scored], a: (Long, Scored)): List[Scored] = {
+      val nb = a._2 :: b
+      if (nb.length > 2 * k) best(nb) else nb
+    }
+    def merge(x: List[Scored], y: List[Scored]): List[Scored] = best(x ::: y)
+    def finish(r: List[Scored]): Seq[Scored] = best(r)
+    def bufferEncoder: org.apache.spark.sql.Encoder[List[Scored]] =
+      org.apache.spark.sql.Encoders.kryo[List[Scored]]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Exact cosine top-k per query vector (self excluded), two-phase:
+    * partial top-k map-side, merge reduce-side. */
   def topK(emb: DataFrame, k: Int = TopK): DataFrame = {
+    val ss = emb.sparkSession
+    import ss.implicits._
     val scored = emb.crossJoin(broadcast(queriesDf(emb)))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("dot", expr(dotS("embedding", "q_emb")))
@@ -72,10 +104,16 @@ object Similarity {
       .withColumn("nb", expr(dotS("q_emb", "q_emb")))
       .filter(col("na") > 0 && col("nb") > 0)
       .withColumn("sim", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"), col("label"))
+    scored
+      .select(col("q_id"),
+        struct(col("vec_id"), col("sim"), col("label")).as("s"))
+      .as[(Long, Scored)]
+      .groupByKey(_._1)
+      .agg(new TopKAgg(k).toColumn.name("top"))
+      .flatMap { case (q, xs) =>
+        xs.iterator.zipWithIndex.map { case (s, i) => (q, i + 1, s.vec_id, s.sim, s.label) }
+      }
+      .toDF("q_id", "rn", "vec_id", "sim", "label")
   }
 
   /** LSH-bucketed ANN top-k: score only the query's own sign-bucket. */
