@@ -21,8 +21,10 @@ object Tables {
     * trigrams, quality metrics) then runs single-threaded. The round-robin
     * exchange costs one pass over the (small, by construction) input; on
     * a realistically-partitioned dataset (splits >= cores — any 100 TB
-    * table) this is a no-op. Filter pushdown is unaffected for the
-    * document pipelines: their predicates are over computed columns,
+    * table) this is a no-op. Filter pushdown is unaffected: Catalyst's
+    * PushDownPredicates moves base-column filters (e.g. r_q1's
+    * l_shipdate range) through RepartitionOperation down to the scan,
+    * and the document pipelines' predicates are over computed columns,
     * which never reach the scan anyway. */
   private def parallelized(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
@@ -31,9 +33,12 @@ object Tables {
 
   def documents(spark: SparkSession, dir: String): DataFrame =
     parallelized(load(spark, dir, "documents"))
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
-  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    parallelized(load(spark, dir, "embeddings"))
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    parallelized(load(spark, dir, "lineitem"))
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    parallelized(load(spark, dir, "orders"))
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
@@ -59,7 +64,7 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val raw = load(spark, dir, "events")
+    val raw = parallelized(load(spark, dir, "events"))
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumnRenamed("ts", "ts_ns")

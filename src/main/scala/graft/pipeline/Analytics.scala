@@ -12,14 +12,24 @@ import graft.Tables
 object Analytics {
 
   /** O1: filter-reason report sorted by count desc (metrics.py:210-215).
-    * Deterministic secondary sort on the reason label; the global sort is
-    * over <= 12 rows, post-aggregation — trivially scale-safe. */
-  def reasonReportQuery(docs: DataFrame, cfg: Quality.Config = Quality.Config()): DataFrame =
-    Quality.withReason(docs, cfg)
+    * Deterministic secondary sort on the reason label; the global sort
+    * runs over <= 12 rows, post-aggregation (the reason enum bounds the
+    * cardinality) — trivially scale-safe. The total for the share column
+    * is a second-level aggregation of the PERSISTED 12-row by-reason
+    * frame, combined back by a 1-row broadcast cross join — not an
+    * unpartitioned window, which would funnel through WindowExec's
+    * single-partition path (and re-deriving the total from `docs` would
+    * scan the corpus twice). */
+  def reasonReportQuery(docs: DataFrame, cfg: Quality.Config = Quality.Config()): DataFrame = {
+    val byReason = Quality.withReason(docs, cfg)
       .groupBy("reason").agg(count(lit(1)).as("n_docs"))
-      .withColumn("share",
-        col("n_docs").cast("double") / sum(col("n_docs")).over().cast("double"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = byReason.agg(sum(col("n_docs")).as("total"))
+    byReason.crossJoin(broadcast(total))
+      .withColumn("share", col("n_docs").cast("double") / col("total").cast("double"))
+      .drop("total")
       .orderBy(col("n_docs").desc, col("reason"))
+  }
 
   /** A8: document-length histogram, 100-char buckets (the notebook's
     * length-distribution cell) — a groupBy on a derived bucket key. */

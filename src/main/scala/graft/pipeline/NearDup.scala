@@ -165,14 +165,24 @@ object NearDup {
     // (document frequency, gram) — EXACT (no hash collisions), and gid
     // order *is* the rarity order, so downstream sorts/windows use the
     // int. String join keys and per-pair string-array intersections were
-    // ~2x the whole query's cost at the 50k-doc probe. The dictionary is
-    // bounded by the distinct-trigram universe, far smaller than the
-    // corpus; the single-partition row_number over it is deliberate (at
-    // 100 TB you'd swap this for a per-partition offset zipWithIndex —
-    // the ordering only has to be consistent, not this exact one).
-    val gramDict = grams.groupBy("g").agg(count(lit(1)).as("df"))
-      .withColumn("gid", row_number().over(Window.orderBy(col("df"), col("g"))))
-      .select("g", "gid")
+    // ~2x the whole query's cost at the 50k-doc probe. Id assignment is
+    // fully distributed: range-partition + sort by (df, g) gives a global
+    // total order across partitions, and zipWithIndex turns that into
+    // dense ranks with per-partition offsets (one extra count job; no
+    // row ever funnels through a single partition — a 100 TB corpus's
+    // trigram universe is itself corpus-scale). The prefix-filter lemma
+    // only needs SOME consistent total order, and (df, g) is a unique
+    // key, so the ids are identical to what a global row_number would
+    // assign.
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val gramDict = ss.createDataFrame(
+        grams.groupBy("g").agg(count(lit(1)).as("df"))
+          .repartitionByRange(numParts, col("df"), col("g"))
+          .sortWithinPartitions(col("df"), col("g"))
+          .select(col("g")).as[String].rdd
+          .zipWithIndex.map { case (g, idx) => (g, (idx + 1).toInt) })
+      .toDF("g", "gid")
     val gramsG = grams.join(gramDict, "g")
       .select(col("doc_id"), col("n"), col("gid"))
       .repartition(numParts, col("doc_id"))

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -11,9 +10,10 @@ import graft.Tables
   * variant expresses the whole tokenize-and-count path in pure relational
   * operations so the driver's DuckDB oracle can hash-check it end to end:
   *
-  *  - vocab: top-N words by (freq DESC, word ASC) with row_number ids
-  *    offset past the 4 specials (<pad>=0 <unk>=1 <bos>=2 <eos>=3,
-  *    tokenizer.py:58-133) — a distributed groupBy + one tiny window;
+  *  - vocab: top-N words by (freq DESC, word ASC) with ids offset past
+  *    the 4 specials (<pad>=0 <unk>=1 <bos>=2 <eos>=3,
+  *    tokenizer.py:58-133) — a distributed groupBy + per-partition
+  *    top-N (TakeOrderedAndProject) + bounded driver-side rank;
   *  - encode: explode words, broadcast-join the vocab, re-aggregate per
   *    doc (+2 tokens for bos/eos framing) — no UDF anywhere;
   *  - stats: TokenizationStats (tokenizer.py:24-55): totals, averages,
@@ -32,18 +32,31 @@ object Tokenize {
   val BosId = 2
   val EosId = 3
 
-  /** (token, id, freq) — specials + top-N corpus words. */
+  /** (token, id, freq) — specials + top-N corpus words.
+    *
+    * The top-N is `orderBy(...).limit(VocabWords)`, which Spark plans as
+    * TakeOrderedAndProject: each partition keeps only its local top
+    * VocabWords rows, so the driver receives at most
+    * `numPartitions * VocabWords` candidates — never the corpus's full
+    * distinct-word universe. (A `row_number().over(Window.orderBy(...))`
+    * here would funnel ALL distinct words through one partition — a hard
+    * scale-killer at 100 TB.) Ids are then assigned by a driver-side zip
+    * over the <= VocabWords collected rows, which is bounded by
+    * construction. */
   def vocabQuery(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     val words = docs.select(explode(split(col("text"), "\\s+")).as("token"))
       .filter(col("token") =!= "")
-    val w = Window.orderBy(col("freq").desc, col("token"))
     val top = words.groupBy("token").agg(count(lit(1)).as("freq"))
-      .withColumn("id", (row_number().over(w) + NumSpecials - 1).cast("int"))
-      .filter(col("id") < VocabWords + NumSpecials)
-    val specials = Seq(("<pad>", 0), ("<unk>", UnkId), ("<bos>", BosId), ("<eos>", EosId))
-    docs.sparkSession.createDataFrame(specials).toDF("token", "id")
-      .select(col("token"), col("id"), lit(0L).as("freq"))
-      .union(top.select(col("token"), col("id"), col("freq")))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(VocabWords) // TakeOrderedAndProject: per-partition top-N, no global sort
+      .collect()
+    val ranked = top.zipWithIndex.map { case (r, i) =>
+      (r.getString(0), NumSpecials + i, r.getLong(1))
+    }.toSeq
+    val specials = Seq(("<pad>", 0, 0L), ("<unk>", UnkId, 0L),
+      ("<bos>", BosId, 0L), ("<eos>", EosId, 0L))
+    spark.createDataFrame(specials ++ ranked).toDF("token", "id", "freq")
   }
 
   /** Per-doc encode summary: token counts, unk counts, id checksum.
