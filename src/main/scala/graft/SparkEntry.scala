@@ -20,7 +20,8 @@ object SparkEntry {
     * transforms except one hash-key shuffle (dedup) and one tiny-key
     * aggregation; the whole thing whole-stage-codegens over the scan. */
   def entry(spark: SparkSession): DataFrame = {
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val docs = Tables.documents(spark, sfDir)
     val cleaned = docs
       .withColumn("text", Clean.cleanText(col("text")))
       .filter(length(col("text")) >= 100)

@@ -14,11 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
-  /** S6: snappy Parquet (src/main.py:369-385). `maxRecordsPerFile`
+  /** S6: Parquet with configurable codec (src/main.py:369-385;
+    * output.compression, pipeline_config.yaml:75). `maxRecordsPerFile`
     * honors the reference's max_file_size hint (pipeline_config.yaml:77)
     * in the unit Spark controls. */
-  def writeParquet(df: DataFrame, path: String, maxRecordsPerFile: Long = 0L): Unit = {
-    val w = df.write.mode("overwrite").option("compression", "snappy")
+  def writeParquet(df: DataFrame, path: String, maxRecordsPerFile: Long = 0L,
+      compression: String = "snappy"): Unit = {
+    val codec = compression match {
+      case "none" | "" => "none"
+      case c => c // snappy | gzip | zstd ... (parquet codec names)
+    }
+    val w = df.write.mode("overwrite").option("compression", codec)
     (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
       .parquet(path)
   }
@@ -46,11 +52,19 @@ object Sinks {
     * Observation yields rows/bytes counters after the next action, without
     * a second pass over the data (vs the reference's per-stage timers,
     * utils/metrics.py:40-59). */
-  def observeStage(df: DataFrame, stage: String): (DataFrame, Observation) = {
+  def observeStage(df: DataFrame, stage: String,
+      extra: org.apache.spark.sql.Column*): (DataFrame, Observation) = {
     val obs = Observation(stage)
     val observed = df.observe(obs,
       count(lit(1)).as("rows"),
-      sum(octet_length(col("text"))).as("text_bytes"))
+      (sum(octet_length(col("text"))).as("text_bytes") +: extra): _*)
     (observed, obs)
+  }
+
+  /** Pull a long counter out of a resolved Observation (null ⇒ 0, e.g. a
+    * sum over zero rows). */
+  def obsLong(obs: Observation, key: String): Long = obs.get.get(key) match {
+    case Some(n: Number) => n.longValue
+    case _ => 0L
   }
 }

@@ -130,11 +130,20 @@ object Relational {
   }
 
   /** A4-at-scale: HyperLogLog++ cardinality next to the exact count. No
-    * DuckDB oracle (different sketch) — registered for the rows-only
-    * check; the exact column lets a reader judge the sketch error. */
+    * DuckDB oracle for the sketch column (different sketch algorithm) —
+    * registered for the rows-only check; the exact column lets a reader
+    * judge the sketch error. The oracle-able columns are hash-checked
+    * separately by [[distinctUsersExact]] / `r_distinct_users_exact`. */
   def approxDistinctUsers(events: DataFrame): DataFrame =
     events.agg(
       approx_count_distinct(col("user_id")).as("approx_users"),
+      countDistinct(col("user_id")).as("exact_users"),
+      count(lit(1)).as("n_events"))
+
+  /** The exact-aggregate companion of [[approxDistinctUsers]], split out
+    * so the driver's DuckDB oracle hash-checks what IS oracle-able. */
+  def distinctUsersExact(events: DataFrame): DataFrame =
+    events.agg(
       countDistinct(col("user_id")).as("exact_users"),
       count(lit(1)).as("n_events"))
 
@@ -232,12 +241,16 @@ object Relational {
     "r_top_parts_per_brand" -> ((s, d) => topPartsPerBrand(Tables.part(s, d))),
     "r_set_ops_customers" -> ((s, d) => customerSetOps(Tables.customer(s, d))),
     "r_approx_distinct_users" -> ((s, d) => approxDistinctUsers(eventsUs(s, d))),
+    "r_distinct_users_exact" -> ((s, d) => distinctUsersExact(eventsUs(s, d))),
     "r_asof_purchase_click" -> ((s, d) => asofPurchaseAfterClick(eventsUs(s, d))),
     "r_sessionize_events" -> ((s, d) => sessionizeEvents(eventsUs(s, d))),
     "r_value_band_join" -> ((s, d) => valueBandJoin(eventsUs(s, d))),
     "r_order_rollup" -> ((s, d) => orderRollup(Tables.orders(s, d))))
 
   def oracles: Map[String, String] = Map(
+    "r_distinct_users_exact" ->
+      """SELECT count(DISTINCT user_id) AS exact_users, count(*) AS n_events
+        |FROM events""".stripMargin,
     "r_q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

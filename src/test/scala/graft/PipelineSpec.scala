@@ -37,6 +37,41 @@ class PipelineSpec extends SparkSpec {
       .contains("\"docs_ingested\":5"))
   }
 
+  test("pipeline_metrics.json carries the reference report fields (A6)") {
+    val out = Files.createTempDirectory("pipe").toString
+    // doc 6: long but digit-heavy → fails the quality cascade, so
+    // filter_reasons is non-empty
+    val digits = (1 to 60).map(i => s"$i$i$i$i").mkString(" ")
+    Pipeline.run(docs.union(Seq((6L, digits + " " + digits)).toDF("doc_id", "text")),
+      Pipeline.GraftConfig(), out).collect()
+    val json = Files.readString(java.nio.file.Paths.get(s"$out/pipeline_metrics.json"))
+    // metrics.py:151-161 to_dict shape
+    for (f <- Seq("\"pipeline_duration_seconds\"", "\"stages\"", "\"filter_reasons\"",
+        "\"timestamp\"")) assert(json.contains(f), s"missing $f in $json")
+    // per-stage StageMetrics fields (metrics.py:18-59)
+    for (f <- Seq("\"stage_name\"", "\"duration_seconds\"", "\"input_count\"",
+        "\"output_count\"", "\"filtered_count\"", "\"error_count\"",
+        "\"bytes_processed\"", "\"throughput\"", "\"filter_rate\""))
+      assert(json.contains(f), s"missing $f in $json")
+    for (s <- Seq("ingest", "clean", "dedup", "quality", "tokenize"))
+      assert(json.contains(s"\"$s\": {\"stage_name\": \"$s\""), s"missing stage $s")
+    // exact counts, from the same run the summary reports
+    assert(json.contains("\"stage_name\": \"ingest\", ") && json.contains("\"input_count\": 6"))
+    // doc 4 (too short) filtered at clean: filtered_count 1 of 6
+    assert(json.replaceAll(".*\"clean\": \\{", "").takeWhile(_ != '}')
+      .contains("\"filtered_count\": 1"))
+    // doc 6 fails quality → appears in filter_reasons with a count
+    val reasons = json.split("\"filter_reasons\": ")(1).takeWhile(_ != '}')
+    assert(reasons.contains(": 1"), s"expected a filtered reason count in $reasons")
+  }
+
+  test("metricsEnabled=false writes no metrics file") {
+    val out = Files.createTempDirectory("pipe").toString
+    Pipeline.run(docs, Pipeline.GraftConfig(metricsEnabled = false,
+      tokenization = Pipeline.TokenizationConfig(enabled = false)), out).collect()
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/pipeline_metrics.json")))
+  }
+
   test("exact_hash algorithm keeps near-dups; maxDocs caps ingest") {
     val out = Files.createTempDirectory("pipe").toString
     val cfg = Pipeline.GraftConfig(
