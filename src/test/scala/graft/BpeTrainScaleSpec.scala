@@ -1,0 +1,106 @@
+package graft
+
+import scala.collection.mutable
+
+import graft.pipeline.Bpe
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tokenizer training at the reference's scale (pipeline_config.yaml:
+  * 62-64: vocab_size=32000, min_frequency=2) — the incremental merge loop
+  * must handle a realistic lexicon in seconds, and must select the exact
+  * same merges as the naive full-recount spelling. */
+class BpeTrainScaleSpec extends AnyFunSuite {
+
+  /** Deterministic pseudo-corpus lexicon: ~`n` distinct words with
+    * Zipf-ish frequencies over a 26-letter alphabet (seeded — same lexicon
+    * every run). */
+  private def syntheticLexicon(n: Int, seed: Long = 42L): Map[String, Long] = {
+    val rnd = new scala.util.Random(seed)
+    val syllables = Array("ka", "to", "ri", "mun", "sel", "ba", "cro", "din",
+      "el", "fi", "gor", "han", "is", "jo", "kel", "lum", "mar", "nop",
+      "or", "pir", "qua", "rus", "sta", "tin", "ul", "ver", "wol", "xen",
+      "yam", "zor", "the", "ing", "er", "an", "re", "on", "at", "en")
+    val b = mutable.Map.empty[String, Long]
+    var i = 0
+    while (b.size < n) {
+      val len = 1 + rnd.nextInt(4)
+      val w = (0 until len).map(_ => syllables(rnd.nextInt(syllables.length))).mkString
+      val f = math.max(2L, (n.toLong * 10) / (i + 1)) // Zipf-ish tail, all >= minFreq
+      b(w) = b.getOrElse(w, 0L) + f
+      i += 1
+    }
+    b.toMap
+  }
+
+  /** The original O(vocab × lexicon) recount trainer, kept here as the
+    * semantics reference for the incremental one. */
+  private def naiveTrain(wordFreq: Map[String, Long], vocabSize: Int,
+      minFreq: Long = 2L): List[(String, String)] = {
+    val words: Array[(mutable.ArrayBuffer[String], Long)] =
+      wordFreq.toArray.sortBy(_._1).map { case (w, f) =>
+        (mutable.ArrayBuffer(w.map(_.toString): _*) += Bpe.EndOfWord, f)
+      }
+    val chars = words.flatMap(_._1).distinct.sorted.toSeq
+    val merges = List.newBuilder[(String, String)]
+    var learned = 0
+    val target = math.max(0, vocabSize - (Bpe.Specials.size + chars.size))
+    var exhausted = false
+    while (learned < target && !exhausted) {
+      val counts = mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val (bestPair, bestCount) =
+          counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        if (bestCount < minFreq) exhausted = true
+        else {
+          merges += bestPair
+          learned += 1
+          val mergedSym = bestPair._1 + bestPair._2
+          words.foreach { case (syms, _) =>
+            var i = 0
+            while (i < syms.length - 1) {
+              if (syms(i) == bestPair._1 && syms(i + 1) == bestPair._2) {
+                syms(i) = mergedSym; syms.remove(i + 1)
+              } else i += 1
+            }
+          }
+        }
+      }
+    }
+    merges.result()
+  }
+
+  test("incremental trainer selects exactly the naive trainer's merges") {
+    for (seed <- 1L to 3L) {
+      val lex = syntheticLexicon(400, seed)
+      val fast = Bpe.train(lex, 300).merges
+      val slow = naiveTrain(lex, 300)
+      assert(fast == slow, s"merge sequences diverge for seed $seed")
+    }
+  }
+
+  test("vocab_size=32000 over a 100k-word lexicon trains in bounded time") {
+    val lex = syntheticLexicon(100000)
+    val t0 = System.nanoTime()
+    val model = Bpe.train(lex, 32000, minFreq = 2L)
+    val seconds = (System.nanoTime() - t0) / 1e9
+    info(f"trained ${model.vocabSize} symbols in $seconds%.1f s")
+    assert(model.vocabSize == 32000, s"expected 32000, got ${model.vocabSize}")
+    // nearly all of the vocab is learned merges, not base chars/specials
+    assert(model.merges.size > 31000, s"only ${model.merges.size} merges learned")
+    // runtime pinned: the naive recount loop took hours here
+    assert(seconds < 120.0, f"training too slow: $seconds%.1f s")
+    // encode round-trip through the trained model
+    val ids = model.encode("kato rimun selba the kato")
+    assert(ids.nonEmpty && ids.forall(_ >= 0))
+    assert(model.decode(ids.toSeq).startsWith("kato rimun"))
+  }
+}
