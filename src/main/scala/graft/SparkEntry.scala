@@ -44,7 +44,8 @@ object SparkEntry {
       (Analytics.queries, Analytics.oracles),
       (NearDup.queries, NearDup.oracles),
       (graft.relational.Relational.queries, graft.relational.Relational.oracles),
-      (graft.relational.Similarity.queries, graft.relational.Similarity.oracles))
+      (graft.relational.Similarity.queries, graft.relational.Similarity.oracles),
+      (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -81,20 +81,20 @@ object Multimodal {
   /** Feature extraction with per-partition init: the expensive "model
     * load" happens once per partition, rows then stream through it —
     * the batch shape that keeps 1000-executor decode jobs model-bound,
-    * not init-bound. Input: (media_id, content). */
+    * not init-bound. `Dataset.mapPartitions` (not `.rdd`) keeps the
+    * operator inside the encoder framework, so Tungsten row format,
+    * column pruning below, and codegen above all survive. Input:
+    * (media_id, content). */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("features", ArrayType(FloatType, containsNull = false))))
-    val rows = media.select(col("media_id"), col("content")).rdd.mapPartitions { it =>
-      // STUB: stands in for `val model = loadModel()` — once per partition
-      val model: Array[Byte] => Array[Float] = embedStub
-      it.map { r =>
-        Row(r.getLong(0), model(r.getAs[Array[Byte]]("content")).toSeq)
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // STUB: stands in for `val model = loadModel()` — once per partition
+        val model: Array[Byte] => Array[Float] = embedStub
+        it.map { case (id, content) => (id, model(content)) }
       }
-    }
-    spark.createDataFrame(rows, schema)
+      .toDF("media_id", "features")
   }
 
   /** Frame sampling: every `stride`-th fixed-size chunk of the payload
@@ -114,4 +114,63 @@ object Multimodal {
     * per-row work (payload sizes are skewed in real corpora). */
   def repartitionForDecode(media: DataFrame, partitions: Int): Dataset[Row] =
     media.repartition(partitions, col("media_id"))
+
+  // -----------------------------------------------------------------------
+  // Correctness-gate queries
+  // -----------------------------------------------------------------------
+
+  /** Deterministic media fixture derived from the `documents` table: each
+    * doc becomes one payload — the GRF! stub header carrying
+    * (doc_id % 640 + 1, doc_id % 480 + 1) as width/height, followed by
+    * the UTF-8 text bytes. Stands in for a binary-file scan; everything
+    * downstream (decode, frame sampling, feature batching) is the real
+    * engine path over a genuine BinaryType column. */
+  def fixtureFromDocs(docs: DataFrame): DataFrame = {
+    val mkContent = udf { (id: Long, text: String) =>
+      val tb = (if (text == null) "" else text)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bb = ByteBuffer.allocate(12 + tb.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("GRF!".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.putInt((id % 640 + 1).toInt)
+      bb.putInt((id % 480 + 1).toInt)
+      bb.put(tb)
+      bb.array
+    }
+    docs.select(
+      col("doc_id").as("media_id"),
+      expr("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
+        .as("kind"),
+      mkContent(col("doc_id"), col("text")).as("content"))
+  }
+
+  /** Oracle-checked decode query: header parse + frame sampling over the
+    * binary fixture. DuckDB re-derives width/height/frame-count from the
+    * same arithmetic over `documents`, so the whole binary round-trip
+    * (encode header → BinaryType column → decode) is hash-verified. */
+  def decodeQuery(docs: DataFrame): DataFrame =
+    sampleFrames(withDecodedMeta(fixtureFromDocs(docs)))
+      .select(col("media_id"), col("kind"), col("dec_width"), col("dec_height"),
+        col("n_frames"))
+
+  /** Rows-only features query (the stub embedding's 64-bit wrapping hash
+    * is not SQL-derivable in DuckDB): per-media feature vector summarized
+    * to dimension + left-fold checksum. */
+  def featuresQuery(docs: DataFrame): DataFrame =
+    extractFeatures(fixtureFromDocs(docs))
+      .select(col("media_id"), size(col("features")).as("feat_dim"),
+        expr("aggregate(features, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+          .as("feat_checksum"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_media_decode" -> ((s, d) => decodeQuery(graft.Tables.documents(s, d))),
+    "mm_media_features" -> ((s, d) => featuresQuery(graft.Tables.documents(s, d))))
+
+  def oracles: Map[String, String] = Map(
+    "mm_media_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(doc_id % 640 + 1 AS INT) AS dec_width,
+        |  CAST(doc_id % 480 + 1 AS INT) AS dec_height,
+        |  CAST((((12 + octet_length(CAST(text AS BLOB))) // 8) + 3) // 4 AS INT) AS n_frames
+        |FROM documents""".stripMargin)
 }
