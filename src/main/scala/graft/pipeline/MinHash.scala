@@ -136,25 +136,60 @@ object MinHash {
   def signatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), sigCol(col("text")).as("sig"))
 
-  /** D4/D5: duplicate -> original attribution via banded LSH join.
-    * Signatures are persisted: the sig subtree (a 40k-op UDF per row)
-    * feeds both band-join sides and both verification joins — without the
-    * persist it would be recomputed 4x (the multi-use-subtree idiom). */
+  /** D4/D5: duplicate -> original attribution via banded LSH join, with
+    * the hot-bucket skew mitigation built in: docs with byte-identical
+    * signatures collapse to ONE representative (their min doc_id) before
+    * the band join, so a 10k-copy boilerplate cluster — THE skew case for
+    * LSH dedup at 100 TB, previously 16 x k^2/2 candidate pairs through
+    * one bucket — contributes a single row per band. Moderate skew among
+    * *distinct* signatures is left to AQE's runtime skew-join splitting.
+    *
+    * Result-identical to the member-level join: (a) verification is a
+    * pure function of the two signatures, so it holds for a pair iff it
+    * holds for their groups' representatives; (b) the min member of a
+    * group G below any doc B is G's global min, so candidates
+    * {G-min : G collides+verifies, G-min < B} + B's own group min cover
+    * exactly the member-level candidate minimum.
+    *
+    * Signatures are persisted: the sig subtree (a 40k-op kernel per row)
+    * feeds the grouping, the rep band join, verification, and the
+    * per-member attribution (the multi-use-subtree idiom). */
   def duplicateOf(docs: DataFrame): DataFrame = {
-    val sigs = signatures(docs)
+    import org.apache.spark.sql.expressions.Window
+    // one shuffle keyed on the full sig array (exact — no hash-collision
+    // risk; the wide arrays cross the wire once, same as the old
+    // id-rejoin shipped them) derives each doc's group min AND the
+    // representative set in a single window pass.
+    val withG = signatures(docs)
+      .withColumn("gid", min(col("doc_id")).over(Window.partitionBy(col("sig"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sigs.select(col("doc_id"), posexplode(expr(bandsExpr)).as(Seq("band", "bh")))
-    val cand = bands.as("x").join(bands.as("y"),
+    val reps = withG.filter(col("doc_id") === col("gid"))
+      .select(col("gid"), col("sig"))
+    val bands = reps.select(col("gid"), posexplode(expr(bandsExpr)).as(Seq("band", "bh")))
+    val repPairs = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          col("x.gid") < col("y.gid"))
+      .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
       .distinct()
-    val verified = cand
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+    val verifiedPairs = repPairs
+      .join(reps.select(col("gid").as("ga"), col("sig").as("sig_a")), "ga")
+      .join(reps.select(col("gid").as("gb"), col("sig").as("sig_b")), "gb")
       .filter(sigMatchGeUdf(col("sig_a"), col("sig_b")))
-    verified.groupBy(col("id_b").as("duplicate_id"))
-      .agg(min(col("id_a")).as("original_id"))
+      .select(col("ga"), col("gb"))
+    // partner list per group: every other group that collides + verifies
+    // (both orientations — a member may exceed a partner group's min even
+    // when its own group's min does not).
+    val partners = verifiedPairs.select(col("ga").as("gid"), col("gb").as("cand"))
+      .union(verifiedPairs.select(col("gb").as("gid"), col("ga").as("cand")))
+    val members = withG.select(col("doc_id"), col("gid"))
+    val crossCands = members.join(partners, "gid")
+      .filter(col("cand") < col("doc_id"))
+      .select(col("doc_id"), col("cand"))
+    val inGroupCands = members.filter(col("doc_id") =!= col("gid"))
+      .select(col("doc_id"), col("gid").as("cand"))
+    crossCands.union(inGroupCands)
+      .groupBy(col("doc_id").as("duplicate_id"))
+      .agg(min(col("cand")).as("original_id"))
   }
 
   /** `matches(a, b) >= MinMatches` with early exit both ways — the JVM

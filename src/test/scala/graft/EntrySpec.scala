@@ -14,8 +14,11 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o.diff(q)}")
     val rowsOnly = q.diff(o)
-    // the two sketch/learned queries are rows-only by nature
-    assert(rowsOnly == Set("r_approx_distinct_users", "tok_bpe_stats", "tok_unigram_stats"),
-      rowsOnly.toString)
+    // rows-only by nature: HLL sketch (exact columns hash-checked via
+    // r_distinct_users_exact), learned BPE/unigram merge tables (pinned by
+    // spec goldens), and the stub feature embedding's wrapping 64-bit hash
+    // (decode path hash-checked via mm_media_decode).
+    assert(rowsOnly == Set("r_approx_distinct_users", "tok_bpe_stats",
+      "tok_unigram_stats", "mm_media_features"), rowsOnly.toString)
   }
 }
