@@ -74,14 +74,25 @@ object NearDup {
     * is emitted once per shared bucket; the final groupBy(id_b).min(id_a)
     * is duplicate-insensitive. */
   def simhashDuplicateOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ss = docs.sparkSession
     import ss.implicits._
-    val sims = docs.select(col("doc_id"), simHashUdf(col("text")).as("sh"))
-    val blocks = sims.select(col("doc_id"), col("sh"),
+    // Hot-bucket skew guard (same argument as MinHash.duplicateOf): docs
+    // with an IDENTICAL simhash collapse to one representative before
+    // blocking — a k-copy boilerplate cluster costs one bucket row, not a
+    // k^2 pair enumeration. Hamming verification is a pure function of
+    // the two sh values and a group's min member below any doc is the
+    // group's global min, so the expansion below is result-identical.
+    // The window key is a plain long — the cheapest possible shuffle.
+    val withG = docs.select(col("doc_id"), simHashUdf(col("text")).as("sh"))
+      .withColumn("gid", min(col("doc_id")).over(Window.partitionBy(col("sh"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = withG.filter(col("doc_id") === col("gid")).select(col("gid"), col("sh"))
+    val blocks = reps.select(col("gid"), col("sh"),
       explode(expr(
         s"transform(sequence(0, ${NumChunks - 1}), c -> c * ${1L << ChunkBits} + ((sh >> ($ChunkBits * c)) & ${(1 << ChunkBits) - 1}))"))
         .as("bucket")).as[(Long, Long, Long)]
-    blocks.groupByKey(_._3)
+    val repPairs = blocks.groupByKey(_._3)
       .flatMapGroups { (_, members) =>
         val buf = members.toArray
         val n = buf.length
@@ -100,9 +111,17 @@ object NearDup {
         }
         out.result()
       }
-      .toDF("id_a", "id_b")
-      .groupBy(col("id_b").as("duplicate_id"))
-      .agg(min(col("id_a")).as("original_id"))
+      .toDF("ga", "gb")
+    val partners = repPairs.select(col("ga").as("gid"), col("gb").as("cand"))
+      .union(repPairs.select(col("gb").as("gid"), col("ga").as("cand")))
+    val members = withG.select(col("doc_id"), col("gid"))
+    members.join(partners, "gid")
+      .filter(col("cand") < col("doc_id"))
+      .select(col("doc_id"), col("cand"))
+      .union(members.filter(col("doc_id") =!= col("gid"))
+        .select(col("doc_id"), col("gid").as("cand")))
+      .groupBy(col("doc_id").as("duplicate_id"))
+      .agg(min(col("cand")).as("original_id"))
   }
 
   // -----------------------------------------------------------------------
@@ -152,12 +171,26 @@ object NearDup {
     // coalescing once collapsed the whole chain to ONE partition and ran
     // the join single-threaded for 89 s.
     val numParts = docs.sparkSession.sparkContext.defaultParallelism
-    // one row per doc with its (distinct, first-occurrence-order) gram set
-    val gramsArr = docs.select(col("doc_id"), trigramsUdf(col("text")).as("ga"))
+    // Hot-cluster skew guard (same argument as MinHash.duplicateOf): docs
+    // with an IDENTICAL gram array collapse to one representative before
+    // the join — a k-copy boilerplate cluster costs one prefix row, not a
+    // k^2 candidate explosion. Jaccard is a pure function of the two gram
+    // sets, so group-level verification + the member expansion at the end
+    // is result-identical. Docs with NO grams (< 3 words) are dropped
+    // outright: an empty set shares no gram with anything, so they can
+    // never be candidates (identical to the exploded form, where they
+    // contribute zero rows).
+    val withG = docs.select(col("doc_id"), trigramsUdf(col("text")).as("ga"))
+      .filter(size(col("ga")) > 0)
+      .withColumn("gid", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("ga"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repsArr = withG.filter(col("doc_id") === col("gid"))
+      .select(col("gid").as("doc_id"), col("ga"))
     // PERSISTED: `grams` feeds the df-count and the dictionary join;
     // `gramsG` feeds both the prefix index and the verification arrays —
     // persisting the reused skinny frames is the multi-use-subtree idiom.
-    val grams = gramsArr.withColumn("n", size(col("ga")))
+    val grams = repsArr.withColumn("n", size(col("ga")))
       .select(col("doc_id"), col("n"), explode(col("ga")).as("g"))
       .repartition(numParts, col("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -230,12 +263,23 @@ object NearDup {
     // drop the hint and these become ordinary shuffled hash joins on id.
     val gidArr = gramsG.groupBy("doc_id")
       .agg(sort_array(collect_list(col("gid"))).as("ga"))
-    cand
+    val repPairs = cand
       .join(broadcast(gidArr.select(col("doc_id").as("id_a"), col("ga").as("ga_a"))), "id_a")
       .join(broadcast(gidArr.select(col("doc_id").as("id_b"), col("ga").as("ga_b"))), "id_b")
       .filter(jaccardGeUdf(col("ga_a"), col("ga_b")))
-      .groupBy(col("id_b").as("duplicate_id"))
-      .agg(min(col("id_a")).as("original_id"))
+      .select(col("id_a").as("pa"), col("id_b").as("pb"))
+    // expand rep-level pairs back to members (see MinHash.duplicateOf for
+    // the equivalence argument).
+    val partners = repPairs.select(col("pa").as("gid"), col("pb").as("cand"))
+      .union(repPairs.select(col("pb").as("gid"), col("pa").as("cand")))
+    val members = withG.select(col("doc_id"), col("gid"))
+    members.join(partners, "gid")
+      .filter(col("cand") < col("doc_id"))
+      .select(col("doc_id"), col("cand"))
+      .union(members.filter(col("doc_id") =!= col("gid"))
+        .select(col("doc_id"), col("gid").as("cand")))
+      .groupBy(col("doc_id").as("duplicate_id"))
+      .agg(min(col("cand")).as("original_id"))
   }
 
   /** jaccard(a, b) >= JaccardNumer/JaccardDenom over two SORTED int

@@ -54,6 +54,24 @@ class MinHashSkewSpec extends SparkSpec {
     assert(maxTask < 20000L, s"straggler task of ${maxTask} ms dominates the join")
   }
 
+  test("simhash and jaccard also collapse the 10k-copy cluster") {
+    val hot = (1L to 10000L).map(i => (i, base))
+    val tail = (10001L to 10100L).map(i =>
+      (i, (0 until 25).map(j => s"uq${i}x${j}z").mkString(" ")))
+    val docs = (hot ++ tail).toDF("doc_id", "text")
+    for ((name, fn) <- Seq(
+        "simhash" -> graft.pipeline.NearDup.simhashDuplicateOf _,
+        "jaccard" -> graft.pipeline.NearDup.jaccardDuplicateOf _)) {
+      val t0 = System.nanoTime()
+      val dup = fn(docs).as[(Long, Long)].collect()
+      val wallSeconds = (System.nanoTime() - t0) / 1e9
+      info(f"$name: ${dup.length} dups in $wallSeconds%.1f s")
+      assert(dup.length == 9999, s"$name: expected 9999 duplicates, got ${dup.length}")
+      assert(dup.forall(_._2 == 1L), s"$name: all copies must attribute to the min id")
+      assert(wallSeconds < 60.0, f"$name too slow: $wallSeconds%.1f s (quadratic blowup?)")
+    }
+  }
+
   test("mixed exact and near duplicates still attribute exactly") {
     // 2 is a copy of 1; 3 is a near-dup of 1 (distinct signature); groups
     // {1,2} and {3} must still link 3 -> 1 through the cross-group path.
