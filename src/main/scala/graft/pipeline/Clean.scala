@@ -68,15 +68,20 @@ object Clean {
   // Registered queries
   // ---------------------------------------------------------------------
 
-  /** Clean + per-doc stats (reference cleaner.py:146-155: CleaningStats). */
+  /** Clean + per-doc stats (reference cleaner.py:146-155: CleaningStats).
+    * The regex chain is barriered so text_clean and cleaned_length share
+    * ONE evaluation — CollapseProject would otherwise inline it twice. */
   def cleanRegexQuery(docs: DataFrame): DataFrame =
     docs.select(
-      col("doc_id"),
-      cleanText(col("text")).as("text_clean"),
-      regexp_count(col("text"), lit(UrlRe)).as("urls_removed"),
-      regexp_count(col("text"), lit(EmailRe)).as("emails_removed"),
-      length(col("text")).as("original_length"),
-      length(cleanText(col("text"))).as("cleaned_length"))
+        col("doc_id"), col("text"),
+        Stage.once(cleanText(col("text"))).as("text_clean"))
+      .select(
+        col("doc_id"),
+        col("text_clean"),
+        regexp_count(col("text"), lit(UrlRe)).as("urls_removed"),
+        regexp_count(col("text"), lit(EmailRe)).as("emails_removed"),
+        length(col("text")).as("original_length"),
+        length(col("text_clean")).as("cleaned_length"))
 
   /** P2: drop docs whose cleaned text is shorter than minLen
     * (reference cleaner.py:157-159; config default 100). */

@@ -78,4 +78,19 @@ class WikiXmlSpec extends SparkSpec {
     assert(row.getAs[Int]("word_count") > 20)
     assert(row.getAs[Int]("char_count") > WikiXml.MinTextChars)
   }
+
+  test("S2: a real .bz2 dump decompresses through the Hadoop codec path") {
+    // compress the same fixture with bzip2 (commons-compress, on the
+    // Spark classpath) and read it back through the identical scan —
+    // Hadoop's codec resolves on the .bz2 extension.
+    val bz = Files.createTempFile("dump", ".xml.bz2")
+    val out = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(Files.newOutputStream(bz))
+    out.write(dump.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    assert(WikiXml.pages(spark, bz.toString).count() == 5)
+    val ids = WikiXml.articles(spark, bz.toString)
+      .select("page_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(11L, 15L))
+  }
 }
