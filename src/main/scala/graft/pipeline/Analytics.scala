@@ -64,6 +64,19 @@ object Analytics {
           .as("var_chars"))
   }
 
+  /** A8: exact length percentiles per source. Spark's `percentile` is the
+    * exact linear-interpolation aggregate (memory ∝ distinct values —
+    * bounded here, since document char-lengths are a bounded int domain
+    * at any corpus size; for unbounded domains `approx_percentile` is the
+    * scale path). DuckDB's `quantile_cont` interpolates identically. */
+  def docLengthPercentilesQuery(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(
+        expr("percentile(n_chars, 0.25)").as("p25"),
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.75)").as("p75"),
+        expr("percentile(n_chars, 0.9)").as("p90"))
+
   /** Semi-structured extraction: pull typed fields out of the JSON
     * `props` string (events.parquet). `get_json_object` is codegen'd and
     * pushes the parse into the projection — no UDF. */
@@ -111,6 +124,7 @@ object Analytics {
     "events_value_corr" -> ((s, d) => valueCorrQuery(Tables.events(s, d))),
     "quality_reason_report" -> ((s, d) => reasonReportQuery(Tables.documents(s, d))),
     "doc_length_histogram" -> ((s, d) => docLengthHistogramQuery(Tables.documents(s, d))),
+    "doc_length_percentiles" -> ((s, d) => docLengthPercentilesQuery(Tables.documents(s, d))),
     "corpus_describe" -> ((s, d) => corpusDescribeQuery(Tables.documents(s, d))),
     "events_props_extract" -> ((s, d) => eventsPropsQuery(Tables.events(s, d))))
 
@@ -144,6 +158,13 @@ object Analytics {
       """SELECT n_chars // 100 AS bucket, count(*) AS n_docs,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    "doc_length_percentiles" ->
+      """SELECT source,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75,
+        |  quantile_cont(n_chars, 0.9) AS p90
+        |FROM documents GROUP BY source""".stripMargin,
     "corpus_describe" ->
       """SELECT source, count(*) AS n_docs,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
