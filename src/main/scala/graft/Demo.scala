@@ -4,7 +4,11 @@ import org.apache.spark.sql.SparkSession
 import graft.pipeline.Pipeline
 
 /** Entry point 2 (reference: demo.py:60-175): a 5-article in-memory
-  * smoke run of the full pipeline with a console summary. */
+  * smoke run of the full pipeline with a console summary.
+  *
+  * Pass a YAML path as the first arg to drive the run from a reference
+  * `pipeline_config.yaml` (config.py semantics) instead of defaults:
+  * `runMain graft.Demo /root/reference/configs/pipeline_config.yaml`. */
 object Demo {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -27,8 +31,14 @@ object Demo {
       (5L, body + " A different closing sentence gives this one its own meaning entirely.")
     ).toDF("doc_id", "text")
 
+    val cfg = args.headOption match {
+      case Some(yamlPath) =>
+        println(s"config from $yamlPath")
+        Pipeline.GraftConfig.fromYamlFile(yamlPath)
+      case None => Pipeline.GraftConfig()
+    }
     val out = java.nio.file.Files.createTempDirectory("graft-demo").toString
-    val summary = Pipeline.run(docs, Pipeline.GraftConfig(), out)
+    val summary = Pipeline.run(docs, cfg, out)
     println("=== graft demo summary ===")
     summary.show(truncate = false)
     println(s"outputs under $out")

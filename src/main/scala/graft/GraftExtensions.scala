@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSigExpression, SimHashExpression}
+import graft.functions.{MinHashSigExpression, SimHashExpression, TrigramsExpression, WinnowExpression}
 
 /** SparkSessionExtensions injector: registers graft's native Catalyst
   * functions for SQL use. Activate with
@@ -23,5 +23,11 @@ object GraftExtensions {
       (children: Seq[Expression]) => MinHashSigExpression(children.head)),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpression].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHashExpression(children.head)))
+      (children: Seq[Expression]) => SimHashExpression(children.head)),
+    (FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowExpression].getName, "graft_winnow"),
+      (children: Seq[Expression]) => WinnowExpression(children.head)),
+    (FunctionIdentifier("graft_trigrams"),
+      new ExpressionInfo(classOf[TrigramsExpression].getName, "graft_trigrams"),
+      (children: Seq[Expression]) => TrigramsExpression(children.head)))
 }

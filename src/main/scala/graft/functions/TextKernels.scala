@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd forms of the remaining hot text kernels (same
+  * preference-ladder promotion as [[MinHashSigExpression]]: a Catalyst
+  * `Expression` with `doGenCode` beats a Scala UDF — no closure/encoder
+  * indirection, participates in whole-stage codegen). Kernels are shared
+  * with the pipeline objects so both paths stay bit-identical. */
+
+/** Winnowing fingerprint sketch → struct(n_fingerprints INT,
+  * fp_checksum BIGINT). Kernel: [[graft.pipeline.NearDup.winnow]]. */
+case class WinnowExpression(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_fingerprints", IntegerType, nullable = false),
+    StructField("fp_checksum", LongType, nullable = false)))
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowExpression.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowExpression.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpression =
+    copy(child = newChild)
+}
+
+object WinnowExpression {
+  def compute(s: UTF8String): InternalRow = {
+    val (count, checksum) = graft.pipeline.NearDup.winnow(s.toString)
+    new GenericInternalRow(Array[Any](count, checksum))
+  }
+}
+
+object Winnow {
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(WinnowExpression(GraftSqlBridge.expression(c)))
+}
+
+/** Distinct word trigrams in first-occurrence order → array<string>.
+  * Kernel: [[graft.pipeline.NearDup.trigrams]]. */
+case class TrigramsExpression(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "graft_trigrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TrigramsExpression.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TrigramsExpression.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramsExpression =
+    copy(child = newChild)
+}
+
+object TrigramsExpression {
+  def compute(s: UTF8String): ArrayData = {
+    val grams = graft.pipeline.NearDup.trigrams(s.toString)
+    val out = new Array[Any](grams.length)
+    var i = 0
+    while (i < grams.length) { out(i) = UTF8String.fromString(grams(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+object Trigrams {
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(TrigramsExpression(GraftSqlBridge.expression(c)))
+}

@@ -149,7 +149,8 @@ object NearDup {
     }
   }
   private val WsSplitJac = java.util.regex.Pattern.compile("\\s+")
-  private val trigramsUdf = udf(trigrams _)
+  /** Native codegen'd expression form (graft.functions.TrigramsExpression). */
+  private def trigramsUdf(c: org.apache.spark.sql.Column) = graft.functions.Trigrams(c)
 
   /** Exact set-similarity self-join with PREFIX FILTERING (Bayardo
     * et al.'s All-Pairs): candidates only need to collide on the
@@ -180,7 +181,10 @@ object NearDup {
     // outright: an empty set shares no gram with anything, so they can
     // never be candidates (identical to the exploded form, where they
     // contribute zero rows).
-    val withG = docs.select(col("doc_id"), trigramsUdf(col("text")).as("ga"))
+    // Barrier: the size() filter below would otherwise re-inline the
+    // trigram kernel into the filter AND the projection (2x evaluation —
+    // the BarrierExpression failure mode, measured +2.5 s here).
+    val withG = docs.select(col("doc_id"), Stage.once(trigramsUdf(col("text"))).as("ga"))
       .filter(size(col("ga")) > 0)
       .withColumn("gid", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("ga"))))
@@ -345,14 +349,15 @@ object NearDup {
     }
     (count, checksum)
   }
-  private val winnowUdf = udf(winnow _)
+  /** Native codegen'd expression form (graft.functions.WinnowExpression). */
+  private def winnowUdf(c: org.apache.spark.sql.Column) = graft.functions.Winnow(c)
 
   def fingerprintQuery(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), winnowUdf(col("text")).as("w"))
       .select(
         col("doc_id"),
-        col("w._1").as("n_fingerprints"),
-        col("w._2").as("fp_checksum"))
+        col("w.n_fingerprints").as("n_fingerprints"),
+        col("w.fp_checksum").as("fp_checksum"))
 
   // -----------------------------------------------------------------------
 

@@ -40,4 +40,18 @@ class NativeExprSpec extends SparkSpec {
       .as[Array[Long]].collect().head
     assert(sig.sameElements(MinHash.signature("hello world")))
   }
+
+  test("winnow and trigram expressions match their kernels, no ScalaUDF") {
+    val sample = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq(sample).toDF("text")
+      .select(
+        graft.functions.Winnow($"text").as("w"),
+        graft.functions.Trigrams($"text").as("g"))
+    assert(!df.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+    val row = df.collect().head
+    val (n, checksum) = graft.pipeline.NearDup.winnow(sample)
+    val w = row.getStruct(0)
+    assert(w.getInt(0) == n && w.getLong(1) == checksum)
+    assert(row.getSeq[String](1) == graft.pipeline.NearDup.trigrams(sample).toSeq)
+  }
 }
