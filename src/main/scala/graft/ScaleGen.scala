@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe data generator (SCALE.md method, made repeatable): builds
+  * `outDir` = `factor` x sfDir by replicating every table with shifted
+  * keys, preserving join consistency (orders↔lineitem↔customer keep their
+  * FK relationships inside each replica; dims pass through unchanged).
+  *
+  * Documents are made ADVERSARIAL for dedup: each base doc heads a
+  * `factor`-member cluster — half the replicas are byte-identical copies
+  * (exercising the identical-content representative collapse), half get
+  * a distinct suffix (near-dup variants that must survive collapse and
+  * still pair through the LSH/prefix joins).
+  *
+  * Usage: runMain graft.ScaleGen <sfDir> <outDir> [factor=10]
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def load(name: String): DataFrame = spark.read.parquet(s"$sfDir/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+
+    /** Union `factor` copies with the named long columns shifted by
+      * replica * (max+1) per key column — FK-consistent when parent and
+      * child shift the same key by the same stride. */
+    def replicate(df: DataFrame, shiftCols: Map[String, Long]): DataFrame =
+      (0 until factor).map { i =>
+        shiftCols.foldLeft(df) { case (d, (c, stride)) =>
+          d.withColumn(c, col(c) + lit(i * stride))
+        }
+      }.reduce(_ union _)
+
+    def stride(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).collect()(0).getLong(0) + 1L
+
+    // dims: pass through
+    write(load("region"), "region")
+    write(load("nation"), "nation")
+    write(load("supplier"), "supplier")
+
+    val part = load("part")
+    write(replicate(part, Map("p_partkey" -> stride(part, "p_partkey"))), "part")
+
+    val customer = load("customer")
+    val custStride = stride(customer, "c_custkey")
+    write(replicate(customer, Map("c_custkey" -> custStride)), "customer")
+
+    val orders = load("orders")
+    val orderStride = stride(orders, "o_orderkey")
+    write(replicate(orders,
+      Map("o_orderkey" -> orderStride, "o_custkey" -> custStride)), "orders")
+
+    val lineitem = load("lineitem")
+    write(replicate(lineitem, Map("l_orderkey" -> orderStride)), "lineitem")
+
+    val events = load("events")
+    write(replicate(events,
+      Map("event_id" -> stride(events, "event_id"),
+        "user_id" -> stride(events, "user_id"))), "events")
+
+    val emb = load("embeddings")
+    write(replicate(emb, Map("id" -> stride(emb, "id"))), "embeddings")
+
+    // documents: factor-member clusters per base doc — replica 0 is the
+    // base, odd replicas byte-identical, even replicas near-dup variants.
+    val docs = load("documents")
+    val docStride = stride(docs, "doc_id")
+    val replicas = (0 until factor).map { i =>
+      val shifted = docs.withColumn("doc_id", col("doc_id") + lit(i * docStride))
+      if (i == 0 || i % 2 == 1) shifted
+      else shifted
+        .withColumn("text", concat(col("text"), lit(s" probevariant${i}marker")))
+        .withColumn("n_chars", length(col("text")))
+    }
+    write(replicas.reduce(_ union _), "documents")
+
+    println(s"wrote ${factor}x $sfDir -> $outDir")
+    spark.stop()
+  }
+}
