@@ -49,6 +49,25 @@ object StreamPipeline {
   def toMemorySink(out: DataFrame, name: String): DataStreamWriter[Row] =
     out.writeStream.format("memory").queryName(name).outputMode("append")
 
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark` keys
+    * the state store on the content hash but expires entries once the
+    * watermark passes their event time — the production form of
+    * [[cleanedDeduped]] for unbounded streams (an unbounded exact-dedup
+    * state store is the same memory hazard as the reference's in-memory
+    * index). Semantics: duplicates are only suppressed within the dedup
+    * horizon; a re-arrival after the horizon is treated as new — the
+    * documented trade for finite state at 100 TB/day. */
+  def cleanedDedupedBounded(docs: DataFrame, tsCol: String, watermark: String,
+      minLen: Int = 100, cfg: Quality.Config = Quality.Config()): DataFrame = {
+    val cleaned = docs
+      .withColumn("text", Clean.cleanText(col("text")))
+      .filter(length(col("text")) >= minLen)
+    Quality.withReason(cleaned, cfg)
+      .withColumn("content_hash", Dedup.contentHash(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+  }
+
   /** Watermarked tumbling-window aggregation over an event-time stream —
     * the streaming twin of Relational.hourlyEventStats. The watermark
     * bounds state: windows older than the horizon are finalized, emitted

@@ -41,4 +41,37 @@ class StreamPipelineSpec extends SparkSpec {
       assert(out(1L) == "passed")
     } finally q.stop()
   }
+
+  test("watermarked dedup suppresses within the horizon, expires state after") {
+    val dir: Path = Files.createTempDirectory("stream-wm")
+    def line(id: Long, text: String, ts: String): String = {
+      val esc = text.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"doc_id": $id, "ts": "$ts", "text": "$esc", "lang": "en", "source": "s", "n_chars": ${text.length}}"""
+    }
+    val docs = spark.readStream
+      .schema("doc_id BIGINT, ts TIMESTAMP, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .json(dir.toString)
+    val stream = StreamPipeline.cleanedDedupedBounded(docs, "ts", "10 minutes",
+      cfg = graft.pipeline.Quality.Config.reference)
+    val q = StreamPipeline.toMemorySink(stream, "stream_wm_out").start()
+    try {
+      // batch 1: base doc at t0, duplicate inside the horizon at t0+5m
+      Files.writeString(dir.resolve("b1.json"),
+        line(1, longText, "2026-01-01T00:00:00Z") + "\n" +
+          line(2, longText, "2026-01-01T00:05:00Z") + "\n")
+      q.processAllAvailable()
+      // batch 2: watermark advances far past the horizon...
+      Files.writeString(dir.resolve("b2.json"),
+        line(3, longText + " Unrelated new content sentence.", "2026-01-01T02:00:00Z") + "\n")
+      q.processAllAvailable()
+      // batch 3: the same content re-arrives AFTER its state expired
+      Files.writeString(dir.resolve("b3.json"),
+        line(4, longText, "2026-01-01T02:01:00Z") + "\n")
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM stream_wm_out").collect()
+        .map(_.getLong(0)).toSet
+      // 2 suppressed (inside horizon); 4 re-admitted (state expired)
+      assert(ids == Set(1L, 3L, 4L), s"got $ids")
+    } finally q.stop()
+  }
 }
