@@ -196,7 +196,17 @@ object Quality {
   def histogramReferenceQuery(docs: DataFrame): DataFrame =
     histogramQuery(docs, Config.reference)
 
+  /** Corpus language-ID distribution — the dedicated language-analysis
+    * surface (the detector otherwise only appears per-doc inside the
+    * cascade): detected language vs the table's labeled `lang`, counted.
+    * Also an honest accuracy read on the stopword-profile heuristic. */
+  def langDistributionQuery(docs: DataFrame): DataFrame =
+    withMetrics(docs)
+      .groupBy(col("lang").as("labeled_lang"), col("m_langdet").as("detected_language"))
+      .agg(count(lit(1)).as("n_docs"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lang_distribution" -> ((s, d) => langDistributionQuery(Tables.documents(s, d))),
     "quality_cascade" -> ((s, d) => cascadeQuery(Tables.documents(s, d))),
     "quality_histogram" -> ((s, d) => histogramQuery(Tables.documents(s, d))),
     "quality_histogram_refdefaults" -> ((s, d) => histogramReferenceQuery(Tables.documents(s, d))),
@@ -258,6 +268,11 @@ object Quality {
   def oracles: Map[String, String] = {
     val cfg = Config()
     Map(
+      "lang_distribution" ->
+        s"""SELECT lang AS labeled_lang, $langD AS detected_language,
+           |       count(*) AS n_docs
+           |FROM documents
+           |GROUP BY 1, 2""".stripMargin,
       "quality_cascade" ->
         s"""SELECT doc_id,
            | $wcD AS word_count,
