@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
+  * Language Models: ... Gopher", Table A1; also used by RefinedWeb and
+  * Dolma): the fraction of duplicated words and the character share of
+  * the single most-frequent word bigram. These flag boilerplate-heavy
+  * and template-generated documents that pass simple length/ratio
+  * filters. Goes beyond the reference's quality cascade
+  * (quality_filter.py), which has line-repetition only (Q6).
+  *
+  * Scale shape: every signal is computed per-row with built-in
+  * higher-order functions over the split-word array — one narrow
+  * projection, zero shuffles, no UDFs. The bigram mode is a sort +
+  * run-length fold (O(n log n) per doc), the same kernel as the Q6
+  * most-common-line metric, extended to also carry the argmax. At 100 TB
+  * this pipelines inside the scan; nothing crosses the wire.
+  */
+object Repetition {
+
+  /** Per-doc repetition signals over whitespace words.
+    *
+    * - `dup_word_frac`: 1 - distinct/total words (0 = all unique).
+    * - `top_bigram`: most frequent adjacent word pair; ties break to the
+    *   lexicographically smallest (the fold keeps the FIRST max of the
+    *   sorted bigram array — same tiebreak the oracle's
+    *   `ORDER BY cnt DESC, bg ASC` picks).
+    * - `top_bigram_char_frac`: chars covered by its occurrences
+    *   (`cnt * (len(bigram) - 1)`, the join space excluded) over all
+    *   non-space chars — Gopher's "fraction of characters in the most
+    *   common 2-gram".
+    *
+    * Fractions are a single IEEE division of two exact ints, identical
+    * on the DuckDB side, so the driver's value-hash matches bit-for-bit.
+    */
+  def repetitionQuery(docs: DataFrame): DataFrame = {
+    // Stage 1: the word array, once (Barrier keeps CollapseProject from
+    // inlining the split into every downstream use).
+    val s1 = docs.select(
+      col("doc_id"),
+      Stage.once(expr("filter(split(text, '\\\\s+'), x -> x != '')")).as("w"),
+      length(regexp_replace(col("text"), "\\s+", "")).as("nonspace"))
+    // Stage 2: run-length fold over the sorted bigram array -> (count,
+    // argmax) of the bigram mode. Strict `>` on the arg update keeps the
+    // first (= smallest, post-sort) bigram among equal maxima.
+    val s2 = s1.select(
+      col("doc_id"), col("nonspace"),
+      expr("size(w)").as("n_words"),
+      expr("size(array_distinct(w))").as("n_distinct_words"),
+      Stage.once(expr(
+        """CASE WHEN size(w) < 2
+          |  THEN named_struct('cnt', 0, 'bg', CAST(NULL AS STRING))
+          |  ELSE aggregate(
+          |    array_sort(zip_with(slice(w, 1, size(w) - 1),
+          |                        slice(w, 2, size(w) - 1),
+          |                        (a, b) -> concat(a, ' ', b))),
+          |    named_struct('prev', CAST(NULL AS STRING),
+          |                 'run', 0, 'best', 0,
+          |                 'arg', CAST(NULL AS STRING)),
+          |    (a, x) -> named_struct(
+          |      'prev', x,
+          |      'run', IF(a.prev <=> x, a.run + 1, 1),
+          |      'best', GREATEST(a.best, IF(a.prev <=> x, a.run + 1, 1)),
+          |      'arg', IF(IF(a.prev <=> x, a.run + 1, 1) > a.best, x, a.arg)),
+          |    a -> named_struct('cnt', a.best, 'bg', a.arg))
+          |END""".stripMargin)).as("top"))
+    s2.select(
+      col("doc_id"), col("n_words"), col("n_distinct_words"),
+      expr("""IF(n_words = 0, CAST(NULL AS DOUBLE),
+             |   1.0D - CAST(n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE))"""
+        .stripMargin).as("dup_word_frac"),
+      col("top.bg").as("top_bigram"),
+      col("top.cnt").as("top_bigram_cnt"),
+      expr("""IF(nonspace = 0 OR top.cnt = 0, CAST(NULL AS DOUBLE),
+             |   CAST(top.cnt * (length(top.bg) - 1) AS DOUBLE)
+             |     / CAST(nonspace AS DOUBLE))""".stripMargin)
+        .as("top_bigram_char_frac"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_repetition" -> ((s, d) => repetitionQuery(Tables.documents(s, d))))
+
+  /** The oracle spells the same signals relationally (unnest + group-by +
+    * rank) — an independent derivation, which is the point: two different
+    * computations, one hash. */
+  def oracles: Map[String, String] = Map(
+    "quality_repetition" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w,
+         |         strlen(regexp_replace(text, '\\s+', '', 'g')) AS nonspace
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, nonspace, len(w) AS n_words,
+         |         len(list_distinct(w)) AS n_distinct_words, w
+         |  FROM base),
+         |bg AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(w)),
+         |                               i -> w[i] || ' ' || w[i + 1])) AS bg
+         |  FROM b),
+         |top AS (
+         |  SELECT doc_id, bg, count(*) AS cnt,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY count(*) DESC, bg ASC) AS rk
+         |  FROM bg GROUP BY doc_id, bg)
+         |SELECT b.doc_id, b.n_words, b.n_distinct_words,
+         |  CASE WHEN b.n_words = 0 THEN NULL
+         |       ELSE 1.0 - b.n_distinct_words::DOUBLE / b.n_words::DOUBLE
+         |  END AS dup_word_frac,
+         |  t.bg AS top_bigram,
+         |  COALESCE(t.cnt, 0) AS top_bigram_cnt,
+         |  CASE WHEN b.nonspace = 0 OR t.cnt IS NULL THEN NULL
+         |       ELSE (t.cnt * (strlen(t.bg) - 1))::DOUBLE / b.nonspace::DOUBLE
+         |  END AS top_bigram_char_frac
+         |FROM b LEFT JOIN top t ON b.doc_id = t.doc_id AND t.rk = 1""".stripMargin)
+}

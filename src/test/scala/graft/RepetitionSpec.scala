@@ -1,0 +1,56 @@
+package graft
+
+import graft.pipeline.Repetition
+
+/** Golden tests for the Gopher-style repetition signals — hand-computed
+  * expectations, including the tiebreak and degenerate-doc edges the
+  * sf testdata never exercises. */
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)]) =
+    Repetition.repetitionQuery(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("dup word fraction and top bigram on a repetitive doc") {
+    // words: a b a b a  -> 5 words, 2 distinct, dup_frac = 3/5
+    // bigrams: "a b","b a","a b","b a" -> both have cnt 2; tiebreak
+    // picks "a b" (lexicographically smallest). nonspace = 5 chars,
+    // covered = 2 * (len("a b")-1) = 4 -> frac 0.8
+    val m = run(Seq(1L -> "a b a b a"))
+    val r = m(1L)
+    assert(r.getAs[Int]("n_words") === 5)
+    assert(r.getAs[Int]("n_distinct_words") === 2)
+    assert(r.getAs[Double]("dup_word_frac") === (1.0 - 2.0 / 5.0))
+    assert(r.getAs[String]("top_bigram") === "a b")
+    assert(r.getAs[Int]("top_bigram_cnt") === 2)
+    assert(r.getAs[Double]("top_bigram_char_frac") === 4.0 / 5.0)
+  }
+
+  test("all-unique doc has zero dup fraction and cnt-1 bigram") {
+    val m = run(Seq(2L -> "alpha beta gamma"))
+    val r = m(2L)
+    assert(r.getAs[Double]("dup_word_frac") === 0.0)
+    assert(r.getAs[Int]("top_bigram_cnt") === 1)
+    assert(r.getAs[String]("top_bigram") === "alpha beta")
+  }
+
+  test("degenerate docs: one word and empty text") {
+    val m = run(Seq(3L -> "solo", 4L -> "   "))
+    assert(m(3L).getAs[Int]("n_words") === 1)
+    assert(m(3L).getAs[Int]("top_bigram_cnt") === 0)
+    assert(m(3L).isNullAt(m(3L).fieldIndex("top_bigram")))
+    assert(m(3L).isNullAt(m(3L).fieldIndex("top_bigram_char_frac")))
+    assert(m(4L).getAs[Int]("n_words") === 0)
+    assert(m(4L).isNullAt(m(4L).fieldIndex("dup_word_frac")))
+  }
+
+  test("strict-first tiebreak: later equal run never replaces the arg") {
+    // bigrams sorted: "b c","b c","z z","z z" — equal maxima; first wins.
+    // words: b c b c z z z? Construct: "z z z b c b c" ->
+    // bigrams: z z, z z, z b, b c, c b, b c -> "b c":2, "z z":2 -> "b c"
+    val m = run(Seq(5L -> "z z z b c b c"))
+    assert(m(5L).getAs[String]("top_bigram") === "b c")
+    assert(m(5L).getAs[Int]("top_bigram_cnt") === 2)
+  }
+}
