@@ -83,6 +83,28 @@ object StreamPipeline {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** Streaming sessionization — the streaming twin of
+    * `Relational.sessionizeEvents` (same 30-minute inactivity gap),
+    * expressed with Spark's native `session_window`: per-key gap-merging
+    * windows maintained in the state store, finalized and emitted
+    * (append mode) once the watermark passes `session_end + gap`. This
+    * is the Spark-first spelling — no custom state function; the
+    * SessionWindowStateStore operator merges overlapping windows
+    * incrementally, and state per user is one open session, not the
+    * event history, so a 100 TB/day stream holds state proportional to
+    * ACTIVE users only. */
+  def sessionizedEvents(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("s.start").as("session_start"),
+        col("s.end").as("session_end"),
+        col("n_events"))
+
   /** D4-with-state in streaming form: first-seen-wins dedup WITH
     * duplicate→original attribution via flatMapGroupsWithState — the
     * reference's growing index (`duplicate_of`, deduplicator.py:150-180)

@@ -33,6 +33,39 @@ class StreamWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window sessionization merges within gap and splits across it") {
+    val dir = Files.createTempDirectory("ssess")
+    val events = spark.readStream
+      .schema("event_id BIGINT, user_id BIGINT, ts TIMESTAMP")
+      .json(dir.toString)
+    val q = StreamPipeline.toMemorySink(
+      StreamPipeline.sessionizedEvents(events), "sess_out").start()
+    try {
+      // user 1: two events 10 min apart (one session), then one 80 min
+      // later (second session); user 2: one event.
+      Files.writeString(dir.resolve("b1.json"),
+        """{"event_id":1,"user_id":1,"ts":"2024-01-01T10:00:00Z"}
+          |{"event_id":2,"user_id":1,"ts":"2024-01-01T10:10:00Z"}
+          |{"event_id":3,"user_id":2,"ts":"2024-01-01T10:05:00Z"}
+          |{"event_id":4,"user_id":1,"ts":"2024-01-01T11:30:00Z"}
+          |""".stripMargin)
+      q.processAllAvailable()
+      // advance the watermark (1h) past every session end (+30m gap)
+      Files.writeString(dir.resolve("b2.json"),
+        """{"event_id":9,"user_id":3,"ts":"2024-01-01T14:00:00Z"}
+          |""".stripMargin)
+      q.processAllAvailable()
+      val rows = spark.sql(
+          "SELECT user_id, session_start, session_end, n_events FROM sess_out")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toString,
+          r.getTimestamp(2).toInstant.toString, r.getLong(3))).toSet
+      assert(rows == Set(
+        (1L, "2024-01-01T10:00:00Z", "2024-01-01T10:40:00Z", 2L),
+        (1L, "2024-01-01T11:30:00Z", "2024-01-01T12:00:00Z", 1L),
+        (2L, "2024-01-01T10:05:00Z", "2024-01-01T10:35:00Z", 1L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState dedup attributes duplicates across batches") {
     val dir = Files.createTempDirectory("sdup")
     val docs = spark.readStream
