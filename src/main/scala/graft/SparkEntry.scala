@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Analytics, Bpe, Clean, Dedup, MinHash, NearDup, PipelineOps, Quality, Repetition, Tokenize, Unigram, Wiki}
+import graft.pipeline.{Analytics, Bpe, Chunking, Clean, Dedup, MinHash, NearDup, PipelineOps, Quality, Repetition, Sampling, Tokenize, Unigram, Wiki}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,6 +35,8 @@ object SparkEntry {
       (Clean.queries, Clean.oracles),
       (Quality.queries, Quality.oracles),
       (Repetition.queries, Repetition.oracles),
+      (Sampling.queries, Sampling.oracles),
+      (Chunking.queries, Chunking.oracles),
       (Dedup.queries, Dedup.oracles),
       (MinHash.queries, MinHash.oracles),
       (Tokenize.queries, Tokenize.oracles),

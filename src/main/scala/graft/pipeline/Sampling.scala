@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic corpus sampling / split assignment — the data-mixing
+  * ops every large-scale training-data pipeline needs (per-source
+  * mixture rates à la The Pile / Dolma; reproducible train/val/test
+  * carving) and that the reference, being single-corpus, stops short of.
+  *
+  * The sampling key is the first byte of `md5(doc_id)` rendered as two
+  * hex chars — 256 uniform buckets that are (a) stable across runs,
+  * machines, and engines (no RNG: the same doc always lands in the same
+  * bucket, so samples are reproducible AND monotone — raising a rate
+  * only ever ADDS docs), and (b) directly comparable as strings, which
+  * keeps the predicate a codegen'd string compare instead of a
+  * hex→int conversion that DuckDB spells differently. This is the
+  * standard hash-mod sampling trick, shuffled-free and scan-local: at
+  * 100 TB the sample is a pushed-down filter over the scan.
+  */
+object Sampling {
+
+  /** 2-hex-char md5 bucket of the doc id: 256 buckets, '00'..'ff'. */
+  def hashBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(md5(c.cast("string")), 1, 2)
+
+  /** Per-source keep-thresholds (hex-string compare, inclusive): a
+    * three-tier mixture — heavily sampled head sources, mid tier, tail.
+    * Rates are n/256: '7f' ≈ 50%, '3f' ≈ 25%, '1f' ≈ 12.5%. */
+  val tierOf: Map[String, String] =
+    (0 to 4).map(i => s"src$i" -> "7f").toMap ++
+      (5 to 9).map(i => s"src$i" -> "3f").toMap
+
+  val defaultThreshold = "1f"
+
+  /** Stratified sample: per-source rates via a broadcast rates dim —
+    * the join is a BroadcastHashJoin and the keep predicate runs inside
+    * the scan's codegen stage; no shuffle at any scale. */
+  def stratifiedSampleQuery(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rates = spark.createDataFrame(
+        tierOf.toSeq.sortBy(_._1)).toDF("source", "thr")
+    docs.join(broadcast(rates), Seq("source"), "left")
+      .withColumn("thr", coalesce(col("thr"), lit(defaultThreshold)))
+      .filter(hashBucket(col("doc_id")) <= col("thr"))
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** Reproducible train/val/test carve: 'cc' = 204/256 ≈ 80% train,
+    * 'e5' = next 26/256 ≈ 10% val, rest test. Emitted as per-(source,
+    * split) counts — the mixture report a pipeline logs before
+    * training. */
+  def splitCountsQuery(docs: DataFrame): DataFrame =
+    docs.select(
+        col("source"),
+        when(hashBucket(col("doc_id")) <= "cc", "train")
+          .when(hashBucket(col("doc_id")) <= "e5", "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> ((s, d) => stratifiedSampleQuery(Tables.documents(s, d))),
+    "split_counts" -> ((s, d) => splitCountsQuery(Tables.documents(s, d))))
+
+  def oracles: Map[String, String] = {
+    val rateRows = tierOf.toSeq.sortBy(_._1)
+      .map { case (s, t) => s"('$s', '$t')" }.mkString(", ")
+    Map(
+      "sample_stratified" ->
+        s"""WITH rates(source, thr) AS (VALUES $rateRows)
+           |SELECT d.doc_id, d.source
+           |FROM documents d LEFT JOIN rates r ON d.source = r.source
+           |WHERE substr(md5(d.doc_id::VARCHAR), 1, 2)
+           |        <= COALESCE(r.thr, '$defaultThreshold')""".stripMargin,
+      "split_counts" ->
+        """SELECT source,
+          |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= 'cc' THEN 'train'
+          |       WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= 'e5' THEN 'val'
+          |       ELSE 'test' END AS split,
+          |  count(*) AS n_docs
+          |FROM documents GROUP BY 1, 2""".stripMargin)
+  }
+}

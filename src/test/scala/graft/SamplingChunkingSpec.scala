@@ -1,0 +1,60 @@
+package graft
+
+import graft.pipeline.{Chunking, Sampling}
+
+/** Goldens for the sampling / split / chunking prep ops. */
+class SamplingChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash buckets are stable, uniform-ish, and monotone in the rate") {
+    val docs = (1L to 2000L).map(i => (i, s"src${i % 20}", "t t t"))
+      .toDF("doc_id", "source", "text")
+    val half = docs.filter(Sampling.hashBucket($"doc_id") <= "7f")
+    val quarter = docs.filter(Sampling.hashBucket($"doc_id") <= "3f")
+    val nHalf = half.count()
+    val nQuarter = quarter.count()
+    // 256-bucket uniformity at n=2000: generous ±10% bands
+    assert(nHalf > 900 && nHalf < 1100, s"half=$nHalf")
+    assert(nQuarter > 400 && nQuarter < 600, s"quarter=$nQuarter")
+    // monotone: the quarter sample is a subset of the half sample
+    assert(quarter.join(half, "doc_id", "left_anti").count() === 0)
+    // stable: same ids selected on re-evaluation
+    assert(half.agg(org.apache.spark.sql.functions.sum($"doc_id")).head.getLong(0)
+      === half.agg(org.apache.spark.sql.functions.sum($"doc_id")).head.getLong(0))
+  }
+
+  test("split assignment is exhaustive and roughly 80/10/10") {
+    val docs = (1L to 3000L).map(i => (i, "s", "x")).toDF("doc_id", "source", "text")
+    val counts = Sampling.splitCountsQuery(docs)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(counts.values.sum === 3000L)
+    assert(counts("train") > 2200 && counts("train") < 2600, counts.toString)
+    assert(counts("val") > 150 && counts("val") < 450, counts.toString)
+    assert(counts("test") > 150 && counts("test") < 450, counts.toString)
+  }
+
+  test("chunking covers the doc with the configured overlap") {
+    // 100 words, C=32, S=24 -> k = 1 + ceil(68/24) = 4 chunks:
+    // [1..32], [25..56], [49..80], [73..100]
+    val words = (1 to 100).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val rows = Chunking.chunkQuery(docs).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3))).sortBy(_._1)
+    assert(rows.length === 4)
+    assert(rows.map(_._2).toSeq === Seq(32, 32, 32, 28))
+    assert(rows(0)._3.startsWith("w1 w2 ") && rows(0)._3.endsWith(" w32"))
+    assert(rows(1)._3.startsWith("w25 ") && rows(1)._3.endsWith(" w56"))
+    assert(rows(3)._3.startsWith("w73 ") && rows(3)._3.endsWith(" w100"))
+  }
+
+  test("chunking edges: short doc and empty doc") {
+    val docs = Seq((1L, "a b c"), (2L, "   ")).toDF("doc_id", "text")
+    val byDoc = Chunking.chunkQuery(docs).collect()
+      .groupBy(_.getLong(0))
+    assert(byDoc(1L).length === 1)
+    assert(byDoc(1L).head.getString(3) === "a b c")
+    assert(byDoc(2L).length === 1)
+    assert(byDoc(2L).head.getInt(2) === 0)
+    assert(byDoc(2L).head.getString(3) === "")
+  }
+}
