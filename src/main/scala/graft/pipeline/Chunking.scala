@@ -44,10 +44,51 @@ object Chunking {
         array_join(col("chunk"), " ").as("chunk_text"))
   }
 
+  /** Context-window budget for the padding report. */
+  val PackWindow = 64
+
+  /** Training-cost report for pad-to-window batching: if each doc is
+    * padded up to a multiple of `w` words (no cross-doc packing), how
+    * much of the token budget is padding, per source? `padding_frac` =
+    * 1 - real/padded — the number a pipeline inspects before deciding
+    * to concat-and-split instead. One map-side-combined aggregation on
+    * the low-cardinality source key; fractions are a single IEEE
+    * division of exact ints, hash-identical to the oracle. */
+  def packPaddingStatsQuery(docs: DataFrame, w: Int = PackWindow): DataFrame =
+    docs.select(
+        col("source"),
+        expr("size(filter(split(text, '\\\\s+'), x -> x != ''))").as("n_words"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("total_words"),
+        sum(expr(s"CAST((n_words + ${w - 1}) div $w AS BIGINT)")).as("n_windows"))
+      .select(
+        col("source"), col("n_docs"), col("total_words"), col("n_windows"),
+        expr(s"""IF(n_windows = 0, CAST(NULL AS DOUBLE),
+                |   1.0D - CAST(total_words AS DOUBLE)
+                |     / CAST(n_windows * ${w}L AS DOUBLE))""".stripMargin)
+          .as("padding_frac"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "doc_chunks" -> ((s, d) => chunkQuery(Tables.documents(s, d))))
+    "doc_chunks" -> ((s, d) => chunkQuery(Tables.documents(s, d))),
+    "pack_padding_stats" -> ((s, d) => packPaddingStatsQuery(Tables.documents(s, d))))
 
   def oracles: Map[String, String] = Map(
+    "pack_padding_stats" ->
+      s"""WITH n AS (
+         |  SELECT source,
+         |         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_words
+         |  FROM documents)
+         |SELECT source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS total_words,
+         |  CAST(sum((n_words + ${PackWindow - 1}) // $PackWindow) AS BIGINT) AS n_windows,
+         |  CASE WHEN sum((n_words + ${PackWindow - 1}) // $PackWindow) = 0 THEN NULL
+         |       ELSE 1.0 - sum(n_words)::DOUBLE
+         |              / (CAST(sum((n_words + ${PackWindow - 1}) // $PackWindow) AS BIGINT) * $PackWindow)::DOUBLE
+         |  END AS padding_frac
+         |FROM n GROUP BY source""".stripMargin,
     "doc_chunks" ->
       s"""WITH b AS (
          |  SELECT doc_id,

@@ -80,13 +80,44 @@ object Repetition {
         .as("top_bigram_char_frac"))
   }
 
+  /** Corpus-wide top-20 word bigrams — the classic n-gram frequency
+    * report. Scale shape: per-row bigram explode → hash-partitioned
+    * count (map-side partial agg absorbs the heavy hitters) → global
+    * top-k planned as TakeOrderedAndProject (per-partition top-20, then
+    * a 20-row-per-partition merge on the driver — no global sort, no
+    * single-partition funnel). Tiebreak (count desc, bigram asc) matches
+    * the oracle's ORDER BY. */
+  def topBigramsQuery(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.select(Stage.once(expr("filter(split(text, '\\\\s+'), x -> x != '')")).as("w"))
+      .select(explode(expr(
+        """CASE WHEN size(w) < 2 THEN CAST(array() AS ARRAY<STRING>)
+          |ELSE zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
+          |             (a, b) -> concat(a, ' ', b)) END""".stripMargin)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("bigram"))
+      .limit(k)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "quality_repetition" -> ((s, d) => repetitionQuery(Tables.documents(s, d))))
+    "quality_repetition" -> ((s, d) => repetitionQuery(Tables.documents(s, d))),
+    "corpus_top_bigrams" -> ((s, d) => topBigramsQuery(Tables.documents(s, d))))
 
   /** The oracle spells the same signals relationally (unnest + group-by +
     * rank) — an independent derivation, which is the point: two different
     * computations, one hash. */
   def oracles: Map[String, String] = Map(
+    "corpus_top_bigrams" ->
+      s"""WITH w AS (
+         |  SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+         |  FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(w)),
+         |                               i -> w[i] || ' ' || w[i + 1])) AS bigram
+         |  FROM w)
+         |SELECT bigram, count(*) AS n_occurrences
+         |FROM bg GROUP BY bigram
+         |ORDER BY n_occurrences DESC, bigram ASC
+         |LIMIT 20""".stripMargin,
     "quality_repetition" ->
       s"""WITH base AS (
          |  SELECT doc_id,

@@ -45,6 +45,16 @@ class RepetitionSpec extends SparkSpec {
     assert(m(4L).isNullAt(m(4L).fieldIndex("dup_word_frac")))
   }
 
+  test("corpus top bigrams ranks by count then bigram") {
+    val df = Seq(1L -> "x y x y z", 2L -> "x y q", 3L -> "a b").toDF("doc_id", "text")
+    // "x y": 3 (doc1 twice, doc2 once); "y x": 1; ...
+    val rows = Repetition.topBigramsQuery(df, k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.head === ("x y" -> 3L))
+    assert(rows(1) === ("a b" -> 1L)) // count-1 ties break lexicographically
+    assert(rows.length === 3)
+  }
+
   test("strict-first tiebreak: later equal run never replaces the arg") {
     // bigrams sorted: "b c","b c","z z","z z" — equal maxima; first wins.
     // words: b c b c z z z? Construct: "z z z b c b c" ->

@@ -47,6 +47,18 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(rows(3)._3.startsWith("w73 ") && rows(3)._3.endsWith(" w100"))
   }
 
+  test("pack padding stats: windows and padding fraction") {
+    // W=64: 100 words -> 2 windows (28 pad); 10 words -> 1 window (54 pad)
+    val docs = Seq(
+      (1L, "s", ("w " * 100).trim),
+      (2L, "s", ("w " * 10).trim)).toDF("doc_id", "source", "text")
+    val r = Chunking.packPaddingStatsQuery(docs).collect().head
+    assert(r.getAs[Long]("n_docs") === 2L)
+    assert(r.getAs[Long]("total_words") === 110L)
+    assert(r.getAs[Long]("n_windows") === 3L)
+    assert(r.getAs[Double]("padding_frac") === (1.0 - 110.0 / 192.0))
+  }
+
   test("chunking edges: short doc and empty doc") {
     val docs = Seq((1L, "a b c"), (2L, "   ")).toDF("doc_id", "text")
     val byDoc = Chunking.chunkQuery(docs).collect()
