@@ -75,7 +75,7 @@ object ScaleGen {
         "user_id" -> stride(events, "user_id"))), "events")
 
     val emb = load("embeddings")
-    write(replicate(emb, Map("id" -> stride(emb, "id"))), "embeddings")
+    write(replicate(emb, Map("vec_id" -> stride(emb, "vec_id"))), "embeddings")
 
     // documents: factor-member clusters per base doc — replica 0 is the
     // base, odd replicas byte-identical, even replicas near-dup variants.

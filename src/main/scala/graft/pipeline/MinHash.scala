@@ -136,6 +136,17 @@ object MinHash {
   def signatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), sigCol(col("text")).as("sig"))
 
+  /** (doc_id, band, bh) exploded band keys of a `(doc_id, sig)` frame —
+    * the LSH bucket key both the batch self-join and the streaming
+    * store join hash on. */
+  def bandKeys(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), posexplode(expr(bandsExpr)).as(Seq("band", "bh")))
+
+  /** Column form of [[sigMatchesGE]] for external joins. */
+  def sigMatchCol(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sigMatchGeUdf(a, b)
+
   /** D4/D5: duplicate -> original attribution via banded LSH join, with
     * the hot-bucket skew mitigation built in: docs with byte-identical
     * signatures collapse to ONE representative (their min doc_id) before
@@ -154,13 +165,18 @@ object MinHash {
     * Signatures are persisted: the sig subtree (a 40k-op kernel per row)
     * feeds the grouping, the rep band join, verification, and the
     * per-member attribution (the multi-use-subtree idiom). */
-  def duplicateOf(docs: DataFrame): DataFrame = {
+  def duplicateOf(docs: DataFrame): DataFrame = duplicateOfSigs(signatures(docs))
+
+  /** [[duplicateOf]] over a precomputed `(doc_id, sig)` frame — lets the
+    * streaming path share one signature-kernel evaluation between the
+    * in-batch join and the store join. */
+  def duplicateOfSigs(sigs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // one shuffle keyed on the full sig array (exact — no hash-collision
     // risk; the wide arrays cross the wire once, same as the old
     // id-rejoin shipped them) derives each doc's group min AND the
     // representative set in a single window pass.
-    val withG = signatures(docs)
+    val withG = sigs
       .withColumn("gid", min(col("doc_id")).over(Window.partitionBy(col("sig"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = withG.filter(col("doc_id") === col("gid"))

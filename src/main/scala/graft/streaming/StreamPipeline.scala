@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
-import graft.pipeline.{Clean, Dedup, Quality}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import graft.pipeline.{Clean, Dedup, MinHash, Quality}
 
 /** Structured Streaming variant of the pipeline (D6/S4 analogue;
   * reference: deduplicator.py:224-260 `deduplicate_stream` consumes a
@@ -82,6 +82,85 @@ object StreamPipeline {
         col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Streaming NEAR-dup (MinHash LSH) dedup — the reference's
+    * `deduplicate_stream` (deduplicator.py:224-260: a growing in-memory
+    * LSH index queried per doc) re-expressed Spark-first: `foreachBatch`
+    * turns each micro-batch into a regular DataFrame, which is (1)
+    * near-dup'd WITHIN the batch by the batch operator
+    * (`MinHash.duplicateOf`, skew-collapsed band join), then (2)
+    * band-joined against a PERSISTENT signature store — partitioned
+    * parquet playing the reference's index, so state survives restarts
+    * and scales as a table, not as executor memory. Batch survivors'
+    * signatures append to the store; verdicts append to `outDir`.
+    *
+    * Semantics note (documented trade): the reference processes docs one
+    * by one, so a doc never matches a duplicate admitted before it; the
+    * micro-batch form attributes in-batch duplicates in parallel, so an
+    * `original_id` may itself be a duplicate of a store doc (chains are
+    * resolvable downstream). First-seen-wins holds across batches
+    * exactly: only store-unique survivors are ever indexed.
+    *
+    * Scale: per batch, two band-hash joins (batch self-join + batch ×
+    * store) — both banded LSH shapes, never all-pairs; the store join
+    * prunes to colliding buckets and verifies with the early-exit
+    * signature kernel. */
+  def nearDupStream(docs: DataFrame, stateDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        nearDupBatch(batch, stateDir, outDir)
+      }
+      .start()
+
+  /** One micro-batch of [[nearDupStream]] — also directly callable for
+    * incremental BATCH ingestion (nightly corpus deltas against the same
+    * store). */
+  def nearDupBatch(batch: DataFrame, stateDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val sigs = MinHash.signatures(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (1) within-batch attribution (min-id original wins, LSH-verified);
+    // shares the persisted signature frame with the store join below.
+    val inBatch = MinHash.duplicateOfSigs(sigs)
+      .select(col("duplicate_id").as("doc_id"), col("original_id").as("batch_orig"))
+    // (2) cross-store attribution: batch bands vs store bands, verified
+    val hasStore = new java.io.File(stateDir).exists()
+    val storeDup =
+      if (!hasStore) {
+        spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0L).as("store_orig"))
+          .limit(0)
+      } else {
+        val store = spark.read.parquet(stateDir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        MinHash.bandKeys(sigs).as("b")
+          .join(MinHash.bandKeys(store).withColumnRenamed("doc_id", "store_id").as("s"),
+            col("b.band") === col("s.band") && col("b.bh") === col("s.bh"))
+          .select(col("b.doc_id").as("doc_id"), col("store_id")).distinct()
+          .join(sigs.select(col("doc_id"), col("sig")), "doc_id")
+          .join(store.select(col("doc_id").as("store_id"), col("sig").as("store_sig")),
+            "store_id")
+          .filter(MinHash.sigMatchCol(col("sig"), col("store_sig")))
+          .groupBy(col("doc_id"))
+          .agg(min(col("store_id")).as("store_orig"))
+      }
+    // verdicts: store match (earlier batch) wins over in-batch original
+    val verdicts = batch.select(col("doc_id"))
+      .join(storeDup, Seq("doc_id"), "left")
+      .join(inBatch, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("store_orig"), col("batch_orig")).as("original_id"),
+        coalesce(col("store_orig"), col("batch_orig")).isNotNull.as("is_duplicate"))
+    verdicts.write.mode("append").parquet(outDir)
+    // (3) index only the survivors — first-seen-wins across batches
+    sigs.join(
+        verdicts.filter(col("is_duplicate")).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(stateDir)
+    sigs.unpersist()
+  }
 
   /** Streaming sessionization — the streaming twin of
     * `Relational.sessionizeEvents` (same 30-minute inactivity gap),
