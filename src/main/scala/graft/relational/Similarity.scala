@@ -190,7 +190,14 @@ object Similarity {
     * every sign bit, so bucket blocking loses only boundary cases — and
     * keeps the join ~1/256 of all-pairs at any scale. (The driver's
     * synthetic embeddings top out at cosine 0.51, so the sf result is
-    * legitimately empty; SimilaritySpec plants real near-dups.) */
+    * legitimately empty; SimilaritySpec plants real near-dups.)
+    *
+    * Scale knob: at fixed hyperplane count the per-bucket pair join grows
+    * quadratically with bucket occupancy (measured 0.64 s → 6.7 s for 10x
+    * vectors at the 10x probe), so the bit count should grow with the
+    * corpus — each added plane halves expected occupancy (quarter the
+    * pairs) at the cost of more boundary misses; banded multi-probe (à la
+    * the MinHash band join) recovers recall if needed. */
   def embedDedup(emb: DataFrame, threshold: Double = DedupCosine): DataFrame = {
     val b = emb.select(col("vec_id"), col("embedding"),
       expr(bucketS("embedding")).as("bucket"))
