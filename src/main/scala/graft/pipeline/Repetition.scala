@@ -98,14 +98,67 @@ object Repetition {
       .orderBy(col("n_occurrences").desc, col("bigram"))
       .limit(k)
 
+  /** Corpus-informed commonness score — the integer-exact cousin of the
+    * CCNet/RefinedWeb LM-perplexity filter: a doc whose words are rare
+    * corpus-wide (low average corpus frequency) is jargon/noise; one
+    * whose words are all top-frequency is boilerplate. Two-pass by
+    * nature (the corpus frequency table IS the model).
+    *
+    * Scale shape: per-doc (word, count) pairs first (one hash shuffle on
+    * (doc_id, word)), then the frequency join runs on the COLLAPSED
+    * per-doc vocabulary, not raw token rows — a "the"-heavy corpus ships
+    * one row per (doc, "the"), not one per occurrence, which is the skew
+    * story for a Zipf vocabulary; AQE skew-join splits any residual hot
+    * word. Docs with zero words drop out (both engines inner-join).
+    * The score is exact-int sums + one IEEE division — hash-identical
+    * to the oracle. */
+  def commonnessQuery(docs: DataFrame): DataFrame = {
+    val perDocWord = docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, '\\\\s+'), x -> x != '')")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n_occ"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = perDocWord.groupBy(col("word"))
+      .agg(sum(col("n_occ")).as("corpus_freq"))
+    perDocWord.join(freq, "word")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n_occ")).as("n_words"),
+        sum(col("n_occ") * col("corpus_freq")).as("total_freq"))
+      .select(
+        col("doc_id"), col("n_words"), col("total_freq"),
+        (col("total_freq").cast("double") / col("n_words").cast("double"))
+          .as("avg_word_freq"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_repetition" -> ((s, d) => repetitionQuery(Tables.documents(s, d))),
-    "corpus_top_bigrams" -> ((s, d) => topBigramsQuery(Tables.documents(s, d))))
+    "corpus_top_bigrams" -> ((s, d) => topBigramsQuery(Tables.documents(s, d))),
+    "doc_commonness" -> ((s, d) => commonnessQuery(Tables.documents(s, d))))
 
   /** The oracle spells the same signals relationally (unnest + group-by +
     * rank) — an independent derivation, which is the point: two different
     * computations, one hash. */
   def oracles: Map[String, String] = Map(
+    "doc_commonness" ->
+      s"""WITH pdw AS (
+         |  SELECT doc_id, word, count(*) AS n_occ
+         |  FROM (SELECT doc_id,
+         |               unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+         |                                  x -> x <> '')) AS word
+         |        FROM documents)
+         |  GROUP BY doc_id, word),
+         |freq AS (
+         |  SELECT word, CAST(sum(n_occ) AS BIGINT) AS corpus_freq
+         |  FROM pdw GROUP BY word)
+         |SELECT p.doc_id,
+         |  CAST(sum(p.n_occ) AS BIGINT) AS n_words,
+         |  CAST(sum(p.n_occ * f.corpus_freq) AS BIGINT) AS total_freq,
+         |  CAST(sum(p.n_occ * f.corpus_freq) AS BIGINT)::DOUBLE
+         |    / CAST(sum(p.n_occ) AS BIGINT)::DOUBLE AS avg_word_freq
+         |FROM pdw p JOIN freq f USING (word)
+         |GROUP BY p.doc_id""".stripMargin,
     "corpus_top_bigrams" ->
       s"""WITH w AS (
          |  SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w

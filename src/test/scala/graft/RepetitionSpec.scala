@@ -55,6 +55,17 @@ class RepetitionSpec extends SparkSpec {
     assert(rows.length === 3)
   }
 
+  test("doc commonness averages corpus frequency over doc words") {
+    // corpus: "a" x2, "b" x2, "c" x1
+    // doc1 = "a b a": n=3, total = 2*2 + 1*2 = 6, avg = 2.0
+    // doc2 = "b c":   n=2, total = 2 + 1 = 3,     avg = 1.5
+    val df = Seq(1L -> "a b a", 2L -> "b c").toDF("doc_id", "text")
+    val m = Repetition.commonnessQuery(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(m(1L) === ((3L, 6L, 2.0)))
+    assert(m(2L) === ((2L, 3L, 1.5)))
+  }
+
   test("strict-first tiebreak: later equal run never replaces the arg") {
     // bigrams sorted: "b c","b c","z z","z z" — equal maxima; first wins.
     // words: b c b c z z z? Construct: "z z z b c b c" ->
