@@ -104,7 +104,11 @@ object StreamPipeline {
     * Scale: per batch, two band-hash joins (batch self-join + batch ×
     * store) — both banded LSH shapes, never all-pairs; the store join
     * prunes to colliding buckets and verifies with the early-exit
-    * signature kernel. */
+    * signature kernel.
+    *
+    * Delivery: parquet-append in foreachBatch is at-least-once (a batch
+    * replayed after a crash re-appends); production sinks either write
+    * to a transactional table or dedup verdicts on (doc_id) at read. */
   def nearDupStream(docs: DataFrame, stateDir: String, outDir: String,
       checkpointDir: String): StreamingQuery =
     docs.writeStream
