@@ -214,8 +214,43 @@ object Similarity {
       .agg(min(col("id_a")).as("original_id"))
   }
 
+  /** Multi-probe form of [[embedDedup]]: each vector additionally probes
+    * the [[NumPlanes]] buckets at Hamming distance 1 from its own, so a
+    * near-dup pair split by ONE sign flip (the dominant boundary-miss
+    * mode of exact-bucket blocking: near-identical vectors sit near the
+    * same hyperplanes) still collides. This is the recall side of the
+    * scale knob documented on [[embedDedup]]: grow the plane count for
+    * occupancy, probe neighbors to win back the recall the extra bits
+    * cost. Exactly one probe matches per qualifying pair (the flipped
+    * bit is unique), so the pair set needs no distinct; join size is
+    * (1 + planes) x the exact-bucket join, linear in the probe count.
+    * Cosine verification is unchanged — multi-probe only widens the
+    * candidate net, never the result criterion. */
+  def embedDedupMultiProbe(emb: DataFrame, threshold: Double = DedupCosine): DataFrame = {
+    val b = emb.select(col("vec_id"), col("embedding"),
+      expr(bucketS("embedding")).as("bucket"))
+    val probes = b.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+        explode(expr(
+          s"""transform(sequence(0, $NumPlanes),
+             |  k -> CASE WHEN k = 0 THEN bucket
+             |            ELSE CAST(bucket AS INT) ^ shiftleft(1, k - 1) END)"""
+            .stripMargin)).as("bucket"))
+    val pairs = probes
+      .join(b.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("bucket")),
+        "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", expr(dotS("e_a", "e_b")))
+      .withColumn("na", expr(dotS("e_a", "e_a")))
+      .withColumn("nb", expr(dotS("e_b", "e_b")))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .filter(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))) >= threshold)
+    pairs.groupBy(col("id_b").as("duplicate_id"))
+      .agg(min(col("id_a")).as("original_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> ((s, d) => topK(Tables.embeddings(s, d))),
+    "sim_embed_dedup_mp" -> ((s, d) => embedDedupMultiProbe(Tables.embeddings(s, d))),
     "sim_ann_lsh" -> ((s, d) => annTopK(Tables.embeddings(s, d))),
     "sim_ivf_topk" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "sim_embed_dedup" -> ((s, d) => embedDedup(Tables.embeddings(s, d))))
@@ -239,6 +274,23 @@ object Similarity {
       .mkString(" + ")
 
   def oracles: Map[String, String] = Map(
+    "sim_embed_dedup_mp" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketD("embedding")} AS bucket FROM embeddings),
+         |p AS (
+         |  SELECT vec_id, embedding,
+         |         unnest(list_transform(range(0, ${NumPlanes + 1}),
+         |                k -> CASE WHEN k = 0 THEN bucket
+         |                          ELSE xor(bucket, (1 << (k - 1))) END)) AS bucket
+         |  FROM b),
+         |pairs AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |         ${dotD("x.embedding", "y.embedding")} AS dot,
+         |         ${dotD("x.embedding", "x.embedding")} AS na,
+         |         ${dotD("y.embedding", "y.embedding")} AS nb
+         |  FROM p x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT id_b AS duplicate_id, min(id_a) AS original_id FROM pairs
+         |WHERE na > 0 AND nb > 0 AND dot / (sqrt(na) * sqrt(nb)) >= $DedupCosine
+         |GROUP BY id_b""".stripMargin,
     "sim_embed_dedup" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${bucketD("embedding")} AS bucket FROM embeddings),
          |pairs AS (

@@ -56,6 +56,32 @@ class NearDupSpec extends SparkSpec {
     assert(dup == Set((20L, 10L)))
   }
 
+  test("multi-probe embed dedup finds a pair split by one sign flip; exact blocking misses it") {
+    // Construct a near-dup pair straddling plane 0: w has zero projection
+    // on plane 0, v± = w ± delta * plane0 land in buckets differing in
+    // exactly bit 0 while agreeing on every other plane's (nonzero) sign.
+    val p0 = Similarity.planes(0)
+    val ones = Array.fill(Similarity.Dim)(1.0)
+    val s0 = p0.sum // p0 . ones
+    val w = Array.tabulate(Similarity.Dim)(i => ones(i) - s0 / Similarity.Dim * p0(i))
+    // precondition: every OTHER plane projects w away from its boundary
+    (1 until Similarity.NumPlanes).foreach { k =>
+      val pk = Similarity.planes(k)
+      val proj = pk.zip(w).map { case (a, b) => a * b }.sum
+      assert(math.abs(proj) > 1.0, s"plane $k too close to boundary: $proj")
+    }
+    val delta = 0.01
+    val vPlus = Array.tabulate(Similarity.Dim)(i => (w(i) + delta * p0(i)).toFloat)
+    val vMinus = Array.tabulate(Similarity.Dim)(i => (w(i) - delta * p0(i)).toFloat)
+    val far = Array.tabulate(Similarity.Dim)(i => math.cos(5 * i + 1).toFloat)
+    val emb = Seq((10L, vPlus, 0), (11L, vMinus, 0), (12L, far, 1))
+      .toDF("vec_id", "embedding", "label")
+    val exact = Similarity.embedDedup(emb).as[(Long, Long)].collect().toSet
+    val mp = Similarity.embedDedupMultiProbe(emb).as[(Long, Long)].collect().toSet
+    assert(exact === Set.empty, s"exact blocking unexpectedly caught $exact")
+    assert(mp === Set((11L, 10L)))
+  }
+
   test("IVF top-k: a planted near neighbor lands in the query's probed cell and ranks first") {
     val rnd = new scala.util.Random(3)
     // two well-separated clusters; queries (vec_id < NumQueries) and their
