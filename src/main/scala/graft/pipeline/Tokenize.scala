@@ -92,10 +92,40 @@ object Tokenize {
           .as("compression_ratio"))
   }
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to the Java∩RE2
+    * regex subset: contraction suffixes, space-prefixed letter runs,
+    * digit runs, punctuation runs. Deviation from the original
+    * (documented): GPT-2's trailing `\s+(?!\S)` branch needs lookahead,
+    * which RE2 lacks — pure-whitespace tokens are simply not counted
+    * here (both engines agree with themselves, which is what the hash
+    * gate needs). Alternation is leftmost-first in BOTH Java regex and
+    * RE2, so the branch order semantics match. */
+  val BpeIshRe = """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
+
+  /** Token counting with the BPE-ish regex next to plain whitespace
+    * words — the "how many tokens is this corpus" sizing pass, per
+    * source. A single map-side-combined aggregation; both counts are
+    * codegen'd regexp_count over the scan. */
+  def regexStatsQuery(docs: DataFrame): DataFrame =
+    docs.select(
+        col("source"),
+        regexp_count(col("text"), lit(BpeIshRe)).as("n_bpeish"),
+        regexp_count(col("text"), lit("""\S+""")).as("n_ws"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bpeish").cast("long")).as("total_bpeish_tokens"),
+        sum(col("n_ws").cast("long")).as("total_ws_words"))
+      .select(
+        col("source"), col("n_docs"), col("total_bpeish_tokens"), col("total_ws_words"),
+        (col("total_bpeish_tokens").cast("double") / col("total_ws_words").cast("double"))
+          .as("tokens_per_word"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tok_vocab" -> ((s, d) => vocabQuery(Tables.documents(s, d))),
     "tok_encode" -> ((s, d) => encodeQuery(Tables.documents(s, d))),
-    "tok_stats" -> ((s, d) => statsQuery(Tables.documents(s, d))))
+    "tok_stats" -> ((s, d) => statsQuery(Tables.documents(s, d))),
+    "tok_regex_stats" -> ((s, d) => regexStatsQuery(Tables.documents(s, d))))
 
   // -----------------------------------------------------------------------
   // DuckDB oracle
@@ -112,6 +142,16 @@ object Tokenize {
        |        QUALIFY id < ${VocabWords + NumSpecials})""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "tok_regex_stats" ->
+      s"""SELECT source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(text, '${BpeIshRe.replace("'", "''")}'))) AS BIGINT)
+         |    AS total_bpeish_tokens,
+         |  CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_ws_words,
+         |  CAST(sum(len(regexp_extract_all(text, '${BpeIshRe.replace("'", "''")}'))) AS BIGINT)::DOUBLE
+         |    / CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)::DOUBLE
+         |    AS tokens_per_word
+         |FROM documents GROUP BY source""".stripMargin,
     "tok_vocab" ->
       s"""WITH $vocabCte
          |SELECT token, id, freq FROM (VALUES
