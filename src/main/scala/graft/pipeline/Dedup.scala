@@ -57,11 +57,51 @@ object Dedup {
       (count(lit(1)) - countDistinct(col("h"))).as("duplicate_documents"))
   }
 
+  /** A line is boilerplate once it appears in this many distinct docs. */
+  val LineDropDf = 2
+
+  /** Cross-document LINE-level dedup (Dolma / RefinedWeb boilerplate
+    * removal): a line appearing in >= [[LineDropDf]] DISTINCT documents
+    * is dropped from every document; each doc is rebuilt from its
+    * surviving lines in original order. Complements doc-level dedup —
+    * it removes repeated headers/footers/navigation from documents that
+    * are NOT duplicates of each other.
+    *
+    * Scale shape: posexplode (narrow) → one count-distinct shuffle on
+    * the line text (md5-uniform at scale if lines are hashed; kept raw
+    * here so the oracle can join on equality) → one shuffle back on
+    * doc_id for the ordered rebuild. Line-frequency skew (the empty
+    * line, "References") concentrates COUNTING, not payload: the
+    * count-distinct partial-aggregates per partition before the
+    * exchange, so hot lines cross the wire once per partition. Empty
+    * lines participate like any other (an empty line shared by >= 2
+    * docs drops); order is restored by sorting (pos, line) structs, so
+    * the rebuild is collect-order-independent — deterministic under any
+    * partitioning. */
+  def lineDedupQuery(docs: DataFrame): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val lineDf = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+    lines.join(lineDf, "line")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("line_df") < LineDropDf, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          expr(s"""transform(
+                  |  array_sort(collect_list(
+                  |    IF(line_df < $LineDropDf, struct(pos, line), NULL))),
+                  |  x -> x.line)""".stripMargin),
+          "\n").as("text_kept"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) =>
       exactDedup(Tables.documents(s, d)).select("doc_id", "content_hash")),
     "dedup_exact_dupmap" -> ((s, d) => exactDuplicateOf(Tables.documents(s, d))),
-    "dedup_exact_stats" -> ((s, d) => exactStatsQuery(Tables.documents(s, d))))
+    "dedup_exact_stats" -> ((s, d) => exactStatsQuery(Tables.documents(s, d))),
+    "dedup_lines" -> ((s, d) => lineDedupQuery(Tables.documents(s, d))))
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -86,5 +126,19 @@ object Dedup {
          |       count(DISTINCT h) AS unique_documents,
          |       count(*) - count(DISTINCT h) AS duplicate_documents
          |FROM (SELECT md5(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'))) AS h
-         |      FROM documents)""".stripMargin)
+         |      FROM documents)""".stripMargin,
+    "dedup_lines" ->
+      s"""WITH b AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+         |l AS (SELECT doc_id, unnest(range(len(ls))) AS pos, ls FROM b),
+         |lines AS (SELECT doc_id, pos, ls[pos + 1] AS line FROM l),
+         |df AS (SELECT line, count(DISTINCT doc_id) AS line_df
+         |       FROM lines GROUP BY line)
+         |SELECT doc_id,
+         |  count(*) AS n_lines,
+         |  CAST(sum(CASE WHEN line_df < $LineDropDf THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  COALESCE(array_to_string(
+         |    list(line ORDER BY pos) FILTER (WHERE line_df < $LineDropDf),
+         |    chr(10)), '') AS text_kept
+         |FROM lines JOIN df USING (line)
+         |GROUP BY doc_id""".stripMargin)
 }

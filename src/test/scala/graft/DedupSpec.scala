@@ -37,4 +37,28 @@ class DedupSpec extends SparkSpec {
     val d = docs(1L -> "a  b", 2L -> "a b")
     assert(Dedup.exactDedup(d).count() == 2L)
   }
+
+  test("line dedup drops cross-doc boilerplate lines, keeps order") {
+    // "FOOTER" appears in docs 1 and 2 (distinct docs) -> dropped from
+    // both; the doubled "body one" inside doc 1 is WITHIN one doc ->
+    // kept (df counts distinct docs, not occurrences).
+    val d = docs(
+      1L -> "body one\nFOOTER\nbody one\nbody two",
+      2L -> "other text\nFOOTER",
+      3L -> "standalone")
+    val m = Dedup.lineDedupQuery(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(m(1L) === ((4L, 3L, "body one\nbody one\nbody two")))
+    assert(m(2L) === ((2L, 1L, "other text")))
+    assert(m(3L) === ((1L, 1L, "standalone")))
+  }
+
+  test("line dedup: a doc whose every line is boilerplate keeps empty text") {
+    val d = docs(1L -> "X", 2L -> "X", 3L -> "y")
+    val m = Dedup.lineDedupQuery(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(m(1L) === ((0L, "")))
+    assert(m(2L) === ((0L, "")))
+    assert(m(3L) === ((1L, "y")))
+  }
 }
