@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Analytics, Bpe, Chunking, Clean, Dedup, MinHash, NearDup, PipelineOps, Quality, Repetition, Sampling, Tokenize, Unigram, Wiki}
+import graft.pipeline.{Analytics, Bpe, Chunking, Clean, Contamination, Dedup, MinHash, NearDup, PipelineOps, Quality, Repetition, Sampling, Tokenize, Unigram, Wiki}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,7 @@ object SparkEntry {
       (Repetition.queries, Repetition.oracles),
       (Sampling.queries, Sampling.oracles),
       (Chunking.queries, Chunking.oracles),
+      (Contamination.queries, Contamination.oracles),
       (Dedup.queries, Dedup.oracles),
       (MinHash.queries, MinHash.oracles),
       (Tokenize.queries, Tokenize.oracles),

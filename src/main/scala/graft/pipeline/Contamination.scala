@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Eval-set decontamination — the pre-training hygiene op (GPT-3 §C,
+  * PaLM, Llama: drop or flag training docs that share long n-grams with
+  * an evaluation benchmark) that sits beside dedup in every production
+  * pipeline but outside the single-corpus reference's scope.
+  *
+  * The benchmark here is a deterministic stand-in: the [[BenchmarkDocs]]
+  * lowest-id documents play the eval set, everything else is the
+  * training corpus. Contamination = a training doc sharing at least one
+  * distinct word [[GramN]]-gram with any benchmark doc.
+  *
+  * Scale shape: the benchmark gram set is SMALL by construction (eval
+  * sets are thousands of docs, not billions), so it broadcasts; the
+  * training side explodes to distinct-per-doc grams and hash-joins the
+  * broadcast — a map-side semi-join over the scan, one shuffle to
+  * re-aggregate per doc. At 100 TB the training side never shuffles its
+  * grams; only matched rows (rare) reach the exchange. */
+object Contamination {
+
+  val GramN = 5
+  val BenchmarkDocs = 10
+
+  /** Distinct word n-grams of `text` as a column expression (built-in
+    * HOFs; the CASE guards short docs). */
+  private def gramsExpr(n: Int): String = {
+    val parts = (0 until n).map(k => s"element_at(w, i + $k)").mkString(", ")
+    s"""CASE WHEN size(w) < $n THEN CAST(array() AS ARRAY<STRING>)
+       |ELSE array_distinct(transform(sequence(1, size(w) - ${n - 1}),
+       |                              i -> concat_ws(' ', $parts))) END""".stripMargin
+  }
+
+  /** Per contaminated training doc: how many of its distinct
+    * [[GramN]]-grams appear anywhere in the benchmark. Only docs with
+    * >= 1 overlap are emitted (the flag list a pipeline would subtract
+    * or quarantine). */
+  def contaminationQuery(docs: DataFrame): DataFrame = {
+    val withGrams = docs.select(
+        col("doc_id"),
+        Stage.once(expr("filter(split(text, '\\\\s+'), x -> x != '')")).as("w"))
+      .select(col("doc_id"), explode(expr(gramsExpr(GramN))).as("gram"))
+    val benchGrams = withGrams.filter(col("doc_id") < BenchmarkDocs)
+      .select(col("gram")).distinct()
+    withGrams.filter(col("doc_id") >= BenchmarkDocs)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate_flags" -> ((s, d) => contaminationQuery(Tables.documents(s, d))))
+
+  def oracles: Map[String, String] = {
+    val parts = (0 until GramN).map(k => s"w[i + $k]").mkString(" || ' ' || ")
+    Map(
+      "decontaminate_flags" ->
+        s"""WITH b AS (
+           |  SELECT doc_id,
+           |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+           |  FROM documents),
+           |g AS (
+           |  SELECT DISTINCT doc_id,
+           |         unnest(list_transform(range(1, len(w) - ${GramN - 2}),
+           |                               i -> $parts)) AS gram
+           |  FROM b),
+           |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < $BenchmarkDocs)
+           |SELECT doc_id, count(*) AS n_contaminated_grams
+           |FROM g JOIN bench USING (gram)
+           |WHERE doc_id >= $BenchmarkDocs
+           |GROUP BY doc_id""".stripMargin)
+  }
+}
