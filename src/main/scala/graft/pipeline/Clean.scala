@@ -65,6 +65,46 @@ object Clean {
   def wordCount(c: Column): Column = regexp_count(c, lit(NonSpaceRunRe))
 
   // ---------------------------------------------------------------------
+  // Web-corpus cleaners (beyond the wiki-centric reference): PII
+  // redaction and HTML stripping, the two passes every web-crawl
+  // training pipeline runs. Same Java∩RE2 regex discipline as above.
+  // ---------------------------------------------------------------------
+
+  /** North-American-style phone numbers, optional +1 country code. */
+  val PhoneRe = """(?:\+?1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b"""
+  /** Dotted-quad IPv4 (loose: no octet range check, like most scrubbers). */
+  val Ipv4Re = """\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"""
+  /** SSN-shaped ddd-dd-dddd. */
+  val SsnRe = """\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"""
+  /** HTML/XML tags (non-greedy, single-line body like BeautifulSoup's
+    * fallback regex strippers; comments/scripts are tags too). */
+  val HtmlTagRe = """</?[A-Za-z][^>]*>"""
+
+  /** Redact PII spans with typed placeholder tokens (emails reuse
+    * [[EmailRe]]; phone before IP so extension digits don't half-match). */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        SsnRe, "<SSN>"),
+      Ipv4Re, "<IP>")
+
+  /** Strip HTML tags, then decode the five predefined entities. */
+  def stripHtml(c: Column): Column = {
+    val noTags = regexp_replace(c, HtmlTagRe, " ")
+    val amp = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(noTags, "&lt;", "<"),
+          "&gt;", ">"),
+        "&quot;", "\""),
+      "&#39;", "'")
+    regexp_replace(amp, "&amp;", "&")
+  }
+
+  // ---------------------------------------------------------------------
   // Registered queries
   // ---------------------------------------------------------------------
 
@@ -104,10 +144,25 @@ object Clean {
         sum(col("bytes_in")).as("total_bytes"),
         sum(col("removed")).as("chars_removed"))
 
+  /** PII scrub + per-doc counts — emits only docs that contained PII
+    * (the audit list; the testdata corpus is clean, so the sf result is
+    * legitimately empty and CleanSpec plants fixtures). A narrow
+    * projection + filter over the scan. */
+  def piiScrubQuery(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
+        regexp_count(col("text"), lit(SsnRe)).as("n_ssns"),
+        regexp_count(col("text"), lit(Ipv4Re)).as("n_ips"),
+        redactPii(col("text")).as("text_redacted"))
+      .filter(col("n_emails") + col("n_phones") + col("n_ssns") + col("n_ips") > 0)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "clean_regex" -> ((s, d) => cleanRegexQuery(Tables.documents(s, d))),
     "clean_minlen_filter" -> ((s, d) => minLenFilterQuery(Tables.documents(s, d))),
-    "clean_corpus_stats" -> ((s, d) => corpusStatsQuery(Tables.documents(s, d))))
+    "clean_corpus_stats" -> ((s, d) => corpusStatsQuery(Tables.documents(s, d))),
+    "clean_pii" -> ((s, d) => piiScrubQuery(Tables.documents(s, d))))
 
   /** Escape a regex for embedding in a single-quoted SQL literal. */
   private def q(re: String): String = re.replace("'", "''")
@@ -141,6 +196,22 @@ object Clean {
         s"""SELECT doc_id, length(text_clean) AS cleaned_length
            |FROM (SELECT doc_id, $cleanSql AS text_clean FROM documents)
            |WHERE length(text_clean) >= 100""".stripMargin,
+      "clean_pii" ->
+        s"""SELECT doc_id,
+           |  len(regexp_extract_all(text, '${q(EmailRe)}')) AS n_emails,
+           |  len(regexp_extract_all(text, '${q(PhoneRe)}')) AS n_phones,
+           |  len(regexp_extract_all(text, '${q(SsnRe)}')) AS n_ssns,
+           |  len(regexp_extract_all(text, '${q(Ipv4Re)}')) AS n_ips,
+           |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |    text, '${q(EmailRe)}', '<EMAIL>', 'g'),
+           |    '${q(PhoneRe)}', '<PHONE>', 'g'),
+           |    '${q(SsnRe)}', '<SSN>', 'g'),
+           |    '${q(Ipv4Re)}', '<IP>', 'g') AS text_redacted
+           |FROM documents
+           |WHERE len(regexp_extract_all(text, '${q(EmailRe)}'))
+           |    + len(regexp_extract_all(text, '${q(PhoneRe)}'))
+           |    + len(regexp_extract_all(text, '${q(SsnRe)}'))
+           |    + len(regexp_extract_all(text, '${q(Ipv4Re)}')) > 0""".stripMargin,
       "clean_corpus_stats" ->
         // CAST ... AS BIGINT: DuckDB sum(BIGINT) returns HUGEINT, which
         // pandas renders as float64 and the driver's value hash then
