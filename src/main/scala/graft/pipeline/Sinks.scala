@@ -48,6 +48,23 @@ object Sinks {
     Files.writeString(Paths.get(path), json + "\n")
   }
 
+  /** Training-shard writer: exactly `numShards` output files, docs
+    * assigned by a HASH of the id (deterministic "shuffle": adjacent
+    * source docs scatter across shards, every shard a uniform corpus
+    * sample — what a data loader wants) and sorted by id WITHIN each
+    * shard (stable iteration order, resumable readers). One exchange on
+    * the shard key; the per-shard sort happens inside each task. This is
+    * the standard final layout step of a training-data pipeline —
+    * `repartition(n, hash)` + `sortWithinPartitions`, NOT a global
+    * `orderBy` (which would range-partition and put the corpus through a
+    * sampling pass + skewed writers at 100 TB). */
+  def writeShards(df: DataFrame, path: String, numShards: Int,
+      idCol: String = "doc_id"): Unit =
+    df.withColumn("shard", pmod(xxhash64(col(idCol)), lit(numShards)).cast("int"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** A6: attach named observed metrics to a stage. The returned
     * Observation yields rows/bytes counters after the next action, without
     * a second pass over the data (vs the reference's per-stage timers,

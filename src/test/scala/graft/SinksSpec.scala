@@ -42,6 +42,29 @@ class SinksSpec extends SparkSpec {
     assert(txt == """{"n":2}""")
   }
 
+  test("shard writer: every doc in exactly one shard, sorted, one file per shard") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shards").resolve("out").toString
+    val df = (1L to 200L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    Sinks.writeShards(df, dir, numShards = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 200L)
+    assert(back.select("doc_id").distinct().count() === 200L)
+    // deterministic assignment: shard recomputes from the id
+    import org.apache.spark.sql.functions._
+    assert(back.filter(
+      col("shard") =!= pmod(xxhash64(col("doc_id")), lit(4)).cast("int")).count() === 0L)
+    // one data file per shard dir, ids sorted inside each file
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length === 4)
+    shardDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1)
+      val ids = spark.read.parquet(d.toString).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids === ids.sorted)
+    }
+  }
+
   test("observed stage metrics report rows and bytes after one action") {
     val (observed, obs) = Sinks.observeStage(docs, "clean_stage_test")
     observed.write.format("noop").mode("overwrite").save()
