@@ -167,6 +167,41 @@ object Relational {
         (col("ts_us") - col("last_click_ts")).as("us_since_click"))
   }
 
+  /** The same as-of join as a KEYED MERGE via
+    * `KeyValueGroupedDataset.cogroup` — the general-purpose distributed
+    * as-of engine: one shuffle per side on the join key, then a
+    * per-key sorted two-pointer merge (O(n_clicks + n_purchases) per
+    * user, vs the window form's carry-forward over the UNION of both
+    * event types). Same semantics and the same DuckDB oracle as
+    * `r_asof_purchase_click` — two independently-derived plans, one
+    * hash. The window form wins when both sides share one table (one
+    * shuffle total); cogroup wins when left and right are DIFFERENT
+    * relations (trades × quotes), where the window trick would first
+    * union them. Per-key buffers hold one user's events — bounded by
+    * per-key cardinality, not corpus size. */
+  def asofCogroup(events: DataFrame): DataFrame = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    val ev = events.select(
+        col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    val purchases = ev.filter(_._4 == "purchase").groupByKey(_._1)
+    val clicks = ev.filter(_._4 == "click").groupByKey(_._1)
+    purchases.cogroup(clicks) { (_, ps, cs) =>
+      val cArr = cs.toArray.sortBy(e => (e._3, e._2))
+      val pArr = ps.toArray.sortBy(e => (e._3, e._2))
+      var j = 0
+      var lastClick: Option[Long] = None
+      pArr.iterator.map { p =>
+        while (j < cArr.length &&
+            (cArr(j)._3 < p._3 || (cArr(j)._3 == p._3 && cArr(j)._2 < p._2))) {
+          lastClick = Some(cArr(j)._3); j += 1
+        }
+        AsofRow(p._1, p._2, p._3, lastClick, lastClick.map(p._3 - _))
+      }
+    }.toDF()
+  }
+
   /** Gap-based sessionization: a new session starts after 30 min of user
     * inactivity. Two stacked windows on the same (user_id, time) ordering
     * — Catalyst reuses one sort/exchange for both — then a per-session
@@ -243,9 +278,23 @@ object Relational {
     "r_approx_distinct_users" -> ((s, d) => approxDistinctUsers(eventsUs(s, d))),
     "r_distinct_users_exact" -> ((s, d) => distinctUsersExact(eventsUs(s, d))),
     "r_asof_purchase_click" -> ((s, d) => asofPurchaseAfterClick(eventsUs(s, d))),
+    "r_asof_cogroup" -> ((s, d) => asofCogroup(eventsUs(s, d))),
     "r_sessionize_events" -> ((s, d) => sessionizeEvents(eventsUs(s, d))),
     "r_value_band_join" -> ((s, d) => valueBandJoin(eventsUs(s, d))),
     "r_order_rollup" -> ((s, d) => orderRollup(Tables.orders(s, d))))
+
+  /** One oracle, two independently-derived Spark plans (window
+    * carry-forward and cogroup merge) — both must hash to it. */
+  private val AsofOracleSql =
+    """SELECT user_id, event_id, ts_us, last_click_ts,
+      |       ts_us - last_click_ts AS us_since_click
+      |FROM (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |         last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+      |  FROM events)
+      |WHERE event_type = 'purchase'""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "r_distinct_users_exact" ->
@@ -305,16 +354,8 @@ object Relational {
         |                            ORDER BY p_retailprice DESC, p_partkey) AS rn
         |  FROM part)
         |WHERE rn <= 3""".stripMargin,
-    "r_asof_purchase_click" ->
-      """SELECT user_id, event_id, ts_us, last_click_ts,
-        |       ts_us - last_click_ts AS us_since_click
-        |FROM (
-        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
-        |         last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
-        |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
-        |  FROM events)
-        |WHERE event_type = 'purchase'""".stripMargin,
+    "r_asof_purchase_click" -> AsofOracleSql,
+    "r_asof_cogroup" -> AsofOracleSql,
     "r_sessionize_events" ->
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
@@ -354,3 +395,8 @@ object Relational {
         |UNION ALL
         |SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)""".stripMargin)
 }
+
+/** Output row of [[Relational.asofCogroup]] — field order is the output
+  * column order the oracle expects. */
+final case class AsofRow(user_id: Long, event_id: Long, ts_us: Long,
+    last_click_ts: Option[Long], us_since_click: Option[Long])

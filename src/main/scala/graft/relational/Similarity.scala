@@ -199,19 +199,57 @@ object Similarity {
     * pairs) at the cost of more boundary misses; banded multi-probe (à la
     * the MinHash band join) recovers recall if needed. */
   def embedDedup(emb: DataFrame, threshold: Double = DedupCosine): DataFrame = {
-    val b = emb.select(col("vec_id"), col("embedding"),
+    val (withG, reps) = collapseIdenticalVectors(emb)
+    val b = reps.select(col("gid"), col("embedding"),
       expr(bucketS("embedding")).as("bucket"))
-    val pairs = b.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("bucket"))
-      .join(b.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("bucket")),
+    val verified = b.select(col("gid").as("ga"), col("embedding").as("e_a"), col("bucket"))
+      .join(b.select(col("gid").as("gb"), col("embedding").as("e_b"), col("bucket")),
         "bucket")
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("dot", expr(dotS("e_a", "e_b")))
-      .withColumn("na", expr(dotS("e_a", "e_a")))
-      .withColumn("nb", expr(dotS("e_b", "e_b")))
-      .filter(col("na") > 0 && col("nb") > 0)
-      .filter(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))) >= threshold)
-    pairs.groupBy(col("id_b").as("duplicate_id"))
-      .agg(min(col("id_a")).as("original_id"))
+      .filter(col("ga") < col("gb"))
+      .filter(cosineGE("e_a", "e_b", threshold))
+      .select(col("ga"), col("gb"))
+    dedupFromRepPairs(withG, verified)
+  }
+
+  /** Hot-cluster collapse for the embedding joins (same argument as
+    * MinHash.duplicateOfSigs): byte-identical embedding arrays group to
+    * a min-id representative BEFORE the bucket join — a k-copy embedded
+    * corpus (re-crawls, mirrored shards) costs one bucket row instead of
+    * a k² pair explosion, and cosine is a pure function of the two
+    * arrays, so rep-level verification + the member expansion below is
+    * result-identical (measured: the 10x probe's replicated embeddings
+    * took sim_embed_dedup_mp to 18 s; collapsed, the join sees 1/10 the
+    * rows). Zero vectors are dropped outright: cosine is undefined for
+    * them and the pair filter excluded them already. */
+  private def collapseIdenticalVectors(emb: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val nz = emb.filter(expr(s"(${dotS("embedding", "embedding")}) > 0"))
+    val withG = nz.withColumn("gid",
+        min(col("vec_id")).over(Window.partitionBy(col("embedding"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (withG, withG.filter(col("vec_id") === col("gid"))
+      .select(col("gid"), col("embedding")))
+  }
+
+  private def cosineGE(a: String, b: String, t: Double) =
+    expr(s"(${dotS(a, b)}) / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)})) >= $t")
+
+  /** Member-level duplicate→original attribution from verified
+    * representative pairs — the same expansion algebra as
+    * MinHash.duplicateOfSigs (in-group members attribute to their gid;
+    * cross-group to the smallest verified partner gid below them). */
+  private def dedupFromRepPairs(withG: DataFrame, verified: DataFrame): DataFrame = {
+    val partners = verified.select(col("ga").as("gid"), col("gb").as("cand"))
+      .union(verified.select(col("gb").as("gid"), col("ga").as("cand")))
+    val members = withG.select(col("vec_id"), col("gid"))
+    val cross = members.join(partners, "gid")
+      .filter(col("cand") < col("vec_id"))
+      .select(col("vec_id"), col("cand"))
+    val inGroup = members.filter(col("vec_id") =!= col("gid"))
+      .select(col("vec_id"), col("gid").as("cand"))
+    cross.union(inGroup)
+      .groupBy(col("vec_id").as("duplicate_id"))
+      .agg(min(col("cand")).as("original_id"))
   }
 
   /** Multi-probe form of [[embedDedup]]: each vector additionally probes
@@ -227,25 +265,27 @@ object Similarity {
     * Cosine verification is unchanged — multi-probe only widens the
     * candidate net, never the result criterion. */
   def embedDedupMultiProbe(emb: DataFrame, threshold: Double = DedupCosine): DataFrame = {
-    val b = emb.select(col("vec_id"), col("embedding"),
+    val (withG, reps) = collapseIdenticalVectors(emb)
+    val b = reps.select(col("gid"), col("embedding"),
       expr(bucketS("embedding")).as("bucket"))
-    val probes = b.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+    val probes = b.select(col("gid").as("ga"), col("embedding").as("e_a"),
         explode(expr(
           s"""transform(sequence(0, $NumPlanes),
              |  k -> CASE WHEN k = 0 THEN bucket
              |            ELSE CAST(bucket AS INT) ^ shiftleft(1, k - 1) END)"""
             .stripMargin)).as("bucket"))
-    val pairs = probes
-      .join(b.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("bucket")),
+    // No distinct needed: for a qualifying pair (u < v) exactly one
+    // join row survives the ga < gb filter — u's single matching probe
+    // (the flipped differing bit, or the identity probe at distance 0)
+    // against v's true bucket; v probing u's bucket arrives with
+    // ga = v > gb = u and is filtered.
+    val verified = probes
+      .join(b.select(col("gid").as("gb"), col("embedding").as("e_b"), col("bucket")),
         "bucket")
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("dot", expr(dotS("e_a", "e_b")))
-      .withColumn("na", expr(dotS("e_a", "e_a")))
-      .withColumn("nb", expr(dotS("e_b", "e_b")))
-      .filter(col("na") > 0 && col("nb") > 0)
-      .filter(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))) >= threshold)
-    pairs.groupBy(col("id_b").as("duplicate_id"))
-      .agg(min(col("id_a")).as("original_id"))
+      .filter(col("ga") < col("gb"))
+      .filter(cosineGE("e_a", "e_b", threshold))
+      .select(col("ga"), col("gb"))
+    dedupFromRepPairs(withG, verified)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
