@@ -70,11 +70,53 @@ object Chunking {
                 |     / CAST(n_windows * ${w}L AS DOUBLE))""".stripMargin)
           .as("padding_frac"))
 
+  /** GPT-style concat-and-split pack ASSIGNMENT: docs are concatenated
+    * per source in doc_id order and the token stream is cut every
+    * [[PackWindow]] words; each doc gets its starting offset and the
+    * context-window index it begins in. This is the actual packing step
+    * whose padding cost [[packPaddingStatsQuery]] only reports — the
+    * deterministic map from corpus to training sequences.
+    *
+    * Scale shape: one running-sum window per source — parallelism is
+    * the source count, and the window state is a single long. For a
+    * 100 TB single-source corpus the same computation shards by a
+    * (source, range-bucket) composite key with per-bucket offsets
+    * combined in a second tiny pass (the ScaleGen/zipWithIndex idiom);
+    * at the driver's source cardinality the direct window is the right
+    * plan. Pure integer arithmetic — hash-exact vs the oracle. */
+  def packAssignmentsQuery(docs: DataFrame, w: Int = PackWindow): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(
+        col("doc_id"), col("source"),
+        expr("size(filter(split(text, '\\\\s+'), x -> x != ''))").as("n_words"))
+      .withColumn("start_offset",
+        (sum(col("n_words").cast("long")).over(win) - col("n_words")).cast("long"))
+      .select(
+        col("doc_id"), col("source"), col("n_words"), col("start_offset"),
+        expr(s"start_offset div ${w}L").as("pack_window"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunks" -> ((s, d) => chunkQuery(Tables.documents(s, d))),
-    "pack_padding_stats" -> ((s, d) => packPaddingStatsQuery(Tables.documents(s, d))))
+    "pack_padding_stats" -> ((s, d) => packPaddingStatsQuery(Tables.documents(s, d))),
+    "pack_assignments" -> ((s, d) => packAssignmentsQuery(Tables.documents(s, d))))
 
   def oracles: Map[String, String] = Map(
+    "pack_assignments" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, source,
+         |         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_words
+         |  FROM documents)
+         |SELECT doc_id, source, n_words,
+         |  CAST(sum(n_words) OVER (PARTITION BY source ORDER BY doc_id
+         |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |       - n_words AS BIGINT) AS start_offset,
+         |  CAST((sum(n_words) OVER (PARTITION BY source ORDER BY doc_id
+         |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        - n_words) // $PackWindow AS BIGINT) AS pack_window
+         |FROM n""".stripMargin,
     "pack_padding_stats" ->
       s"""WITH n AS (
          |  SELECT source,

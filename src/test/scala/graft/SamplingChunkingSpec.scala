@@ -59,6 +59,22 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(r.getAs[Double]("padding_frac") === (1.0 - 110.0 / 192.0))
   }
 
+  test("pack assignment: running offsets and window indices per source") {
+    // W=64. source s: doc1 40w (offset 0, win 0), doc2 50w (offset 40,
+    // win 0), doc3 10w (offset 90, win 1). source t independent.
+    val docs = Seq(
+      (1L, "s", ("w " * 40).trim),
+      (2L, "s", ("w " * 50).trim),
+      (3L, "s", ("w " * 10).trim),
+      (4L, "t", ("w " * 70).trim)).toDF("doc_id", "source", "text")
+    val m = Chunking.packAssignmentsQuery(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(m(1L) === ((0L, 0L)))
+    assert(m(2L) === ((40L, 0L)))
+    assert(m(3L) === ((90L, 1L)))
+    assert(m(4L) === ((0L, 0L)))
+  }
+
   test("chunking edges: short doc and empty doc") {
     val docs = Seq((1L, "a b c"), (2L, "   ")).toDF("doc_id", "text")
     val byDoc = Chunking.chunkQuery(docs).collect()
