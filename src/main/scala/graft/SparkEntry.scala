@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Analytics, Bpe, Chunking, Clean, Contamination, Dedup, MinHash, NearDup, PipelineOps, Quality, Repetition, Sampling, Tokenize, Unigram, Wiki}
+import graft.pipeline.{Analytics, Bpe, Chunking, Clean, Cluster, Contamination, Dedup, MinHash, NearDup, PipelineOps, Quality, Repetition, Sampling, Tokenize, Unigram, Wiki}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,6 +40,7 @@ object SparkEntry {
       (Contamination.queries, Contamination.oracles),
       (Dedup.queries, Dedup.oracles),
       (MinHash.queries, MinHash.oracles),
+      (Cluster.queries, Cluster.oracles),
       (Tokenize.queries, Tokenize.oracles),
       (Bpe.queries, Bpe.oracles),
       (Unigram.queries, Unigram.oracles),

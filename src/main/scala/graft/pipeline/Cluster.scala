@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.Tables
+
+/** Transitive duplicate clustering: connected components over the
+  * verified near-duplicate pair graph.
+  *
+  * The reference's incremental LSH index (deduplicator.py:110-260) only
+  * ever attributes a duplicate to ONE earlier original, so transitive
+  * chains (A~B, B~C, A!~C) split across "originals" depending on arrival
+  * order. The set-oriented answer is the connected component: every doc
+  * in a chain belongs to one cluster labeled by its smallest member.
+  * This is the standard formulation for corpus-scale fuzzy dedup
+  * (the map-reduce CC algorithms of Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14 — large-star/small-star —
+  * and Rastogi et al.'s Hash-to-Min, ICDE'13).
+  *
+  * Implementation: alternating rounds of
+  *   1. neighbor-min  l(v) <- min(l(v), min_{u in N(v)} l(u))   (one
+  *      shuffle keyed on dst),
+  *   2. pointer-jump  l(v) <- l(l(v))                            (one
+  *      shuffle keyed on the label),
+  * until a fixed point. Pointer jumping halves path lengths, so rounds =
+  * O(log(longest chain)) — a 2^40-doc chain converges in < 40 rounds; the
+  * iteration cap exists only to fail loudly rather than loop on a bug.
+  * At the fixed point labels are constant across every edge (both edge
+  * orientations are present), and any label a vertex can hold is the id
+  * of a vertex in its own component, so the constant is the component
+  * minimum — arrival-order-free and deterministic.
+  *
+  * Scale shape (100 TB story): per round the state is one (id, label)
+  * row per clustered doc and the edge list — both linear in the dup
+  * graph, never quadratic (identical-signature groups enter as stars via
+  * [[MinHash.clusterEdges]], not cliques). Each round's result is
+  * `localCheckpoint`ed to truncate the logical plan — without it the
+  * plan doubles per round and analysis time dominates. On a real
+  * cluster with `spark.sparkContext.setCheckpointDir` configured,
+  * reliable `checkpoint()` would be the fault-tolerant choice.
+  */
+object Cluster {
+
+  private val MaxRounds = 40
+
+  /** Connected components of the undirected graph given as `(id_a, id_b)`
+    * pair rows. Returns `(doc_id, cluster_id)` for every vertex that
+    * appears in a pair, `cluster_id` = min member id of its component. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < MaxRounds) {
+      // 1. neighbor-min over incoming edges (both orientations present).
+      val nbr = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("lab")).as("nl"))
+      val stepped = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"), least(col("lab"), coalesce(col("nl"), col("lab"))).as("lab"))
+      // 2. pointer jump: follow the label one hop (labels are vertex ids).
+      val jumped = stepped
+        .join(stepped.select(col("id").as("jid"), col("lab").as("jlab")),
+          col("lab") === col("jid"), "left")
+        .select(col("id"), coalesce(col("jlab"), col("lab")).as("lab"))
+        .localCheckpoint()
+      changed = jumped.withColumnRenamed("lab", "newLab").join(labels, "id")
+        .filter(col("newLab") =!= col("lab")).count()
+      labels = jumped
+      rounds += 1
+    }
+    edges.unpersist()
+    require(changed == 0, s"connectedComponents did not converge in $MaxRounds rounds")
+    labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+  }
+
+  /** Transitive MinHash near-dup clusters over `documents`: one row per
+    * doc that has at least one verified near-duplicate. */
+  def minhashClusters(docs: DataFrame): DataFrame =
+    connectedComponents(MinHash.clusterEdges(docs))
+
+  /** Cluster-size rollup: how many clusters, how many docs they cover,
+    * and the largest cluster — the numbers that decide whether a corpus
+    * needs boilerplate capping before LSH at scale. */
+  def statsQuery(docs: DataFrame): DataFrame =
+    minhashClusters(docs)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("clustered_docs"),
+        max(col("sz")).as("largest_cluster"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_clusters" -> ((s, d) => minhashClusters(Tables.documents(s, d))),
+    "dedup_minhash_cluster_stats" -> ((s, d) => statsQuery(Tables.documents(s, d))))
+
+  // -----------------------------------------------------------------------
+  // DuckDB oracle: same fixed point via WITH RECURSIVE reachability —
+  // min reachable id over the undirected verified-pair graph IS the
+  // component minimum. Reuses MinHash.oraclePrefix's member-level `ver`
+  // pair set (bit-exact vs Spark), so the two engines cluster the exact
+  // same graph by construction.
+  // -----------------------------------------------------------------------
+
+  private val clusterCtes: String =
+    s"""${MinHash.oraclePrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |verts AS (SELECT id_a AS id FROM ver UNION SELECT id_b FROM ver),
+       |uedges AS (SELECT id_a AS src, id_b AS dst FROM ver
+       |           UNION ALL SELECT id_b, id_a FROM ver),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT u.dst, r.lab FROM reach r JOIN uedges u ON u.src = r.id),
+       |clus AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "dedup_minhash_clusters" ->
+      s"""$clusterCtes
+         |SELECT doc_id, cluster_id FROM clus""".stripMargin,
+    "dedup_minhash_cluster_stats" ->
+      s"""$clusterCtes,
+         |csz AS (SELECT cluster_id, count(*) AS sz FROM clus GROUP BY cluster_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(sum(sz) AS BIGINT) AS clustered_docs,
+         |       CAST(max(sz) AS BIGINT) AS largest_cluster
+         |FROM csz""".stripMargin)
+}

@@ -167,15 +167,17 @@ object MinHash {
     * per-member attribution (the multi-use-subtree idiom). */
   def duplicateOf(docs: DataFrame): DataFrame = duplicateOfSigs(signatures(docs))
 
-  /** [[duplicateOf]] over a precomputed `(doc_id, sig)` frame — lets the
-    * streaming path share one signature-kernel evaluation between the
-    * in-batch join and the store join. */
-  def duplicateOfSigs(sigs: DataFrame): DataFrame = {
+  /** The contracted duplicate graph shared by attribution ([[duplicateOfSigs]])
+    * and transitive clustering ([[Cluster.minhashClusters]]):
+    * `withG` = `(doc_id, sig, gid)` where `gid` is the min doc_id among
+    * byte-identical signatures (one shuffle keyed on the full sig array —
+    * exact, no hash-collision risk; the wide arrays cross the wire once),
+    * and `verified` = rep-level pairs `(ga < gb)` that share an LSH band
+    * AND pass signature verification. Verification is a pure function of
+    * the two signatures, so a rep-pair verdict holds for every member
+    * pair between the two groups — the contraction is lossless. */
+  private[pipeline] def repGraph(sigs: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    // one shuffle keyed on the full sig array (exact — no hash-collision
-    // risk; the wide arrays cross the wire once, same as the old
-    // id-rejoin shipped them) derives each doc's group min AND the
-    // representative set in a single window pass.
     val withG = sigs
       .withColumn("gid", min(col("doc_id")).over(Window.partitionBy(col("sig"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -192,6 +194,26 @@ object MinHash {
       .join(reps.select(col("gid").as("gb"), col("sig").as("sig_b")), "gb")
       .filter(sigMatchGeUdf(col("sig_a"), col("sig_b")))
       .select(col("ga"), col("gb"))
+    (withG, verifiedPairs)
+  }
+
+  /** Undirected duplicate-graph edges `(id_a < id_b)` with the SAME
+    * connectivity as the full member-level verified-pair graph, without
+    * materializing k^2 in-group pairs: star edges member->group-min inside
+    * each identical-signature group, plus the verified rep pairs across
+    * groups. Input to [[Cluster.connectedComponents]]. */
+  def clusterEdges(docs: DataFrame): DataFrame = {
+    val (withG, verifiedPairs) = repGraph(signatures(docs))
+    withG.filter(col("doc_id") =!= col("gid"))
+      .select(col("gid").as("id_a"), col("doc_id").as("id_b"))
+      .union(verifiedPairs.select(col("ga").as("id_a"), col("gb").as("id_b")))
+  }
+
+  /** [[duplicateOf]] over a precomputed `(doc_id, sig)` frame — lets the
+    * streaming path share one signature-kernel evaluation between the
+    * in-batch join and the store join. */
+  def duplicateOfSigs(sigs: DataFrame): DataFrame = {
+    val (withG, verifiedPairs) = repGraph(sigs)
     // partner list per group: every other group that collides + verifies
     // (both orientations — a member may exceed a partner group's min even
     // when its own group's min does not).
