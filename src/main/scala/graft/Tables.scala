@@ -16,19 +16,34 @@ object Tables {
 
   /** Spread an under-split scan across the session's cores. A parquet
     * row group is the minimum split unit, so a small single-row-group
-    * file yields ONE task no matter how `maxPartitionBytes` is set — and
-    * every narrow kernel fused above the scan (minhash signatures,
-    * trigrams, quality metrics) then runs single-threaded. The round-robin
-    * exchange costs one pass over the (small, by construction) input; on
-    * a realistically-partitioned dataset (splits >= cores — any 100 TB
-    * table) this is a no-op. Filter pushdown is unaffected: Catalyst's
-    * PushDownPredicates moves base-column filters (e.g. r_q1's
-    * l_shipdate range) through RepartitionOperation down to the scan,
-    * and the document pipelines' predicates are over computed columns,
-    * which never reach the scan anyway. */
-  private def parallelized(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    * file yields ONE effective task no matter how `maxPartitionBytes` is
+    * set — and every narrow kernel fused above the scan (minhash
+    * signatures, trigrams, quality metrics) then runs single-threaded.
+    *
+    * "Under-split" is decided from the optimized plan's size statistics
+    * (file bytes — a pure driver-side probe; the previous
+    * `df.rdd.getNumPartitions` probe forced RDD lineage instantiation on
+    * every loader call): a table smaller than `cores x maxPartitionBytes`
+    * cannot give every core a full split, so the one-pass exchange is
+    * cheap by construction and buys full fan-out; anything larger — any
+    * 100 TB table — is left untouched. With `keys`, the spread is a HASH
+    * exchange on those columns instead of round-robin, so a downstream
+    * window/aggregate keyed on them is satisfied by the spread itself
+    * (ClusteredDistribution accepts a subset partitioning) — one exchange
+    * total instead of round-robin + re-shuffle. Filter pushdown is
+    * unaffected: Catalyst's PushDownPredicates moves base-column filters
+    * (e.g. r_q1's l_shipdate range) through RepartitionOperation down to
+    * the scan, and the document pipelines' predicates are over computed
+    * columns, which never reach the scan anyway. */
+  private def parallelized(df: DataFrame, keys: Seq[String] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val small =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(maxSplit) * target
+    if (!small) df
+    else if (keys.nonEmpty) df.repartition(target, keys.map(col): _*)
+    else df.repartition(target)
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame =
@@ -64,7 +79,10 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val raw = parallelized(load(spark, dir, "events"))
+    // events' dominant downstream keys are per-user (latest-k window,
+    // rolling window, as-of, distinct users), so the spread hashes on
+    // user_id — those consumers then run exchange-free on top of it.
+    val raw = parallelized(load(spark, dir, "events"), Seq("user_id"))
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumnRenamed("ts", "ts_ns")

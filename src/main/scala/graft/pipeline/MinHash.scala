@@ -178,8 +178,17 @@ object MinHash {
     * pair between the two groups — the contraction is lossless. */
   private[pipeline] def repGraph(sigs: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    // The collapse exchange is keyed on the 8-byte xxhash64 of the
+    // signature, not the 128-long array itself (the array still crosses
+    // the wire — reps need it — but partitioning/sorting no longer hash
+    // and compare 1 KiB keys per row). The window keeps the full sig next
+    // to the hash, so groups are exact: a collision splits, never merges.
+    val numParts = sigs.sparkSession.sparkContext.defaultParallelism
     val withG = sigs
-      .withColumn("gid", min(col("doc_id")).over(Window.partitionBy(col("sig"))))
+      .withColumn("gh", xxhash64(col("sig")))
+      .repartition(numParts, col("gh"))
+      .withColumn("gid", min(col("doc_id")).over(Window.partitionBy(col("gh"), col("sig"))))
+      .drop("gh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = withG.filter(col("doc_id") === col("gid"))
       .select(col("gid"), col("sig"))

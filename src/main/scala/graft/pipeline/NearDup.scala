@@ -184,10 +184,20 @@ object NearDup {
     // Barrier: the size() filter below would otherwise re-inline the
     // trigram kernel into the filter AND the projection (2x evaluation —
     // the BarrierExpression failure mode, measured +2.5 s here).
+    // The collapse exchange is DRIVEN by the 8-byte xxhash64 of the gram
+    // array (explicit repartition; HashPartitioning on a subset of the
+    // window's ClusteredDistribution keys needs no second exchange), and
+    // the window spec keeps the full array alongside the hash, so groups
+    // are exact (gh, ga) pairs — a hash collision splits into distinct
+    // groups, never merges. The sort comparator short-circuits on the
+    // long, so raw ~60-string arrays are compared only within true groups.
     val withG = docs.select(col("doc_id"), Stage.once(trigramsUdf(col("text"))).as("ga"))
       .filter(size(col("ga")) > 0)
+      .withColumn("gh", xxhash64(col("ga")))
+      .repartition(numParts, col("gh"))
       .withColumn("gid", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("ga"))))
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gh"), col("ga"))))
+      .drop("gh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repsArr = withG.filter(col("doc_id") === col("gid"))
       .select(col("gid").as("doc_id"), col("ga"))

@@ -224,8 +224,16 @@ object Similarity {
   private def collapseIdenticalVectors(emb: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val nz = emb.filter(expr(s"(${dotS("embedding", "embedding")}) > 0"))
-    val withG = nz.withColumn("gid",
-        min(col("vec_id")).over(Window.partitionBy(col("embedding"))))
+    // Exchange keyed on the 8-byte xxhash64 of the vector, not the raw
+    // 64-float array; the window keeps the array next to the hash so the
+    // grouping stays exact (collision splits, never merges) — same
+    // fingerprint-key pattern as MinHash.repGraph / NearDup's jaccard.
+    val numParts = emb.sparkSession.sparkContext.defaultParallelism
+    val withG = nz.withColumn("gh", xxhash64(col("embedding")))
+      .repartition(numParts, col("gh"))
+      .withColumn("gid",
+        min(col("vec_id")).over(Window.partitionBy(col("gh"), col("embedding"))))
+      .drop("gh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (withG, withG.filter(col("vec_id") === col("gid"))
       .select(col("gid"), col("embedding")))
