@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Analytics, Bpe, Chunking, Clean, Cluster, Contamination, Dedup, MinHash, NearDup, PipelineOps, Quality, Repetition, Sampling, Tokenize, Unigram, Wiki}
+import graft.pipeline.{Analytics, Bpe, Chunking, Clean, Cluster, Contamination, Dedup, MinHash, NearDup, PipelineOps, Quality, Repetition, Sampling, Tokenize, Unigram, Wiki, WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,6 +44,7 @@ object SparkEntry {
       (Tokenize.queries, Tokenize.oracles),
       (Bpe.queries, Bpe.oracles),
       (Unigram.queries, Unigram.oracles),
+      (WordPiece.queries, WordPiece.oracles),
       (Wiki.queries, Wiki.oracles),
       (PipelineOps.queries, PipelineOps.oracles),
       (Analytics.queries, Analytics.oracles),

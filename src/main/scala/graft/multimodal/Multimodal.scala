@@ -152,9 +152,18 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("dec_width"), col("dec_height"),
         col("n_frames"))
 
-  /** Rows-only features query (the stub embedding's 64-bit wrapping hash
-    * is not SQL-derivable in DuckDB): per-media feature vector summarized
-    * to dimension + left-fold checksum. */
+  /** Oracle-checked features query: per-media feature vector summarized
+    * to dimension + left-fold checksum. The stub embedding's 64-bit
+    * wrapping byte-hash IS SQL-derivable: the fold `h -> 31h + b` is
+    * affine, so `h_k = 31^n * seed_k + S (mod 2^64)` where `S` is ONE
+    * byte-fold from seed 0 and `n` the byte count — the oracle does the
+    * mod-2^64 ring in HUGEINT, converts to the signed two's-complement
+    * value, and reproduces the JVM float ops in REAL (verified
+    * bit-exact). Byte values come from the same header arithmetic as
+    * `mm_media_decode` plus `unicode()` per character of `text` — valid
+    * because the driver corpus is pure ASCII (UTF-8 byte == code point;
+    * verified octet_length(encode(text)) = length(text) for every row at
+    * sf0.01 and sf0.1). */
   def featuresQuery(docs: DataFrame): DataFrame =
     extractFeatures(fixtureFromDocs(docs))
       .select(col("media_id"), size(col("features")).as("feat_dim"),
@@ -172,5 +181,35 @@ object Multimodal {
         |  CAST(doc_id % 640 + 1 AS INT) AS dec_width,
         |  CAST(doc_id % 480 + 1 AS INT) AS dec_height,
         |  CAST((((12 + octet_length(CAST(text AS BLOB))) // 8) + 3) // 4 AS INT) AS n_frames
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "mm_media_features" -> {
+      val M = "18446744073709551616" // 2^64
+      s"""WITH b AS (
+         |  SELECT doc_id AS media_id,
+         |    [CAST(71 AS BIGINT), 82, 70, 33,
+         |     CASE WHEN (doc_id % 640 + 1) % 256 >= 128 THEN (doc_id % 640 + 1) % 256 - 256 ELSE (doc_id % 640 + 1) % 256 END,
+         |     (doc_id % 640 + 1) // 256, 0, 0,
+         |     CASE WHEN (doc_id % 480 + 1) % 256 >= 128 THEN (doc_id % 480 + 1) % 256 - 256 ELSE (doc_id % 480 + 1) % 256 END,
+         |     (doc_id % 480 + 1) // 256, 0, 0]
+         |    || list_transform(range(1, length(text) + 1), i -> CAST(unicode(text[i]) AS BIGINT)) AS bs
+         |  FROM documents),
+         |f AS (
+         |  SELECT media_id,
+         |    list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(bs, v -> CAST(v AS HUGEINT))),
+         |      (s, v) -> (31 * s + v + $M) % $M) AS sfold,
+         |    list_reduce(list_prepend(CAST(1 AS HUGEINT), list_transform(bs, v -> CAST(31 AS HUGEINT))),
+         |      (s, v) -> (s * v) % $M) AS p
+         |  FROM b),
+         |feats AS (
+         |  SELECT media_id,
+         |    list_transform(range(0, $FeatureDim), k ->
+         |      CAST(CAST(CASE WHEN (p * (1125899906842597 + k) + sfold) % $M >= 9223372036854775808
+         |                     THEN (p * (1125899906842597 + k) + sfold) % $M - $M
+         |                     ELSE (p * (1125899906842597 + k) + sfold) % $M END AS BIGINT) % 2000003 AS REAL)
+         |        / CAST(1000001.5 AS REAL) - CAST(1.0 AS REAL)) AS fs
+         |  FROM f)
+         |SELECT media_id, CAST(len(fs) AS INT) AS feat_dim,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(fs, x -> CAST(x AS DOUBLE))), (s, v) -> s + v) AS feat_checksum
+         |FROM feats""".stripMargin
+    })
 }

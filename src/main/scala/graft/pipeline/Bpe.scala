@@ -220,41 +220,6 @@ object Bpe {
     Model(vocab, mergeList)
   }
 
-  /** WordPiece-style greedy longest-match-first encoder over a learned
-    * vocabulary (tokenizer.py:58-133 offers wordpiece as an algorithm
-    * option; continuation pieces use the standard "##" prefix). Train
-    * with [[train]] — the merge-learned symbols form the vocab — then
-    * encode by longest prefix match instead of merge ranks. */
-  final case class WordPieceModel(vocab: Map[String, Int]) {
-    private val pieces: Set[String] = vocab.keySet
-
-    def encodeWord(word: String): Array[Int] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-      val w = word + EndOfWord
-      var start = 0
-      var bad = false
-      while (start < w.length && !bad) {
-        var end = w.length
-        var found = -1
-        while (end > start && found < 0) {
-          val raw = w.substring(start, end)
-          val piece = if (start == 0) raw else "##" + raw
-          if (pieces.contains(piece)) found = vocab(piece)
-          else if (pieces.contains(raw)) found = vocab(raw) // merge-learned symbols lack ##
-          else end -= 1
-        }
-        if (found < 0) { bad = true } else { out += found; start = end }
-      }
-      if (bad) Array(UnkId) else out.toArray
-    }
-
-    def encode(text: String): Array[Int] =
-      text.split("[ \t\n\f\r]+").filter(_.nonEmpty).flatMap(encodeWord)
-  }
-
-  /** WordPiece model sharing the BPE-trained symbol inventory. */
-  def wordPieceFrom(model: Model): WordPieceModel = WordPieceModel(model.vocab)
-
   /** Distributed word-frequency aggregation feeding the driver loop.
     * `maxLexicon` bounds driver memory at any corpus size. */
   def wordFrequencies(docs: DataFrame, maxLexicon: Int = 100000): Map[String, Long] =

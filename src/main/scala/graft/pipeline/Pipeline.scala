@@ -164,8 +164,8 @@ object Pipeline {
           case "unigram" =>
             val m = Unigram.train(freqs, cfg.tokenization.vocabSize); m.encode
           case "wordpiece" =>
-            val m = Bpe.wordPieceFrom(Bpe.train(
-              freqs, cfg.tokenization.vocabSize, cfg.tokenization.minFrequency))
+            val m = WordPiece.train(
+              freqs, cfg.tokenization.vocabSize, cfg.tokenization.minFrequency)
             m.encode
           case _ => // bpe default
             val m = Bpe.train(

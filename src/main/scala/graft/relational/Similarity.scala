@@ -153,22 +153,36 @@ object Similarity {
     * Ties (equal distance) break by centroid id — identically in both
     * engines. */
   def ivfTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
-    val cents = emb
+    // The codebook is DRIVER-RESIDENT by design (an IVF codebook is
+    // centroids-in-RAM at any corpus scale — k cells, not k rows; this
+    // collect is bounded at NumCells by construction). Cell assignment is
+    // then a per-row argmin over the broadcast-closure centroids inside
+    // one codegen'd projection — no crossJoin x row_number window, so the
+    // whole-table exchange+sort the window needed is gone (the only
+    // remaining shuffle is the final per-query top-k).
+    // Arithmetic parity with the DuckDB oracle: the JVM loop accumulates
+    // (x_i - y_i)^2 left-to-right in doubles — the same fold order as the
+    // SQL aggregate/list_reduce spelling — and sorts by (l2, c_id), so
+    // cell choice is bit-identical.
+    val cents: Array[(Long, Array[Double])] = emb
       .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + NumCells)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    def assign(df: DataFrame, idCol: String, embCol: String, probes: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("l2"), col("c_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("l2", expr(
-          s"aggregate(zip_with($embCol, c_emb, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE), (s, v) -> s + v)"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= probes)
-        .drop("l2", "rn", "c_emb")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def nearestCells(probes: Int) = udf { (e: Seq[Float]) =>
+      val scored = cents.map { case (cid, c) =>
+        var s = 0.0
+        var j = 0
+        while (j < c.length) {
+          val d = e(j).toDouble - c(j); s += d * d; j += 1
+        }
+        (s, cid)
+      }
+      scored.sortBy(identity).take(probes).map(_._2)
     }
-    val cells = assign(emb, "vec_id", "embedding", 1)
-      .withColumnRenamed("c_id", "cell")
-    val q = assign(queriesDf(emb), "q_id", "q_emb", NProbe)
-      .withColumnRenamed("c_id", "q_cell")
+    val cells = emb.withColumn("cell", explode(nearestCells(1)(col("embedding"))))
+    val q = queriesDf(emb)
+      .withColumn("q_cell", explode(nearestCells(NProbe)(col("q_emb"))))
     val scored = cells.join(broadcast(q),
         col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .withColumn("dot", expr(dotS("embedding", "q_emb")))

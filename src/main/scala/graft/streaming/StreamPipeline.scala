@@ -106,22 +106,44 @@ object StreamPipeline {
     * prunes to colliding buckets and verifies with the early-exit
     * signature kernel.
     *
-    * Delivery: parquet-append in foreachBatch is at-least-once (a batch
-    * replayed after a crash re-appends); production sinks either write
-    * to a transactional table or dedup verdicts on (doc_id) at read. */
+    * Delivery: EXACTLY-ONCE under foreachBatch's at-least-once replay.
+    * Both sinks are parquet tables PARTITIONED BY `batch_id`, written
+    * with dynamic partition overwrite — a replayed batch (crash after a
+    * write committed but before the checkpoint advanced) REPLACES its own
+    * partition instead of appending a second copy. Replay is
+    * deterministic because the store side of the join is pinned to
+    * `batch_id < current` — whatever the failed attempt managed to write
+    * for this batch is invisible to its re-run (a doc can never match
+    * "itself from the crashed attempt") and is overwritten wholesale. */
   def nearDupStream(docs: DataFrame, stateDir: String, outDir: String,
       checkpointDir: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        nearDupBatch(batch, stateDir, outDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        nearDupBatch(batch, stateDir, outDir, batchId)
       }
       .start()
 
-  /** One micro-batch of [[nearDupStream]] — also directly callable for
-    * incremental BATCH ingestion (nightly corpus deltas against the same
-    * store). */
+  /** Signature store reader; None until the store holds committed rows. */
+  private def readStore(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (!new java.io.File(dir).exists()) None
+    else scala.util.Try(spark.read.parquet(dir)).toOption
+      .filter(_.columns.contains("batch_id"))
+
+  /** Incremental BATCH ingestion form (nightly corpus deltas against the
+    * same store): runs as the next batch id after the store's high-water
+    * mark — re-running a delta that already committed is therefore also
+    * idempotent (it overwrites itself). */
   def nearDupBatch(batch: DataFrame, stateDir: String, outDir: String): Unit = {
+    val nextId = readStore(batch.sparkSession, stateDir)
+      .map(_.agg(coalesce(max(col("batch_id")), lit(-1L))).head().getLong(0) + 1L)
+      .getOrElse(0L)
+    nearDupBatch(batch, stateDir, outDir, nextId)
+  }
+
+  /** One micro-batch of [[nearDupStream]]. */
+  def nearDupBatch(batch: DataFrame, stateDir: String, outDir: String,
+      batchId: Long): Unit = {
     val spark = batch.sparkSession
     val sigs = MinHash.signatures(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -129,14 +151,17 @@ object StreamPipeline {
     // shares the persisted signature frame with the store join below.
     val inBatch = MinHash.duplicateOfSigs(sigs)
       .select(col("duplicate_id").as("doc_id"), col("original_id").as("batch_orig"))
-    // (2) cross-store attribution: batch bands vs store bands, verified
-    val hasStore = new java.io.File(stateDir).exists()
-    val storeDup =
-      if (!hasStore) {
+    // (2) cross-store attribution: batch bands vs EARLIER-batch store
+    // bands, verified. The batch_id < current filter is partition-pruned
+    // at the scan and is what makes replays deterministic.
+    val storeView = readStore(spark, stateDir)
+      .map(_.filter(col("batch_id") < batchId))
+    val storeDup = storeView match {
+      case None =>
         spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0L).as("store_orig"))
           .limit(0)
-      } else {
-        val store = spark.read.parquet(stateDir)
+      case Some(store0) =>
+        val store = store0
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         MinHash.bandKeys(sigs).as("b")
           .join(MinHash.bandKeys(store).withColumnRenamed("doc_id", "store_id").as("s"),
@@ -148,7 +173,7 @@ object StreamPipeline {
           .filter(MinHash.sigMatchCol(col("sig"), col("store_sig")))
           .groupBy(col("doc_id"))
           .agg(min(col("store_id")).as("store_orig"))
-      }
+    }
     // verdicts: store match (earlier batch) wins over in-batch original
     val verdicts = batch.select(col("doc_id"))
       .join(storeDup, Seq("doc_id"), "left")
@@ -157,12 +182,22 @@ object StreamPipeline {
         col("doc_id"),
         coalesce(col("store_orig"), col("batch_orig")).as("original_id"),
         coalesce(col("store_orig"), col("batch_orig")).isNotNull.as("is_duplicate"))
-    verdicts.write.mode("append").parquet(outDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verdicts.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
     // (3) index only the survivors — first-seen-wins across batches
     sigs.join(
         verdicts.filter(col("is_duplicate")).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
-      .write.mode("append").parquet(stateDir)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(stateDir)
+    verdicts.unpersist()
     sigs.unpersist()
   }
 

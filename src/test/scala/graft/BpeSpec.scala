@@ -52,16 +52,6 @@ class BpeSpec extends SparkSpec {
     assert(loaded.encode("newest").sameElements(m.encode("newest")))
   }
 
-  test("wordpiece-style greedy encoder covers in-vocab words; unknowns collapse to <unk>") {
-    val m = Bpe.train(corpus, vocabSize = 40, minFreq = 1)
-    val wp = Bpe.wordPieceFrom(m)
-    val ids = wp.encode("newest widest")
-    assert(ids.nonEmpty && ids.forall(i => i >= 0 && i < m.vocabSize))
-    // "newest" is a learned whole-word symbol -> single piece
-    assert(wp.encodeWord("newest").length == 1)
-    assert(wp.encodeWord("qqq").sameElements(Array(Bpe.UnkId)))
-  }
-
   test("trainOn aggregates word frequencies distributed") {
     import spark.implicits._
     val docs = Seq((1L, "spark spark flink spark"), (2L, "flink beam"))

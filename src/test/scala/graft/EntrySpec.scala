@@ -15,10 +15,9 @@ class EntrySpec extends SparkSpec {
     assert(o.subsetOf(q), s"oracles without queries: ${o.diff(q)}")
     val rowsOnly = q.diff(o)
     // rows-only by nature: HLL sketch (exact columns hash-checked via
-    // r_distinct_users_exact), learned BPE/unigram merge tables (pinned by
-    // spec goldens), and the stub feature embedding's wrapping 64-bit hash
-    // (decode path hash-checked via mm_media_decode).
+    // r_distinct_users_exact) and the learned BPE/WordPiece/unigram
+    // vocabularies (not SQL-derivable; pinned by spec goldens).
     assert(rowsOnly == Set("r_approx_distinct_users", "tok_bpe_stats",
-      "tok_unigram_stats", "mm_media_features"), rowsOnly.toString)
+      "tok_unigram_stats", "tok_wordpiece_stats"), rowsOnly.toString)
   }
 }

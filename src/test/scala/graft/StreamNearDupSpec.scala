@@ -47,4 +47,46 @@ class StreamNearDupSpec extends SparkSpec {
       assert(store === Set(1L, 2L, 4L))
     } finally q.stop()
   }
+
+  test("replayed micro-batch after a mid-stream kill is idempotent (exactly-once)") {
+    val in = Files.createTempDirectory("sndr_in")
+    val state = Files.createTempDirectory("sndr_state").resolve("store").toString
+    val out = Files.createTempDirectory("sndr_out").resolve("verdicts").toString
+    val ckpt = Files.createTempDirectory("sndr_ckpt").toString
+    val docs = spark.readStream.schema(StreamPipeline.docSchema).json(in.toString)
+    // run batch 0, then kill the query
+    val q1 = StreamPipeline.nearDupStream(docs, state, out, ckpt)
+    try {
+      Files.writeString(in.resolve("b1.json"),
+        doc(1, textA) + "\n" + doc(2, textB) + "\n")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // simulate the crash window: batch 0's sink writes committed but the
+    // streaming commit log did not advance — on restart Spark re-runs
+    // batch 0 from its logged offsets with the same batch id.
+    Files.delete(java.nio.file.Paths.get(ckpt, "commits", "0"))
+    // the local checksum fs keeps a .crc sidecar that would block the
+    // replay's commit rename
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
+    Files.writeString(in.resolve("b2.json"),
+      doc(3, textA) + "\n" + doc(4, textC) + "\n")
+    val q2 = StreamPipeline.nearDupStream(docs, state, out, ckpt)
+    try {
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // output and store must equal the single-run result: one verdict row
+    // per doc (the replay overwrote its own partition, not appended) ...
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length === 4)
+    val verdicts = rows
+      .map(r => r.getLong(0) -> (r.getBoolean(2), Option(r.get(1)))).toMap
+    assert(verdicts(1L) === ((false, None)))
+    assert(verdicts(2L) === ((false, None)))
+    assert(verdicts(3L) === ((true, Some(1L))))
+    assert(verdicts(4L) === ((false, None)))
+    // ... and one signature per first-seen unique, none double-indexed.
+    val sigRows = spark.read.parquet(state).collect()
+    assert(sigRows.length === 3)
+    assert(sigRows.map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
+  }
 }
