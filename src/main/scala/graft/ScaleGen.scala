@@ -88,7 +88,23 @@ object ScaleGen {
         .withColumn("text", concat(col("text"), lit(s" probevariant${i}marker")))
         .withColumn("n_chars", length(col("text")))
     }
-    write(replicas.reduce(_ union _), "documents")
+    // plus THE skew case for LSH dedup at 100 TB: one 10k-copy
+    // boilerplate cluster (byte-identical docs) appended after the
+    // replicas — it must collapse to a single representative before any
+    // pair join, and enter connected components as one star, not a
+    // 5x10^7-edge clique.
+    val boilerCopies = 10000
+    val boiler = spark.range(boilerCopies)
+      .select(
+        (col("id") + lit(factor * docStride)).as("doc_id"),
+        lit("this is the standard boilerplate footer text repeated verbatim " +
+          "across every mirrored shard of the crawl with enough words that " +
+          "the shingle and trigram pipelines all engage fully").as("text"),
+        lit("en").as("lang"),
+        lit("boilerplate").as("source"))
+      .withColumn("n_chars", length(col("text")))
+      .select(docs.columns.map(col): _*)
+    write(replicas.reduce(_ union _).union(boiler), "documents")
 
     println(s"wrote ${factor}x $sfDir -> $outDir")
     spark.stop()

@@ -94,6 +94,9 @@ object Cluster {
     }
     edges.unpersist()
     require(!anyChanged, s"connectedComponents did not converge in $MaxRounds rounds")
+    // observability: rounds ~ log(component diameter) — the number that
+    // decides iteration cost at scale (scale-probe sweeps read it).
+    System.err.println(s"[graft.cc] converged in $rounds rounds")
     labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
   }
 
