@@ -19,10 +19,21 @@ import graft.Tables
   */
 object Wiki {
 
-  /** F10: the 8-step regex fallback, in reference order. */
+  /** F9 fidelity: mwparserfromhell removes NESTED templates
+    * (`{{a|{{b}}}}`, wiki_parser.py:225-247), which one pass of the
+    * innermost-template regex cannot — `[^}]+` stops at the inner `}}`.
+    * Iterating the SAME rule [[TemplateDepth]] times strips nest levels
+    * innermost-out; it is a fixed expansion (no loop), so the DuckDB
+    * oracle states it identically, and passes beyond the actual nesting
+    * depth are no-ops (non-nested corpora pay one regex scan each). */
+  val TemplateDepth = 5
+
+  /** F10: the 8-step regex fallback, in reference order (the template
+    * rule iterated per F9 above). */
   def regexClean(c: Column): Column = {
-    val steps: Seq[(String, String)] = Seq(
-      """\{\{[^}]+\}\}""" -> "",                      // templates
+    val steps: Seq[(String, String)] =
+      Seq.fill(TemplateDepth)("""\{\{[^{}]+\}\}""" -> "") ++ // templates, innermost-out
+    Seq(
       """(?s)<ref[^>]*>.*?</ref>""" -> "",            // paired refs (DOTALL)
       """<ref[^/>]*/>""" -> "",                       // self-closing refs
       """<[^>]+>""" -> "",                            // html tags
@@ -63,8 +74,9 @@ object Wiki {
   /** DuckDB transliteration — same chain; RE2 takes `(?s)`/`(?m)` inline
     * and `\1` group references. */
   def cleanWikiSqlD(c: String = "text"): String = {
-    val steps: Seq[(String, String)] = Seq(
-      """\{\{[^}]+\}\}""" -> "",
+    val steps: Seq[(String, String)] =
+      Seq.fill(TemplateDepth)("""\{\{[^{}]+\}\}""" -> "") ++
+    Seq(
       """(?s)<ref[^>]*>.*?</ref>""" -> "",
       """<ref[^/>]*/>""" -> "",
       """<[^>]+>""" -> "",

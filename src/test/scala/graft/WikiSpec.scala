@@ -15,6 +15,13 @@ class WikiSpec extends SparkSpec {
       == "Start middle end")
   }
 
+  test("nested templates strip innermost-out (F9 fidelity)") {
+    assert(clean("A {{outer|x={{inner|y=2}}|z=3}} B") == "A B")
+    assert(clean("A {{a|{{b|{{c}}}}}} B") == "A B")
+    // unbalanced braces are left alone, as in the reference fallback
+    assert(clean("A {{dangling open B") == "A {{dangling open B")
+  }
+
   test("wiki links unwrap to their label") {
     assert(clean("See [[Target Page|the label]] and [[Plain]]")
       == "See the label and Plain")
