@@ -96,12 +96,65 @@ object Dedup {
           "\n").as("text_kept"))
   }
 
+  /** Substring-span window length / stride (chars). 100/50 gives every
+    * char membership in ~2 windows, the usual overlap for span dedup. */
+  val SpanLen = 100
+  val SpanStride = 50
+
+  /** Character windows of [[SpanLen]] at stride [[SpanStride]] — the unit
+    * of SUBSTRING-level dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better": duplicated >=50-token spans are
+    * removed even when the containing documents differ). A full distributed
+    * suffix array is the exact tool; fixed-stride window hashing is the
+    * standard approximation (same recall for spans >= 2*len) and is
+    * embarrassingly parallel: explode is narrow, nothing shuffles here. */
+  def substringSpans(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= SpanLen)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (SpanLen - 1), lit(SpanStride))).as("o"))
+      .select(col("doc_id"), col("text").substr(col("o"), lit(SpanLen)).as("w"))
+
+  /** Per-doc duplicated-span report: how many of a doc's windows occur at
+    * >= 2 positions corpus-wide (within- or cross-document — a window
+    * repeated inside one doc is training-data repetition all the same).
+    *
+    * One exchange: the corpus-wide occurrence count is a window keyed on
+    * (xxhash64(w), w) — the 8-byte hash drives partitioning so the shuffle
+    * never compares 100-char strings, while grouping stays exact because
+    * the full window text rides in the key (round-5 collapse-key pattern).
+    * Then a doc_id agg. The oracle groups on the raw string — same result,
+    * since xxhash64 only refines the partition of equal strings. */
+  def substringDupQuery(docs: DataFrame): DataFrame = {
+    val wspec = Window.partitionBy(xxhash64(col("w")), col("w"))
+    substringSpans(docs)
+      .withColumn("c", count(lit(1)).over(wspec))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .filter(col("n_dup_spans") > 0)
+  }
+
+  /** Corpus-level span-duplication summary: total windows, distinct
+    * windows, windows occurring >= 2 times, and occurrences inside such
+    * clusters. Two partial-aggregating exchanges (w, then 1-row). */
+  def substringStatsQuery(docs: DataFrame): DataFrame =
+    substringSpans(docs)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .agg(
+        sum(col("c")).as("total_spans"),
+        count(lit(1)).as("distinct_spans"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_windows"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_occurrences"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) =>
       exactDedup(Tables.documents(s, d)).select("doc_id", "content_hash")),
     "dedup_exact_dupmap" -> ((s, d) => exactDuplicateOf(Tables.documents(s, d))),
     "dedup_exact_stats" -> ((s, d) => exactStatsQuery(Tables.documents(s, d))),
-    "dedup_lines" -> ((s, d) => lineDedupQuery(Tables.documents(s, d))))
+    "dedup_lines" -> ((s, d) => lineDedupQuery(Tables.documents(s, d))),
+    "dedup_substring_spans" -> ((s, d) => substringDupQuery(Tables.documents(s, d))),
+    "dedup_substring_stats" -> ((s, d) => substringStatsQuery(Tables.documents(s, d))))
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -140,5 +193,32 @@ object Dedup {
          |    list(line ORDER BY pos) FILTER (WHERE line_df < $LineDropDf),
          |    chr(10)), '') AS text_kept
          |FROM lines JOIN df USING (line)
-         |GROUP BY doc_id""".stripMargin)
+         |GROUP BY doc_id""".stripMargin,
+    "dedup_substring_spans" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, text,
+         |         unnest(generate_series(1, length(text) - ${SpanLen - 1}, $SpanStride)) AS o
+         |  FROM documents WHERE length(text) >= $SpanLen),
+         |spans AS (
+         |  SELECT doc_id, substr(text, CAST(o AS INTEGER), $SpanLen) AS w FROM pos),
+         |cnt AS (
+         |  SELECT doc_id, count(*) OVER (PARTITION BY w) AS c FROM spans)
+         |SELECT doc_id,
+         |       count(*) AS n_spans,
+         |       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+         |FROM cnt GROUP BY doc_id
+         |HAVING sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) > 0""".stripMargin,
+    "dedup_substring_stats" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, text,
+         |         unnest(generate_series(1, length(text) - ${SpanLen - 1}, $SpanStride)) AS o
+         |  FROM documents WHERE length(text) >= $SpanLen),
+         |spans AS (
+         |  SELECT doc_id, substr(text, CAST(o AS INTEGER), $SpanLen) AS w FROM pos),
+         |g AS (SELECT w, count(*) AS c FROM spans GROUP BY w)
+         |SELECT CAST(sum(c) AS BIGINT) AS total_spans,
+         |       count(*) AS distinct_spans,
+         |       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+         |       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occurrences
+         |FROM g""".stripMargin)
 }

@@ -61,4 +61,31 @@ class DedupSpec extends SparkSpec {
     assert(m(2L) === ((0L, "")))
     assert(m(3L) === ((1L, "y")))
   }
+
+  test("substring dedup flags cross-doc AND within-doc repeated windows") {
+    // docs 1 and 2 share their first 100 chars (one shared window each);
+    // doc 4 is one char repeated -> every window duplicates every other;
+    // doc 3 is too short to window; doc 5 is unique -> absent from output.
+    val d = docs(
+      1L -> ("A" * 100 + "1" * 50),
+      2L -> ("A" * 100 + "2" * 50),
+      3L -> ("z" * 99),
+      4L -> ("B" * 300),
+      5L -> ("uvwxy" * 20))
+    val m = Dedup.substringDupQuery(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m === Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 4L -> ((5L, 5L))))
+  }
+
+  test("substring corpus stats count windows and duplication clusters") {
+    val d = docs(
+      1L -> ("A" * 100 + "1" * 50),
+      2L -> ("A" * 100 + "2" * 50),
+      4L -> ("B" * 300),
+      5L -> ("uvwxy" * 20))
+    val r = Dedup.substringStatsQuery(d).collect().head
+    // spans: d1 {A100, A50+1s}, d2 {A100, A50+2s}, d4 {B100 x5}, d5 {u100}
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((10L, 5L, 2L, 7L)))
+  }
 }
