@@ -152,24 +152,30 @@ object Similarity {
     * diffing `sim_ivf_topk` against `sim_topk` exposes the recall loss.
     * Ties (equal distance) break by centroid id — identically in both
     * engines. */
-  def ivfTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
-    // The codebook is DRIVER-RESIDENT by design (an IVF codebook is
-    // centroids-in-RAM at any corpus scale — k cells, not k rows; this
-    // collect is bounded at NumCells by construction). Cell assignment is
-    // then a per-row argmin over the broadcast-closure centroids inside
-    // one codegen'd projection — no crossJoin x row_number window, so the
-    // whole-table exchange+sort the window needed is gone (the only
-    // remaining shuffle is the final per-query top-k).
-    // Arithmetic parity with the DuckDB oracle: the JVM loop accumulates
-    // (x_i - y_i)^2 left-to-right in doubles — the same fold order as the
-    // SQL aggregate/list_reduce spelling — and sorts by (l2, c_id), so
-    // cell choice is bit-identical.
-    val cents: Array[(Long, Array[Double])] = emb
-      .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + NumCells)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-      .sortBy(_._1)
-    def nearestCells(probes: Int) = udf { (e: Seq[Float]) =>
+  /** The coarse codebook is DRIVER-RESIDENT by design (an IVF codebook is
+    * centroids-in-RAM at any corpus scale — k cells, not k rows; this
+    * collect is bounded at NumCells by construction). It stays a SAMPLED
+    * codebook (no Lloyd refinement) deliberately: a Lloyd update sums
+    * floats across rows, and float addition is order-dependent, so the
+    * refined centroids — and every downstream assignment — would vary
+    * with partitioning. Sampling keeps the whole pipeline a pure
+    * function of the input set, the reproducibility property everything
+    * else here maintains. */
+  private def codebook(emb: DataFrame): Array[(Long, Array[Double])] = emb
+    .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + NumCells)
+    .select(col("vec_id"), col("embedding")).collect()
+    .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    .sortBy(_._1)
+
+  /** Per-row argmin over the broadcast-closure centroids inside one
+    * projection — no crossJoin x row_number window, so the whole-table
+    * exchange+sort the window form needed is gone. Arithmetic parity
+    * with the DuckDB oracle: the JVM loop accumulates (x_i - y_i)^2
+    * left-to-right in doubles — the same fold order as the SQL
+    * aggregate/list_reduce spelling — and sorts by (l2, c_id), so cell
+    * choice is bit-identical. */
+  private def nearestCellsUdf(cents: Array[(Long, Array[Double])], probes: Int) =
+    udf { (e: Seq[Float]) =>
       val scored = cents.map { case (cid, c) =>
         var s = 0.0
         var j = 0
@@ -180,6 +186,10 @@ object Similarity {
       }
       scored.sortBy(identity).take(probes).map(_._2)
     }
+
+  def ivfTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
+    val cents = codebook(emb)
+    def nearestCells(probes: Int) = nearestCellsUdf(cents, probes)
     val cells = emb.withColumn("cell", explode(nearestCells(1)(col("embedding"))))
     val q = queriesDf(emb)
       .withColumn("q_cell", explode(nearestCells(NProbe)(col("q_emb"))))
@@ -310,8 +320,38 @@ object Similarity {
     dedupFromRepPairs(withG, verified)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space coarsely, then deduplicate WITHIN each cluster by pairwise
+    * cosine — the pair join is blocked by learned data geometry instead
+    * of [[embedDedup]]'s random hyperplanes, so semantically close
+    * vectors collide even when they straddle an LSH sign boundary.
+    *
+    * Scale shape: identical-vector collapse first (re-crawled shards cost
+    * one row, not a k² pair explosion), then the per-row codegen'd argmin
+    * assigns cells with no shuffle, and the only exchanges are the
+    * within-cell self-join and the final attribution agg. At 100 TB the
+    * cell count grows with the corpus (paper uses ~100k clusters for
+    * LAION) keeping per-cell occupancy — and the quadratic pair join —
+    * bounded; cells are also the natural partition key for the join. */
+  def semDedup(emb: DataFrame, threshold: Double = DedupCosine): DataFrame = {
+    val (withG, reps) = collapseIdenticalVectors(emb)
+    val cents = codebook(emb)
+    val cells = reps.withColumn("cell",
+      explode(nearestCellsUdf(cents, 1)(col("embedding"))))
+    val b = cells.select(col("gid"), col("embedding"), col("cell"))
+    val verified = b.select(col("gid").as("ga"), col("embedding").as("e_a"), col("cell"))
+      .join(b.select(col("gid").as("gb"), col("embedding").as("e_b"), col("cell")),
+        "cell")
+      .filter(col("ga") < col("gb"))
+      .filter(cosineGE("e_a", "e_b", threshold))
+      .select(col("ga"), col("gb"))
+    dedupFromRepPairs(withG, verified)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> ((s, d) => topK(Tables.embeddings(s, d))),
+    "sim_semdedup" -> ((s, d) => semDedup(Tables.embeddings(s, d))),
     "sim_embed_dedup_mp" -> ((s, d) => embedDedupMultiProbe(Tables.embeddings(s, d))),
     "sim_ann_lsh" -> ((s, d) => annTopK(Tables.embeddings(s, d))),
     "sim_ivf_topk" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
@@ -335,7 +375,30 @@ object Similarity {
       .map(p => s"(CASE WHEN ${planeDotD(emb, p)} > 0 THEN ${1 << p} ELSE 0 END)")
       .mkString(" + ")
 
+  /** DuckDB left-fold squared-L2, same fold order as the JVM argmin loop. */
+  private def l2D(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${Dim + 1}), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), (s, v) -> s + v)"""
+
   def oracles: Map[String, String] = Map(
+    "sim_semdedup" ->
+      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+         |               WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCells}),
+         |cells AS (
+         |  SELECT vec_id, embedding, c_id AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.c_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY ${l2D("e.embedding", "c.c_emb")}, c.c_id) AS rn
+         |    FROM embeddings e, cents c)
+         |  WHERE rn = 1),
+         |pairs AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |         ${dotD("x.embedding", "y.embedding")} AS dot,
+         |         ${dotD("x.embedding", "x.embedding")} AS na,
+         |         ${dotD("y.embedding", "y.embedding")} AS nb
+         |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+         |SELECT id_b AS duplicate_id, min(id_a) AS original_id FROM pairs
+         |WHERE na > 0 AND nb > 0 AND dot / (sqrt(na) * sqrt(nb)) >= $DedupCosine
+         |GROUP BY id_b""".stripMargin,
     "sim_embed_dedup_mp" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${bucketD("embedding")} AS bucket FROM embeddings),
          |p AS (

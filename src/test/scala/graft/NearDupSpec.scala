@@ -82,6 +82,28 @@ class NearDupSpec extends SparkSpec {
     assert(mp === Set((11L, 10L)))
   }
 
+  test("semdedup: near-dups meet in their learned cell; distinct vectors kept") {
+    // codebook ids [NumQueries, NumQueries + NumCells) = integer-frequency
+    // sinusoids: distinct frequencies are near-orthogonal over 64 samples,
+    // so cells are well separated and no centroid pair crosses the bar.
+    def wave(freq: Int) =
+      Array.tabulate(Similarity.Dim)(i => math.sin(freq * (i + 1.0)).toFloat)
+    val a = wave(1) // cell-5 anchor = cluster A
+    val cents = (Similarity.NumQueries until Similarity.NumQueries + Similarity.NumCells)
+      .map(id => (id.toLong, wave(id - Similarity.NumQueries + 1), 0))
+    val nearDup = a.clone(); nearDup(0) = a(0) + 0.001f
+    val rows = cents ++ Seq(
+      (100L, a.map(v => v + 0.0002f), 0), // lands in cell 5
+      (101L, nearDup.map(v => v + 0.0002f), 0), // near-dup of 100, same cell
+      (102L, wave(40), 1), // no centroid near: cosine ~0 to all -> kept
+      (103L, a.map(v => v + 0.0002f), 0)) // byte-identical to 100
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val dup = Similarity.semDedup(emb).as[(Long, Long)].collect().toSet
+    // cell A holds {5, 100, 101, 103}, all pairwise cosine ~1 -> everyone
+    // attributes to the lowest id, the anchor 5; nothing else pairs up.
+    assert(dup == Set((100L, 5L), (101L, 5L), (103L, 5L)))
+  }
+
   test("IVF top-k: a planted near neighbor lands in the query's probed cell and ranks first") {
     val rnd = new scala.util.Random(3)
     // two well-separated clusters; queries (vec_id < NumQueries) and their
