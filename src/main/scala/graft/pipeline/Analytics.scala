@@ -120,7 +120,33 @@ object Analytics {
           .as("corr_value_k"))
   }
 
+  /** Flesch reading-ease per document — the classic readability quality
+    * signal (several public web-corpus pipelines filter or bucket on
+    * it). All inputs are exact integer counts (sentence-punctuation
+    * runs, whitespace words, vowel-group "syllables"); the score is
+    * then a fixed left-associated chain of individually-rounded IEEE
+    * double ops, so both engines produce bit-identical floats — no
+    * order-dependent float aggregation anywhere. Scan-local projection,
+    * zero shuffles at any scale. */
+  def readabilityQuery(docs: DataFrame): DataFrame = {
+    val trimmed = regexp_replace(col("text"), Clean.EdgeWsRe, "")
+    docs
+      .filter(length(trimmed) > 0)
+      .select(
+        col("doc_id"),
+        // unterminated prose counts as one sentence (standard fallback)
+        greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+          .cast("long").as("n_sentences"),
+        size(split(trimmed, "\\s+")).cast("long").as("n_words"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long").as("n_syllables"))
+      .withColumn("flesch",
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_readability" -> ((s, d) => readabilityQuery(Tables.documents(s, d))),
     "events_value_corr" -> ((s, d) => valueCorrQuery(Tables.events(s, d))),
     "quality_reason_report" -> ((s, d) => reasonReportQuery(Tables.documents(s, d))),
     "doc_length_histogram" -> ((s, d) => docLengthHistogramQuery(Tables.documents(s, d))),
@@ -129,6 +155,19 @@ object Analytics {
     "events_props_extract" -> ((s, d) => eventsPropsQuery(Tables.events(s, d))))
 
   def oracles: Map[String, String] = Map(
+    "doc_readability" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_split_to_array(
+        |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |  FROM documents
+        |  WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)
+        |SELECT doc_id, n_sentences, n_words, n_syllables,
+        |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |          - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
+        |FROM m""".stripMargin,
     "events_value_corr" ->
       """WITH base AS (
         |  SELECT event_type, value, CAST(json_extract_string(props, '$.k') AS INT) AS k
