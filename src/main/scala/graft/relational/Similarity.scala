@@ -206,6 +206,105 @@ object Similarity {
       .select(col("q_id"), col("rn"), col("vec_id"), col("sim"), col("label"))
   }
 
+  // -----------------------------------------------------------------------
+  // IVF-PQ — product-quantized ADC scoring inside IVF cells
+  // -----------------------------------------------------------------------
+
+  val PqSub = 8 // subspaces
+  val PqSubDim: Int = Dim / PqSub
+
+  /** Per-subspace codebooks sliced from the same sampled vectors the IVF
+    * coarse quantizer uses: codebook m holds the 16 centroids'
+    * m-th 8-dim slice. Driver-resident like [[codebook]] (k*Dim doubles
+    * at any corpus scale). */
+  private def pqCodebook(emb: DataFrame): Array[Array[Array[Double]]] = {
+    val base = codebook(emb)
+    Array.tabulate(PqSub)(m =>
+      base.map { case (_, v) => v.slice(m * PqSubDim, (m + 1) * PqSubDim) })
+  }
+
+  /** Sub-L2 between a vector's m-th slice and one sub-centroid —
+    * left-fold over ascending j, the shared fold order of every engine
+    * spelling here. */
+  private def subL2(e: Seq[Float], m: Int, cvec: Array[Double]): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < PqSubDim) {
+      val d = e(m * PqSubDim + j).toDouble - cvec(j); s += d * d; j += 1
+    }
+    s
+  }
+
+  /** PQ encode: per subspace, the index of the nearest sub-centroid
+    * (strict < over ascending c = lowest index wins ties, matching the
+    * oracle's ORDER BY dist, c). 64 floats become [[PqSub]] small ints —
+    * the 32x memory cut that makes billion-vector search fit a cluster. */
+  private def pqEncodeUdf(cb: Array[Array[Array[Double]]]) =
+    udf { (e: Seq[Float]) =>
+      Array.tabulate(PqSub) { m =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb(m).length) {
+          val s = subL2(e, m, cb(m)(c))
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+
+  /** IVF-PQ top-k (FAISS's workhorse layout): the coarse quantizer cuts
+    * the scan to the query's [[NProbe]] cells, and inside a cell the
+    * asymmetric-distance computation (ADC) ranks by table lookups over
+    * the 8-int PQ codes — the raw embedding column is DROPPED before the
+    * join, so the shuffled/scanned payload is ~32x smaller than the
+    * float vectors. Per-query distance tables (PqSub x 16 doubles) are
+    * computed once on the driver from the bounded query set and ride the
+    * UDF closure. Approximation error vs `sim_ivf_topk` is the PQ
+    * reconstruction error — diff the two queries to see it. */
+  def ivfPqTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
+    val cents = codebook(emb)
+    val cb = pqCodebook(emb)
+    val coded = emb
+      .withColumn("cell", explode(nearestCellsUdf(cents, 1)(col("embedding"))))
+      .withColumn("codes", pqEncodeUdf(cb)(col("embedding")))
+      .select(col("vec_id"), col("label"), col("cell"), col("codes"))
+    // Bounded collect: the NumQueries query vectors (driver-side tables
+    // and probe cells replicate the UDF loops exactly — same arithmetic).
+    val qRows = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val qTab: Map[Long, Array[Array[Double]]] = qRows.map { case (qid, q) =>
+      qid -> Array.tabulate(PqSub)(m => cb(m).map(cvec => subL2(q, m, cvec)))
+    }.toMap
+    val qCells = qRows.flatMap { case (qid, q) =>
+      cents.map { case (cid, c) =>
+        var s = 0.0
+        var j = 0
+        while (j < c.length) { val d = q(j).toDouble - c(j); s += d * d; j += 1 }
+        (s, cid)
+      }.sortBy(identity).take(NProbe).map { case (_, cell) => (qid, cell) }
+    }
+    val ss = emb.sparkSession
+    import ss.implicits._
+    val qDf = qCells.toSeq.toDF("q_id", "q_cell")
+    val adcUdf = udf { (qId: Long, codes: Seq[Int]) =>
+      val t = qTab(qId)
+      var s = 0.0
+      var m = 0
+      while (m < PqSub) { s += t(m)(codes(m)); m += 1 }
+      s
+    }
+    val scored = coded.join(broadcast(qDf),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adcUdf(col("q_id"), col("codes")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("adc"), col("label"))
+  }
+
   val DedupCosine = 0.95
 
   /** Embedding-cosine near-duplicate detection (builder-brief dedup
@@ -351,6 +450,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> ((s, d) => topK(Tables.embeddings(s, d))),
+    "sim_ivfpq_topk" -> ((s, d) => ivfPqTopK(Tables.embeddings(s, d))),
     "sim_semdedup" -> ((s, d) => semDedup(Tables.embeddings(s, d))),
     "sim_embed_dedup_mp" -> ((s, d) => embedDedupMultiProbe(Tables.embeddings(s, d))),
     "sim_ann_lsh" -> ((s, d) => annTopK(Tables.embeddings(s, d))),
@@ -379,7 +479,51 @@ object Similarity {
   private def l2D(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${Dim + 1}), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), (s, v) -> s + v)"""
 
+  /** DuckDB sub-L2 for subspace `m` (a SQL expression), same j-ascending
+    * fold as [[subL2]]. */
+  private def subL2D(a: String, b: String, m: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${PqSubDim + 1}), j -> (CAST($a[$m * $PqSubDim + j] AS DOUBLE) - CAST($b[$m * $PqSubDim + j] AS DOUBLE)) * (CAST($a[$m * $PqSubDim + j] AS DOUBLE) - CAST($b[$m * $PqSubDim + j] AS DOUBLE)))), (s, v) -> s + v)"""
+
   def oracles: Map[String, String] = Map(
+    "sim_ivfpq_topk" ->
+      s"""WITH cents AS (SELECT vec_id AS c_id, row_number() OVER (ORDER BY vec_id) - 1 AS c,
+         |                      embedding AS c_emb
+         |               FROM embeddings WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCells}),
+         |cells AS (
+         |  SELECT vec_id, label, c_id AS cell FROM (
+         |    SELECT e.vec_id, e.label, c.c_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY ${l2D("e.embedding", "c.c_emb")}, c.c_id) AS rn
+         |    FROM embeddings e, cents c)
+         |  WHERE rn = 1),
+         |codes AS (
+         |  SELECT vec_id, m, c AS code FROM (
+         |    SELECT e.vec_id, s.m, c.c,
+         |           row_number() OVER (PARTITION BY e.vec_id, s.m
+         |                              ORDER BY ${subL2D("e.embedding", "c.c_emb", "s.m")}, c.c) AS rn
+         |    FROM embeddings e, range(0, $PqSub) s(m), cents c)
+         |  WHERE rn = 1),
+         |q AS (
+         |  SELECT q_id, q_emb, c_id AS q_cell FROM (
+         |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.c_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY ${l2D("e.embedding", "c.c_emb")}, c.c_id) AS rn
+         |    FROM embeddings e, cents c WHERE e.vec_id < $NumQueries)
+         |  WHERE rn <= $NProbe),
+         |adc AS (
+         |  SELECT q.q_id, x.vec_id, x.label,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list(${subL2D("q.q_emb", "cc.c_emb", "cd.m")} ORDER BY cd.m)),
+         |           (s, v) -> s + v) AS adc
+         |  FROM cells x
+         |  JOIN q ON x.cell = q.q_cell AND x.vec_id <> q.q_id
+         |  JOIN codes cd ON cd.vec_id = x.vec_id
+         |  JOIN cents cc ON cc.c = cd.code
+         |  GROUP BY q.q_id, x.vec_id, x.label),
+         |ranked AS (SELECT q_id, vec_id, label, adc,
+         |                  row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+         |           FROM adc)
+         |SELECT q_id, rn, vec_id, adc, label FROM ranked WHERE rn <= $TopK""".stripMargin,
     "sim_semdedup" ->
       s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
          |               WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCells}),

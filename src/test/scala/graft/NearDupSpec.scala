@@ -104,6 +104,33 @@ class NearDupSpec extends SparkSpec {
     assert(dup == Set((100L, 5L), (101L, 5L), (103L, 5L)))
   }
 
+  test("IVF-PQ: partition-independent results, adc ascending, copy of query ranks by its codes") {
+    val rnd = new scala.util.Random(11)
+    def around(center: Double) =
+      Array.tabulate(Similarity.Dim)(i =>
+        (math.sin(center * (i + 1)) + rnd.nextGaussian() * 0.01).toFloat)
+    val rows = (0L until 40L).map { id =>
+      val inA = id < Similarity.NumQueries || id % 2 == 0
+      (id, around(if (inA) 1.0 else 9.0), if (inA) 0 else 1)
+    }
+    val q0 = rows.head._2
+    val planted = rows.updated(25, (25L, q0.clone(), 0)) // byte-identical to query 0
+    val emb = planted.toDF("vec_id", "embedding", "label")
+    val r1 = Similarity.ivfPqTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sortBy(x => (x._1, x._2))
+    val r2 = Similarity.ivfPqTopK(emb.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sortBy(x => (x._1, x._2))
+    assert(r1 === r2) // pure function of the input SET
+    r1.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.sortBy(_._2).map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+    // the byte-identical copy shares query 0's codes -> its ADC is the
+    // self-distance, the minimum over the probed cells; nothing with a
+    // lower id shares those codes in this construction, so it ranks 1st
+    val top0 = r1.filter(t => t._1 == 0L && t._2 == 1).head
+    assert(top0._3 == 25L)
+  }
+
   test("IVF top-k: a planted near neighbor lands in the query's probed cell and ranks first") {
     val rnd = new scala.util.Random(3)
     // two well-separated clusters; queries (vec_id < NumQueries) and their
