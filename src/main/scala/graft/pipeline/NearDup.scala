@@ -362,6 +362,79 @@ object NearDup {
   /** Native codegen'd expression form (graft.functions.WinnowExpression). */
   private def winnowUdf(c: org.apache.spark.sql.Column) = graft.functions.Winnow(c)
 
+  /** The fingerprint SET itself (first-occurrence-deduped), for
+    * fingerprint-join operators — same deque pass as [[winnow]]. */
+  def winnowSet(text: String): Array[Long] = {
+    val h = MinHash.shingleHashes(text)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (h.length < WinnowWindow) {
+      var m = h(0); var i = 1
+      while (i < h.length) { if (h(i) < m) m = h(i); i += 1 }
+      seen.add(m)
+    } else {
+      val dq = new Array[Int](h.length)
+      var lo = 0; var hi = 0
+      var i = 0
+      while (i < h.length) {
+        while (hi > lo && h(dq(hi - 1)) >= h(i)) hi -= 1
+        dq(hi) = i; hi += 1
+        if (dq(lo) <= i - WinnowWindow) lo += 1
+        if (i >= WinnowWindow - 1) seen.add(h(dq(lo)))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+  private val winnowSetUdf = udf(winnowSet _)
+
+  /** Ubiquitous fingerprints (boilerplate phrases) are dropped before
+    * the pair join, MOSS-style: a fingerprint in more than [[FpDfCap]]
+    * docs identifies nothing and would go quadratic in the join. */
+  val FpDfCap = 50
+
+  /** Containment threshold: shared >= half the smaller sketch. */
+  val ContainmentNumer = 1
+  val ContainmentDenom = 2
+
+  /** Cross-document CONTAINMENT detection (Schleimer et al. 2003 / MOSS):
+    * two docs sharing a large fraction of the SMALLER doc's winnowing
+    * sketch indicate quotation/inclusion — a relation doc-level near-dup
+    * misses (a doc embedded in a 10x larger one has low Jaccard but full
+    * containment).
+    *
+    * Scale shape: sketch explode is narrow (~2/(w+1) of the shingle
+    * count per doc); one df aggregation drops stop-fingerprints (the
+    * skew control — every surviving posting list is <= [[FpDfCap]]
+    * long, bounding the self-join at df² x a constant); the pair count
+    * partial-aggregates. The containment filter compares exact integers
+    * ([[ContainmentDenom]] * shared >= [[ContainmentNumer]] * min) and
+    * only the reported score divides — one rounding, both engines. */
+  def containmentQuery(docs: DataFrame): DataFrame = {
+    val fps = docs
+      .select(col("doc_id"), explode(winnowSetUdf(col("text"))).as("fp"))
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= FpDfCap)
+      .select(col("fp"))
+    val rare = fps.join(keep, "fp")
+    val shared = rare.select(col("fp"), col("doc_id").as("id_a"))
+      .join(rare.select(col("fp"), col("doc_id").as("id_b")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(col("n_shared") * ContainmentDenom >= least(col("na"), col("nb")) * ContainmentNumer)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        (col("n_shared").cast("double") / least(col("na"), col("nb")).cast("double"))
+          .as("containment"))
+  }
+
   def fingerprintQuery(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), winnowUdf(col("text")).as("w"))
       .select(
@@ -374,7 +447,8 @@ object NearDup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_simhash_dupmap" -> ((s, d) => simhashDuplicateOf(Tables.documents(s, d))),
     "dedup_jaccard_dupmap" -> ((s, d) => jaccardDuplicateOf(Tables.documents(s, d))),
-    "doc_fingerprints" -> ((s, d) => fingerprintQuery(Tables.documents(s, d))))
+    "doc_fingerprints" -> ((s, d) => fingerprintQuery(Tables.documents(s, d))),
+    "dedup_containment" -> ((s, d) => containmentQuery(Tables.documents(s, d))))
 
   def oracles: Map[String, String] = {
     val simBitsSql = (0 until SimBits).map { b =>
@@ -425,6 +499,28 @@ object NearDup {
            |SELECT doc_id,
            |  CAST(len(fps) AS INT) AS n_fingerprints,
            |  list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (s, v) -> (s + v) % ${MinHash.P}) AS fp_checksum
-           |FROM fp""".stripMargin)
+           |FROM fp""".stripMargin,
+      "dedup_containment" ->
+        s"""WITH ${MinHash.shingleCtesD},
+           |fp AS (SELECT doc_id,
+           |  list_distinct(CASE WHEN len(hashes) >= $WinnowWindow
+           |    THEN list_transform(range(1, len(hashes) - ${WinnowWindow - 2}),
+           |                        i -> list_min(hashes[i : i + ${WinnowWindow - 1}]))
+           |    ELSE [list_min(hashes)] END) AS fps
+           |  FROM hs),
+           |f AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+           |keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= $FpDfCap),
+           |r AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp)),
+           |shared AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_shared
+           |           FROM r x JOIN r y ON x.fp = y.fp AND x.doc_id < y.doc_id
+           |           GROUP BY 1, 2)
+           |SELECT id_a, id_b, n_shared,
+           |       CAST(n_shared AS DOUBLE) / CAST(least(na, nb) AS DOUBLE) AS containment
+           |FROM (SELECT s.id_a, s.id_b, s.n_shared, sa.n AS na, sb.n AS nb
+           |      FROM shared s
+           |      JOIN sizes sa ON sa.doc_id = s.id_a
+           |      JOIN sizes sb ON sb.doc_id = s.id_b)
+           |WHERE n_shared * $ContainmentDenom >= least(na, nb) * $ContainmentNumer""".stripMargin)
   }
 }

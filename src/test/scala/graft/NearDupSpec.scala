@@ -38,6 +38,20 @@ class NearDupSpec extends SparkSpec {
     assert(dup == Set((2L, 1L)))
   }
 
+  test("containment: a doc quoted inside a much larger doc is flagged; doc-level jaccard misses it") {
+    val small = "the quick brown fox jumps over the lazy dog while seven wizards brew quartz potions " * 3
+    val filler = (1 to 12).map(i => s"unrelated filler sentence number $i about completely different topics entirely").mkString(" ")
+    val big = filler + " " + small
+    val other = "this third document shares no phrasing with either of the previous two at all"
+    val d = docs(1L -> big, 2L -> small, 3L -> other)
+    val pairs = NearDup.containmentQuery(d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(pairs.keySet === Set((1L, 2L)))
+    assert(pairs((1L, 2L)) > 0.8) // nearly all of the smaller sketch is shared
+    val jac = NearDup.jaccardDuplicateOf(d).collect()
+    assert(jac.isEmpty) // containment is invisible to symmetric doc-level jaccard
+  }
+
   test("fingerprints: deterministic scalars, identical docs agree, distinct differ") {
     val fp = NearDup.fingerprintQuery(docs(1L -> longA, 2L -> longA, 3L -> other))
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
