@@ -60,9 +60,52 @@ object Sampling {
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Token budget apportioned across sources by `mix_allocation`. */
+  val MixBudget = 1000000L
+
+  /** Mixture apportionment (the Pile/DoReMi-style source-weighting
+    * table a training run starts from): given integer source weights
+    * (here: the source's numeric suffix + 1 — a stand-in for the
+    * configured mixture), split [[MixBudget]] target tokens across
+    * sources by largest-remainder rounding, so the targets are EXACT
+    * integers summing to the budget (floor division + the remainder
+    * rank distributes the leftover). `epochs` = target/actual tokens is
+    * the per-source up/down-sampling factor — the one double division.
+    *
+    * Scale shape: one per-source aggregation over the corpus (narrow
+    * token counting inside the scan stage), then all arithmetic runs on
+    * the #sources-row frame — the totals combine back via 1-row
+    * broadcast cross joins, and the remainder-rank window sorts a
+    * bounded-by-#sources relation, fine at any corpus size. */
+  def mixAllocationQuery(docs: DataFrame, budget: Long = MixBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val trimmed = regexp_replace(col("text"), Clean.EdgeWsRe, "")
+    val bySource = docs
+      .select(col("source"), size(split(trimmed, "\\s+")).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .withColumn("weight",
+        coalesce(expr("try_cast(regexp_extract(source, '\\\\d+', 0) AS BIGINT)"), lit(0L)) + 1L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tw = bySource.agg(sum(col("weight")).as("tw"))
+    val u = bySource.crossJoin(broadcast(tw))
+      .withColumn("q", expr(s"(${budget}L * weight) div tw"))
+      .withColumn("r", expr(s"(${budget}L * weight) % tw"))
+    val sq = u.agg(sum(col("q")).as("sq"))
+    val rankW = Window.orderBy(col("r").desc, col("source"))
+    u.crossJoin(broadcast(sq))
+      .withColumn("rk", row_number().over(rankW))
+      .withColumn("target_tokens",
+        col("q") + when(col("rk") <= lit(budget) - col("sq"), 1L).otherwise(0L))
+      .select(col("source"), col("weight"), col("n_docs"), col("n_tokens"),
+        col("target_tokens"),
+        (col("target_tokens").cast("double") / col("n_tokens").cast("double")).as("epochs"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> ((s, d) => stratifiedSampleQuery(Tables.documents(s, d))),
-    "split_counts" -> ((s, d) => splitCountsQuery(Tables.documents(s, d))))
+    "split_counts" -> ((s, d) => splitCountsQuery(Tables.documents(s, d))),
+    "mix_allocation" -> ((s, d) => mixAllocationQuery(Tables.documents(s, d))))
 
   def oracles: Map[String, String] = {
     val rateRows = tierOf.toSeq.sortBy(_._1)
@@ -80,6 +123,26 @@ object Sampling {
           |       WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= 'e5' THEN 'val'
           |       ELSE 'test' END AS split,
           |  count(*) AS n_docs
-          |FROM documents GROUP BY 1, 2""".stripMargin)
+          |FROM documents GROUP BY 1, 2""".stripMargin,
+      "mix_allocation" ->
+        s"""WITH s AS (
+           |  SELECT source,
+           |         COALESCE(TRY_CAST(regexp_extract(source, '\\d+') AS BIGINT), 0) + 1 AS weight,
+           |         count(*) AS n_docs,
+           |         CAST(sum(len(regexp_split_to_array(
+           |           regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+'))) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY source),
+           |t AS (SELECT *,
+           |        CAST(($MixBudget * weight) // (SELECT CAST(sum(weight) AS BIGINT) FROM s) AS BIGINT) AS q,
+           |        CAST(($MixBudget * weight) % (SELECT CAST(sum(weight) AS BIGINT) FROM s) AS BIGINT) AS r
+           |      FROM s),
+           |v AS (SELECT *, row_number() OVER (ORDER BY r DESC, source) AS rk,
+           |             (SELECT CAST(sum(q) AS BIGINT) FROM t) AS sq
+           |      FROM t)
+           |SELECT source, weight, n_docs, n_tokens,
+           |       CAST(q + CASE WHEN rk <= $MixBudget - sq THEN 1 ELSE 0 END AS BIGINT) AS target_tokens,
+           |       CAST(q + CASE WHEN rk <= $MixBudget - sq THEN 1 ELSE 0 END AS DOUBLE)
+           |         / CAST(n_tokens AS DOUBLE) AS epochs
+           |FROM v""".stripMargin)
   }
 }

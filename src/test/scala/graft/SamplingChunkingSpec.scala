@@ -1,6 +1,7 @@
 package graft
 
 import graft.pipeline.{Chunking, Sampling}
+import org.apache.spark.sql.functions.col
 
 /** Goldens for the sampling / split / chunking prep ops. */
 class SamplingChunkingSpec extends SparkSpec {
@@ -31,6 +32,23 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(counts("train") > 2200 && counts("train") < 2600, counts.toString)
     assert(counts("val") > 150 && counts("val") < 450, counts.toString)
     assert(counts("test") > 150 && counts("test") < 450, counts.toString)
+  }
+
+  test("mix allocation: exact largest-remainder apportionment, targets sum to budget") {
+    // weights: alpha -> 1 (no digits), b2 -> 3, c3 -> 4; W = 8, budget 10:
+    // q = floor(10w/8) = (1, 3, 5); r = (2, 6, 0); sum q = 9 -> the one
+    // leftover token goes to the largest remainder, b2.
+    val d = Seq(
+      (1L, "alpha", "one two three"),
+      (2L, "b2", "four five"),
+      (3L, "b2", "six"),
+      (4L, "c3", "seven eight nine ten")).toDF("doc_id", "source", "text")
+    val m = Sampling.mixAllocationQuery(d, budget = 10L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(m("alpha") === ((1L, 3L, 1L)))
+    assert(m("b2") === ((3L, 3L, 4L)))
+    assert(m("c3") === ((4L, 4L, 5L)))
+    assert(m.values.map(_._3).sum === 10L)
   }
 
   test("chunking covers the doc with the configured overlap") {
