@@ -115,6 +115,37 @@ object Multimodal {
   def repartitionForDecode(media: DataFrame, partitions: Int): Dataset[Row] =
     media.repartition(partitions, col("media_id"))
 
+  /** Longest output side after resize. */
+  val ResizeMax = 256
+
+  /** Resize: scale media so the longest side fits [[ResizeMax]] (STUB:
+    * integer k-fold decimation — header dimensions divide by k =
+    * ceil(max/[[ResizeMax]]) and the body keeps every k-th byte; a real
+    * build swaps in an interpolating codec. The real contract is the
+    * shape: a narrow binary-in/binary-out projection whose output
+    * payload shrinks BEFORE any shuffle/sink — at 100 TB, resizing in
+    * the scan stage is the difference between shuffling thumbnails and
+    * shuffling originals). */
+  def resize(media: DataFrame, maxSide: Int = ResizeMax): DataFrame = {
+    val rz = udf { (b: Array[Byte]) =>
+      decodeStub(b) match {
+        case None => None
+        case Some((w, h)) =>
+          val k = (math.max(w, h) + maxSide - 1) / maxSide
+          val nw = (w + k - 1) / k
+          val nh = (h + k - 1) / k
+          val body = b.length - 12
+          val outBytes = 12 + (body + k - 1) / k
+          Some((nw, nh, outBytes))
+      }
+    }
+    media.withColumn("rz", rz(col("content")))
+      .withColumn("new_width", col("rz._1"))
+      .withColumn("new_height", col("rz._2"))
+      .withColumn("out_bytes", col("rz._3"))
+      .drop("rz")
+  }
+
   // -----------------------------------------------------------------------
   // Correctness-gate queries
   // -----------------------------------------------------------------------
@@ -170,8 +201,15 @@ object Multimodal {
         expr("aggregate(features, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
           .as("feat_checksum"))
 
+  /** Oracle-checked resize query over the binary fixture. */
+  def resizeQuery(docs: DataFrame): DataFrame =
+    resize(fixtureFromDocs(docs))
+      .select(col("media_id"), col("kind"), col("new_width"), col("new_height"),
+        col("out_bytes"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_decode" -> ((s, d) => decodeQuery(graft.Tables.documents(s, d))),
+    "mm_media_resize" -> ((s, d) => resizeQuery(graft.Tables.documents(s, d))),
     "mm_media_features" -> ((s, d) => featuresQuery(graft.Tables.documents(s, d))))
 
   def oracles: Map[String, String] = Map(
@@ -182,6 +220,19 @@ object Multimodal {
         |  CAST(doc_id % 480 + 1 AS INT) AS dec_height,
         |  CAST((((12 + octet_length(CAST(text AS BLOB))) // 8) + 3) // 4 AS INT) AS n_frames
         |FROM documents""".stripMargin,
+    "mm_media_resize" ->
+      s"""WITH d AS (
+         |  SELECT doc_id AS media_id,
+         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    doc_id % 640 + 1 AS w, doc_id % 480 + 1 AS h,
+         |    octet_length(CAST(text AS BLOB)) AS body
+         |  FROM documents),
+         |k AS (SELECT *, (greatest(w, h) + ${ResizeMax - 1}) // $ResizeMax AS k FROM d)
+         |SELECT media_id, kind,
+         |  CAST((w + k - 1) // k AS INT) AS new_width,
+         |  CAST((h + k - 1) // k AS INT) AS new_height,
+         |  CAST(12 + (body + k - 1) // k AS INT) AS out_bytes
+         |FROM k""".stripMargin,
     "mm_media_features" -> {
       val M = "18446744073709551616" // 2^64
       s"""WITH b AS (

@@ -57,6 +57,17 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == (100 / 8 + 3) / 4) // 12 frames -> 0,4,8 -> 3
   }
 
+  test("resize: k-fold decimation fits the longest side; small media untouched; non-media null") {
+    val m = Multimodal.resize(mediaDf).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))).toMap
+    // 640x480: k = ceil(640/256) = 3 -> 214x160; body 64 -> 12 + ceil(64/3) = 34
+    assert(m(1L) === ((Some(214), Some(160), Some(34))))
+    // 64x64: k = 1 -> unchanged, body kept whole
+    assert(m(2L) === ((Some(64), Some(64), Some(12 + 64))))
+    // audio payload without the GRF! header: decode fails -> nulls
+    assert(m(3L) === ((None, None, None)))
+  }
+
   test("repartition for decode spreads rows") {
     assert(Multimodal.repartitionForDecode(mediaDf, 3).rdd.getNumPartitions == 3)
   }
