@@ -2,7 +2,7 @@ package graft
 
 import scala.util.Random
 
-import graft.pipeline.{MinHash, NearDup}
+import graft.pipeline.{Dedup, MinHash, NearDup}
 
 /** Property tests pinning the near-dup operators against naive
   * reference implementations computed in plain Scala — the pruning math
@@ -69,6 +69,67 @@ class NearDupPropertySpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
       assert(got == naiveSimhashDups(docs))
     }
+  }
+
+  /** Char-level corpus for substring-window properties: docs long enough
+    * to window, a third sharing a long prefix with an earlier doc. */
+  private def charCorpus(seed: Int, n: Int): Seq[(Long, String)] = {
+    val rnd = new Random(seed)
+    def fresh(len: Int) = Seq.fill(len)(('a' + rnd.nextInt(4)).toChar).mkString
+    (0L until n).foldLeft(Vector.empty[(Long, String)]) { (acc, id) =>
+      val t =
+        if (id >= 2 && rnd.nextInt(3) == 0) {
+          val donor = acc(rnd.nextInt(acc.size))._2
+          donor.take(100 + rnd.nextInt(donor.length.max(101) - 100)) + fresh(rnd.nextInt(60))
+        } else fresh(60 + rnd.nextInt(240))
+      acc :+ (id -> t)
+    }
+  }
+
+  private def naiveSubstringDups(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+    val spans = docs.flatMap { case (id, t) =>
+      if (t.length < Dedup.SpanLen) Nil
+      else (1 to t.length - (Dedup.SpanLen - 1) by Dedup.SpanStride)
+        .map(o => (id, t.substring(o - 1, o - 1 + Dedup.SpanLen)))
+    }
+    val counts = spans.groupBy(_._2).view.mapValues(_.size).toMap
+    spans.groupBy(_._1)
+      .map { case (id, ss) =>
+        id -> ((ss.size.toLong, ss.count(s => counts(s._2) > 1).toLong))
+      }
+      .filter(_._2._2 > 0)
+  }
+
+  for (seed <- Seq(3, 13)) {
+    test(s"substring span dedup equals the naive all-window count (seed $seed)") {
+      val docs = charCorpus(seed, 40)
+      val got = Dedup.substringDupQuery(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == naiveSubstringDups(docs))
+    }
+  }
+
+  private def naiveContainment(docs: Seq[(Long, String)]): Map[(Long, Long), Long] = {
+    val fsets = docs.map { case (id, t) => id -> NearDup.winnowSet(t).toSet }.toMap
+    val df = fsets.values.flatten.toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    val kept = fsets.view.mapValues(_.filter(fp => df(fp) <= NearDup.FpDfCap)).toMap
+    val pairs = for {
+      (a, fa) <- kept.toSeq; (b, fb) <- kept.toSeq
+      if a < b
+      shared = (fa intersect fb).size
+      if shared * NearDup.ContainmentDenom >=
+        math.min(fsets(a).size, fsets(b).size) * NearDup.ContainmentNumer
+    } yield ((a, b), shared.toLong)
+    pairs.toMap
+  }
+
+  test("containment join (with stop-fingerprint cap) equals the naive set intersection") {
+    // the 7-word vocab makes common trigram fingerprints ubiquitous —
+    // at n=60 some exceed FpDfCap, exercising the cap on BOTH sides
+    val docs = corpus(17, 60)
+    val got = NearDup.containmentQuery(docs.toDF("doc_id", "text")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == naiveContainment(docs))
   }
 
   test("winnow kernel matches the sliding-window-min + distinct spec") {

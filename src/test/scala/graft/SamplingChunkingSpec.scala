@@ -51,6 +51,29 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(m.values.map(_._3).sum === 10L)
   }
 
+  test("mix allocation invariants: random corpora, targets sum to budget, each within 1 of quota") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 5) {
+      val nSources = 2 + rnd.nextInt(8)
+      val weights = (0 until nSources).map(_ => 1L + rnd.nextInt(97))
+      val rows = for {
+        (w, s) <- weights.zipWithIndex
+        d <- 0 until (1 + rnd.nextInt(4))
+      } yield ((s * 100 + d).toLong, s"g$w-$s", Seq.fill(1 + rnd.nextInt(9))("tok").mkString(" "))
+      // weight parses as the FIRST digit run: "g42-3" -> 42 (+1 in the op)
+      val budget = 1000L + rnd.nextInt(9000)
+      val m = Sampling.mixAllocationQuery(rows.toDF("doc_id", "source", "text"), budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+      val totalW = m.map(_._2).sum
+      assert(m.map(_._3).sum === budget, s"trial $trial: targets must sum to the budget")
+      m.foreach { case (src, w, target) =>
+        val floorQuota = budget * w / totalW
+        assert(target == floorQuota || target == floorQuota + 1,
+          s"trial $trial/$src: target $target outside [floor, floor+1] of quota $floorQuota")
+      }
+    }
+  }
+
   test("chunking covers the doc with the configured overlap") {
     // 100 words, C=32, S=24 -> k = 1 + ceil(68/24) = 4 chunks:
     // [1..32], [25..56], [49..80], [73..100]
