@@ -134,6 +134,45 @@ object Similarity {
       .select(col("q_id"), col("rn"), col("vec_id"), col("sim"), col("label"))
   }
 
+  /** Document-prior weight midpoint: a doc of this length scores 0.5. */
+  val PriorMidpoint = 300
+
+  /** Hybrid retrieval: exact cosine similarity blended with a
+    * document-quality prior (here length-based: n_chars/(n_chars+300),
+    * a saturating preference for substantial documents — the stand-in
+    * for any scalar quality score riding the corpus). The candidate
+    * table joins its prior BEFORE scoring, so the blend costs one
+    * broadcast-side multiply; the prior is exact-integer in, one double
+    * division out, and `score = cosine * prior` adds a single rounding —
+    * both engines bit-agree. Same two-phase partial top-k as [[topK]]:
+    * only O(k) rows per partition reach the per-query shuffle. */
+  def hybridTopK(emb: DataFrame, docs: DataFrame, k: Int = TopK): DataFrame = {
+    val ss = emb.sparkSession
+    import ss.implicits._
+    val prior = docs.select(col("doc_id").as("vec_id"),
+      (col("n_chars").cast("double") /
+        (col("n_chars") + lit(PriorMidpoint)).cast("double")).as("prior"))
+    val scored = emb.join(prior, "vec_id")
+      .crossJoin(broadcast(queriesDf(emb)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", expr(dotS("embedding", "q_emb")))
+      .withColumn("na", expr(dotS("embedding", "embedding")))
+      .withColumn("nb", expr(dotS("q_emb", "q_emb")))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("score",
+        (col("dot") / (sqrt(col("na")) * sqrt(col("nb")))) * col("prior"))
+    scored
+      .select(col("q_id"),
+        struct(col("vec_id"), col("score").as("sim"), col("label")).as("s"))
+      .as[(Long, Scored)]
+      .groupByKey(_._1)
+      .agg(new TopKAgg(k).toColumn.name("top"))
+      .flatMap { case (q, xs) =>
+        xs.iterator.zipWithIndex.map { case (s, i) => (q, i + 1, s.vec_id, s.sim, s.label) }
+      }
+      .toDF("q_id", "rn", "vec_id", "score", "label")
+  }
+
   // -----------------------------------------------------------------------
   // IVF (inverted-file) ANN — the second scale path from the brief
   // -----------------------------------------------------------------------
@@ -451,6 +490,8 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> ((s, d) => topK(Tables.embeddings(s, d))),
     "sim_ivfpq_topk" -> ((s, d) => ivfPqTopK(Tables.embeddings(s, d))),
+    "sim_hybrid_topk" -> ((s, d) =>
+      hybridTopK(Tables.embeddings(s, d), Tables.documents(s, d))),
     "sim_semdedup" -> ((s, d) => semDedup(Tables.embeddings(s, d))),
     "sim_embed_dedup_mp" -> ((s, d) => embedDedupMultiProbe(Tables.embeddings(s, d))),
     "sim_ann_lsh" -> ((s, d) => annTopK(Tables.embeddings(s, d))),
@@ -485,6 +526,24 @@ object Similarity {
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${PqSubDim + 1}), j -> (CAST($a[$m * $PqSubDim + j] AS DOUBLE) - CAST($b[$m * $PqSubDim + j] AS DOUBLE)) * (CAST($a[$m * $PqSubDim + j] AS DOUBLE) - CAST($b[$m * $PqSubDim + j] AS DOUBLE)))), (s, v) -> s + v)"""
 
   def oracles: Map[String, String] = Map(
+    "sim_hybrid_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NumQueries),
+         |p AS (SELECT doc_id AS vec_id,
+         |             CAST(n_chars AS DOUBLE) / CAST(n_chars + $PriorMidpoint AS DOUBLE) AS prior
+         |      FROM documents),
+         |scored AS (
+         |  SELECT q_id, e.vec_id, label, prior,
+         |         ${dotD("embedding", "q_emb")} AS dot,
+         |         ${dotD("embedding", "embedding")} AS na,
+         |         ${dotD("q_emb", "q_emb")} AS nb
+         |  FROM embeddings e JOIN p USING (vec_id), q WHERE e.vec_id <> q_id),
+         |sims AS (SELECT q_id, vec_id, label,
+         |                (dot / (sqrt(na) * sqrt(nb))) * prior AS score
+         |         FROM scored WHERE na > 0 AND nb > 0),
+         |ranked AS (SELECT q_id, vec_id, label, score,
+         |                  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+         |           FROM sims)
+         |SELECT q_id, rn, vec_id, score, label FROM ranked WHERE rn <= $TopK""".stripMargin,
     "sim_ivfpq_topk" ->
       s"""WITH cents AS (SELECT vec_id AS c_id, row_number() OVER (ORDER BY vec_id) - 1 AS c,
          |                      embedding AS c_emb

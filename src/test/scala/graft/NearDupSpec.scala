@@ -118,6 +118,23 @@ class NearDupSpec extends SparkSpec {
     assert(dup == Set((100L, 5L), (101L, 5L), (103L, 5L)))
   }
 
+  test("hybrid retrieval: equal cosine resolves by the document prior (longer doc wins)") {
+    val q = Array.tabulate(Similarity.Dim)(i => math.sin(i + 1).toFloat)
+    val v = q.map(x => x * 0.5f) // same direction as q: cosine = 1 for both copies
+    val far = Array.tabulate(Similarity.Dim)(i => math.cos(3 * i + 2).toFloat)
+    val emb = Seq((0L, q, 0), (10L, v, 0), (11L, v.clone(), 0), (12L, far, 1))
+      .toDF("vec_id", "embedding", "label")
+    val docs = Seq((0L, 500L), (10L, 100L), (11L, 2000L), (12L, 2000L))
+      .toDF("doc_id", "n_chars")
+    val top = Similarity.hybridTopK(emb, docs, k = 3).collect()
+      .filter(_.getLong(0) == 0L).sortBy(_.getInt(1))
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    // 11 beats 10 on the length prior despite identical cosine and larger
+    // id; 12's high prior cannot rescue its low cosine
+    assert(top.map(_._1).toSeq == Seq(11L, 10L, 12L))
+    assert(top(0)._2 > top(1)._2 && top(1)._2 > top(2)._2)
+  }
+
   test("IVF-PQ: partition-independent results, adc ascending, copy of query ranks by its codes") {
     val rnd = new scala.util.Random(11)
     def around(center: Double) =
