@@ -83,6 +83,28 @@ object StreamPipeline {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** Per-source ingest-rate monitor: windowed doc/byte/token throughput
+    * over the document stream — the observability surface a 100 TB/day
+    * ingest runs against its mixture plan (compare each window's
+    * `n_tokens` share to `mix_allocation`'s targets to catch a source
+    * going dark or flooding). Watermarked tumbling windows in append
+    * mode: state stays bounded to in-flight windows, counts are pure
+    * sums (map-side partial aggregation), and the output key
+    * (window, source) is tiny. */
+  def sourceRateMonitor(docs: DataFrame, tsCol: String, window: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window).as("w"),
+        col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text"))).as("n_bytes"),
+        sum(size(split(col("text"), "\\s+"))).as("n_tokens"))
+      .select(col("w.start").as("window_start"), col("source"),
+        col("n_docs"), col("n_bytes"), col("n_tokens"))
+
   /** Streaming NEAR-dup (MinHash LSH) dedup — the reference's
     * `deduplicate_stream` (deduplicator.py:224-260: a growing in-memory
     * LSH index queried per doc) re-expressed Spark-first: `foreachBatch`
