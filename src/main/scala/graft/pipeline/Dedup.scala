@@ -78,9 +78,10 @@ object Dedup {
     * docs drops); order is restored by sorting (pos, line) structs, so
     * the rebuild is collect-order-independent — deterministic under any
     * partitioning. */
-  def lineDedupQuery(docs: DataFrame): DataFrame = {
+  def lineDedupQuery(docs: DataFrame, sep: String = "\n"): DataFrame = {
     val lines = docs.select(col("doc_id"),
-      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
     val lineDf = lines.groupBy(col("line"))
       .agg(countDistinct(col("doc_id")).as("line_df"))
     lines.join(lineDf, "line")
@@ -93,8 +94,14 @@ object Dedup {
                   |  array_sort(collect_list(
                   |    IF(line_df < $LineDropDf, struct(pos, line), NULL))),
                   |  x -> x.line)""".stripMargin),
-          "\n").as("text_kept"))
+          sep).as("text_kept"))
   }
+
+  /** PARAGRAPH-level variant (Dolma ships both granularities: lines
+    * catch navigation/boilerplate, paragraphs catch copied passages
+    * that internal line breaks would split). Same one-explode shape. */
+  def paragraphDedupQuery(docs: DataFrame): DataFrame =
+    lineDedupQuery(docs, "\n\n")
 
   /** Substring-span window length / stride (chars). 100/50 gives every
     * char membership in ~2 windows, the usual overlap for span dedup. */
@@ -154,7 +161,8 @@ object Dedup {
     "dedup_exact_stats" -> ((s, d) => exactStatsQuery(Tables.documents(s, d))),
     "dedup_lines" -> ((s, d) => lineDedupQuery(Tables.documents(s, d))),
     "dedup_substring_spans" -> ((s, d) => substringDupQuery(Tables.documents(s, d))),
-    "dedup_substring_stats" -> ((s, d) => substringStatsQuery(Tables.documents(s, d))))
+    "dedup_substring_stats" -> ((s, d) => substringStatsQuery(Tables.documents(s, d))),
+    "dedup_paragraphs" -> ((s, d) => paragraphDedupQuery(Tables.documents(s, d))))
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -192,6 +200,20 @@ object Dedup {
          |  COALESCE(array_to_string(
          |    list(line ORDER BY pos) FILTER (WHERE line_df < $LineDropDf),
          |    chr(10)), '') AS text_kept
+         |FROM lines JOIN df USING (line)
+         |GROUP BY doc_id""".stripMargin,
+    "dedup_paragraphs" ->
+      s"""WITH b AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ls FROM documents),
+         |l AS (SELECT doc_id, unnest(range(len(ls))) AS pos, ls FROM b),
+         |lines AS (SELECT doc_id, pos, ls[pos + 1] AS line FROM l),
+         |df AS (SELECT line, count(DISTINCT doc_id) AS line_df
+         |       FROM lines GROUP BY line)
+         |SELECT doc_id,
+         |  count(*) AS n_lines,
+         |  CAST(sum(CASE WHEN line_df < $LineDropDf THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  COALESCE(array_to_string(
+         |    list(line ORDER BY pos) FILTER (WHERE line_df < $LineDropDf),
+         |    chr(10) || chr(10)), '') AS text_kept
          |FROM lines JOIN df USING (line)
          |GROUP BY doc_id""".stripMargin,
     "dedup_substring_spans" ->

@@ -62,6 +62,21 @@ class DedupSpec extends SparkSpec {
     assert(m(3L) === ((1L, "y")))
   }
 
+  test("paragraph dedup drops a copied passage whole, even with internal line breaks") {
+    // the shared PASSAGE contains a '\n' — line-level dedup would split
+    // it into two lines; paragraph-level treats it as one unit
+    val passage = "copied first line\nstill the same passage"
+    val d = docs(
+      1L -> s"own intro\n\n$passage\n\nown outro",
+      2L -> s"different start\n\n$passage",
+      3L -> "standalone doc")
+    val m = Dedup.paragraphDedupQuery(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(m(1L) === ((3L, 2L, "own intro\n\nown outro")))
+    assert(m(2L) === ((2L, 1L, "different start")))
+    assert(m(3L) === ((1L, 1L, "standalone doc")))
+  }
+
   test("substring dedup flags cross-doc AND within-doc repeated windows") {
     // docs 1 and 2 share their first 100 chars (one shared window each);
     // doc 4 is one char repeated -> every window duplicates every other;
