@@ -145,8 +145,41 @@ object Analytics {
           lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")))
   }
 
+  /** Sequence-length histogram in 16-token buckets — the distribution a
+    * pipeline inspects before choosing its packing window (compare with
+    * `pack_padding_stats` at candidate windows). Scan-local bucketing +
+    * one tiny-key aggregation. */
+  def seqLengthHistogramQuery(docs: DataFrame, bucket: Int = 16): DataFrame = {
+    val trimmed = regexp_replace(col("text"), Clean.EdgeWsRe, "")
+    docs
+      .filter(length(trimmed) > 0)
+      .select((size(split(trimmed, "\\s+")).cast("long")).as("n_tokens"))
+      .groupBy(expr(s"n_tokens div $bucket").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+  }
+
+  /** Per-source vocabulary report: token volume vs distinct vocabulary —
+    * the type/token view behind vocabulary-growth (Heaps' law) checks and
+    * tokenizer-budget decisions. One explode + one partial-aggregating
+    * count-distinct per source. */
+  def vocabPerSourceQuery(docs: DataFrame): DataFrame = {
+    val trimmed = regexp_replace(col("text"), Clean.EdgeWsRe, "")
+    docs
+      .filter(length(trimmed) > 0)
+      .select(col("source"), explode(split(trimmed, "\\s+")).as("word"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("word")).as("n_distinct_words"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_readability" -> ((s, d) => readabilityQuery(Tables.documents(s, d))),
+    "tok_seq_length_histogram" -> ((s, d) => seqLengthHistogramQuery(Tables.documents(s, d))),
+    "corpus_vocab_per_source" -> ((s, d) => vocabPerSourceQuery(Tables.documents(s, d))),
     "events_value_corr" -> ((s, d) => valueCorrQuery(Tables.events(s, d))),
     "quality_reason_report" -> ((s, d) => reasonReportQuery(Tables.documents(s, d))),
     "doc_length_histogram" -> ((s, d) => docLengthHistogramQuery(Tables.documents(s, d))),
@@ -155,6 +188,24 @@ object Analytics {
     "events_props_extract" -> ((s, d) => eventsPropsQuery(Tables.events(s, d))))
 
   def oracles: Map[String, String] = Map(
+    "tok_seq_length_histogram" ->
+      """WITH m AS (
+        |  SELECT CAST(len(regexp_split_to_array(
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |  WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)
+        |SELECT n_tokens // 16 AS bucket, count(*) AS n_docs,
+        |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM m GROUP BY 1""".stripMargin,
+    "corpus_vocab_per_source" ->
+      """WITH w AS (
+        |  SELECT source, unnest(regexp_split_to_array(
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS word
+        |  FROM documents
+        |  WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)
+        |SELECT source, count(*) AS n_tokens,
+        |       count(DISTINCT word) AS n_distinct_words
+        |FROM w GROUP BY source""".stripMargin,
     "doc_readability" ->
       """WITH m AS (
         |  SELECT doc_id,
