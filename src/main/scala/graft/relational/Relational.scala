@@ -241,6 +241,44 @@ object Relational {
 
   /** ROLLUP aggregation: order counts/revenue at (status, priority),
     * (status), and grand-total levels in one pass. */
+  /** The event-type universe, fixed so `pivot` needs no values-discovery
+    * pass (an extra corpus scan at any scale). */
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: per user-bucket event-type counts as columns — the
+    * wide-report shape. Explicit pivot values keep it one aggregation;
+    * missing cells fill 0 so the output is dense. */
+  def eventTypePivot(events: DataFrame): DataFrame =
+    events.withColumn("user_bucket", col("user_id") % 10)
+      .groupBy(col("user_bucket"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** Ordered 3-stage conversion funnel (view → click → purchase, each
+    * stage strictly at-or-after the previous one's FIRST occurrence):
+    * the sequence-sensitive analytics query a plain per-type count
+    * cannot answer. Three window passes share ONE user_id exchange —
+    * and the events loader already spreads by user_id, so the plan is
+    * exchange-free on top of the scan; the final 1-row aggregate ships
+    * only per-user booleans. */
+  def funnelQuery(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .withColumn("v",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("c",
+        min(when(col("event_type") === "click" && col("ts_us") >= col("v"),
+          col("ts_us"))).over(w))
+      .withColumn("p",
+        min(when(col("event_type") === "purchase" && col("ts_us") >= col("c"),
+          col("ts_us"))).over(w))
+      .agg(
+        countDistinct(when(col("v").isNotNull, col("user_id"))).as("users_viewed"),
+        countDistinct(when(col("c").isNotNull, col("user_id"))).as("users_clicked_after_view"),
+        countDistinct(when(col("p").isNotNull, col("user_id"))).as("users_purchased_after_click"))
+  }
+
   def orderRollup(orders: DataFrame): DataFrame =
     orders.rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
@@ -281,7 +319,9 @@ object Relational {
     "r_asof_cogroup" -> ((s, d) => asofCogroup(eventsUs(s, d))),
     "r_sessionize_events" -> ((s, d) => sessionizeEvents(eventsUs(s, d))),
     "r_value_band_join" -> ((s, d) => valueBandJoin(eventsUs(s, d))),
-    "r_order_rollup" -> ((s, d) => orderRollup(Tables.orders(s, d))))
+    "r_order_rollup" -> ((s, d) => orderRollup(Tables.orders(s, d))),
+    "r_event_type_pivot" -> ((s, d) => eventTypePivot(eventsUs(s, d))),
+    "r_funnel_conversion" -> ((s, d) => funnelQuery(eventsUs(s, d))))
 
   /** One oracle, two independently-derived Spark plans (window
     * carry-forward and cogroup merge) — both must hash to it. */
@@ -297,6 +337,27 @@ object Relational {
       |WHERE event_type = 'purchase'""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "r_event_type_pivot" -> {
+      val cells = EventTypes.map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+        .mkString(",\n|  ")
+      s"""SELECT user_id % 10 AS user_bucket,
+         |  $cells
+         |FROM events GROUP BY 1""".stripMargin
+    },
+    "r_funnel_conversion" ->
+      """WITH t AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |u AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts_us END) AS v
+        |      FROM t GROUP BY user_id),
+        |c AS (SELECT t.user_id, min(t.ts_us) AS c
+        |      FROM t JOIN u ON t.user_id = u.user_id
+        |      WHERE t.event_type = 'click' AND t.ts_us >= u.v GROUP BY t.user_id),
+        |p AS (SELECT t.user_id, min(t.ts_us) AS p
+        |      FROM t JOIN c ON t.user_id = c.user_id
+        |      WHERE t.event_type = 'purchase' AND t.ts_us >= c.c GROUP BY t.user_id)
+        |SELECT (SELECT count(*) FROM u WHERE v IS NOT NULL) AS users_viewed,
+        |       (SELECT count(*) FROM c) AS users_clicked_after_view,
+        |       (SELECT count(*) FROM p) AS users_purchased_after_click""".stripMargin,
     "r_distinct_users_exact" ->
       """SELECT count(DISTINCT user_id) AS exact_users, count(*) AS n_events
         |FROM events""".stripMargin,

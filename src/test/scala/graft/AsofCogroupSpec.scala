@@ -23,4 +23,22 @@ class AsofCogroupSpec extends SparkSpec {
     assert(m(4L) === ((Some(100L), Some(100L))))
     assert(m(5L) === ((None, None)))
   }
+
+  test("funnel counts only ordered view -> click -> purchase progressions") {
+    val d = ev(
+      // user 1: full ordered funnel
+      (1L, 1L, 100L, "view"), (1L, 2L, 200L, "click"), (1L, 3L, 300L, "purchase"),
+      // user 2: click BEFORE first view -> stalls at the view stage
+      (2L, 4L, 100L, "click"), (2L, 5L, 200L, "view"),
+      // user 3: view then purchase but never clicks -> stalls after view
+      (3L, 6L, 100L, "view"), (3L, 7L, 200L, "purchase"),
+      // user 4: purchase before the click -> reaches click stage only
+      (4L, 8L, 100L, "view"), (4L, 9L, 150L, "purchase"), (4L, 10L, 200L, "click"),
+      // user 5: never views -> not in the funnel at all
+      (5L, 11L, 100L, "purchase"))
+    val r = Relational.funnelQuery(d).collect().head
+    // viewed: 1,2,3,4; clicked at-or-after first view: 1,4 (user 2's
+    // click predates their view); purchased after that click: 1 only
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 2L, 1L)))
+  }
 }
