@@ -55,9 +55,13 @@ object Bench {
       // operators persist multi-use subtrees (LSH signatures, gram
       // indexes), and 46 queries' worth of leftover blocks evict each
       // other mid-query — a full sweep measured jaccard at 85 s vs 18 s
-      // standalone before this. Cleanup time is excluded from the mark,
-      // matching a per-job submission model.
+      // standalone before this. The explicit GC then collects the freed
+      // blocks NOW instead of mid-way through the next query's timed
+      // window (cross-query GC debt measured as 1.2 vs 4.2 s swings on
+      // the same query, same binary). Cleanup time is excluded from the
+      // mark, matching a per-job submission model.
       spark.catalog.clearCache()
+      System.gc()
       name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
