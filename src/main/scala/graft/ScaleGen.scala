@@ -103,7 +103,7 @@ object ScaleGen {
         lit("en").as("lang"),
         lit("boilerplate").as("source"))
       .withColumn("n_chars", length(col("text")))
-      .select(docs.columns.map(col): _*)
+      .select(docs.columns.toIndexedSeq.map(col): _*)
     write(replicas.reduce(_ union _).union(boiler), "documents")
 
     println(s"wrote ${factor}x $sfDir -> $outDir")

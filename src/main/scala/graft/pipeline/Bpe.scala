@@ -95,7 +95,7 @@ object Bpe {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(json)
     val vb = Map.newBuilder[String, Int]
-    root.get("vocab").fields().forEachRemaining(e => vb += (e.getKey -> e.getValue.asInt()))
+    root.get("vocab").properties().forEach(e => vb += (e.getKey -> e.getValue.asInt()))
     val mb = List.newBuilder[(String, String)]
     root.get("merges").forEach { n =>
       val Array(a, b) = n.asText().split(" ", 2)

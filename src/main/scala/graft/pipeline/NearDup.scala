@@ -228,7 +228,7 @@ object NearDup {
           .repartitionByRange(numParts, col("df"), col("g"))
           .sortWithinPartitions(col("df"), col("g"))
           .select(col("g")).as[String].rdd
-          .zipWithIndex.map { case (g, idx) => (g, (idx + 1).toInt) })
+          .zipWithIndex().map { case (g, idx) => (g, (idx + 1).toInt) })
       .toDF("g", "gid")
     val gramsG = grams.join(gramDict, "g")
       .select(col("doc_id"), col("n"), col("gid"))

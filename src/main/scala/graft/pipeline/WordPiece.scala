@@ -100,7 +100,7 @@ object WordPiece {
     val root = mapper.readTree(
       java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
     val vb = Map.newBuilder[String, Int]
-    root.get("vocab").fields().forEachRemaining(e => vb += (e.getKey -> e.getValue.asInt()))
+    root.get("vocab").properties().forEach(e => vb += (e.getKey -> e.getValue.asInt()))
     Model(vb.result())
   }
 

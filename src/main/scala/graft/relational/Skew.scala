@@ -20,7 +20,7 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)
     val saltedBig = big.withColumn(SaltCol,
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(salts)).cast("int"))
     val replicated = small.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(replicated, Seq(key, SaltCol)).drop(SaltCol)
@@ -34,7 +34,7 @@ object Skew {
   def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)
     df.withColumn(SaltCol,
-        pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts)).cast("int"))
+        pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(salts)).cast("int"))
       .groupBy(col(key), col(SaltCol)).agg(count(lit(1)).as("partial_n"))
       .groupBy(col(key)).agg(sum(col("partial_n")).as("n"))
   }
