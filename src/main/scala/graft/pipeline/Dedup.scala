@@ -57,6 +57,25 @@ object Dedup {
       (count(lit(1)) - countDistinct(col("h"))).as("duplicate_documents"))
   }
 
+  /** Incremental-ingest dedup against an EXISTING corpus via a Bloom
+    * filter of its content hashes — the nightly-delta shape where
+    * joining the delta against 100 TB of history is the wrong plan: the
+    * filter builds in one aggregation over the corpus, ships to the
+    * batch side as a closure broadcast, and the probe is a scan-local
+    * predicate (no shuffle touches either side). One-sided error only:
+    * false NEGATIVES are impossible, so no known duplicate ever
+    * survives; ~fpp of genuinely-new docs are lost (size fpp to the
+    * recall budget). At extreme corpus sizes, shard the filter by a
+    * hash prefix and probe the matching shard — same algebra, bounded
+    * per-filter memory. */
+  def bloomNewDocs(batch: DataFrame, corpus: DataFrame, fpp: Double = 0.001): DataFrame = {
+    val expected = math.max(corpus.count(), 1L)
+    val bf = corpus.stat.bloomFilter(contentHash(col("text")), expected, fpp)
+    val seen = udf((h: String) => bf.mightContain(h))
+    batch.withColumn("content_hash", contentHash(col("text")))
+      .filter(!seen(col("content_hash")))
+  }
+
   /** A line is boilerplate once it appears in this many distinct docs. */
   val LineDropDf = 2
 

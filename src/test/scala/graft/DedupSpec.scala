@@ -62,6 +62,20 @@ class DedupSpec extends SparkSpec {
     assert(m(3L) === ((1L, "y")))
   }
 
+  test("bloom incremental dedup: known duplicates never survive; new docs pass") {
+    val corpus = docs((1L to 200L).map(i => i -> s"corpus document number $i with its own words"): _*)
+    val batch = docs(
+      1001L -> "corpus document number 7 with its own words", // exact known dup
+      1002L -> "  CORPUS document number 7 with its own words  ", // case/edge-ws variant
+      1003L -> "a genuinely new document that the corpus has never seen",
+      1004L -> "another brand new document with fresh content entirely")
+    val kept = Dedup.bloomNewDocs(batch, corpus).select("doc_id").as[Long].collect().toSet
+    // no false negatives: both known-content rows are gone, guaranteed
+    assert(!kept.contains(1001L) && !kept.contains(1002L))
+    // fpp = 0.1% over 2 new docs: pass outside astronomically-unlucky seeds
+    assert(kept == Set(1003L, 1004L))
+  }
+
   test("paragraph dedup drops a copied passage whole, even with internal line breaks") {
     // the shared PASSAGE contains a '\n' — line-level dedup would split
     // it into two lines; paragraph-level treats it as one unit
