@@ -90,6 +90,34 @@ object Relational {
       sum(dec(col("value"))).over(w).cast("double").as("rolling_value"))
   }
 
+  /** Trailing-hour rolling sum via a RANGE frame (vs
+    * [[rollingValuePerUser]]'s ROWS frame): the frame is defined by the
+    * µs-epoch VALUE, so sparse users aggregate exactly the events inside
+    * the physical hour, and equal-timestamp rows all join the frame —
+    * which also makes the result independent of tie order, no
+    * tiebreak column needed. One exchange on user_id (pre-spread). */
+  def trailingHourValue(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    events.select(
+      col("user_id"), col("event_id"), col("ts_us"),
+      sum(dec(col("value"))).over(w).cast("double").as("trailing_value"))
+  }
+
+  /** Inter-event gap histogram: LAG over each user's timeline, bucketed
+    * to minutes — the arrival-process view sessionization thresholds are
+    * tuned against. First events (no predecessor) are excluded. */
+  def intereventGapHistogram(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("user_id"),
+        (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(expr("gap_us div 60000000").as("gap_minutes"))
+      .agg(count(lit(1)).as("n_gaps"))
+  }
+
   /** Tumbling 1-hour windows: classic streaming-shaped aggregation done in
     * batch — group on the derived hour bucket (µs epoch div 3.6e9). */
   def hourlyEventStats(events: DataFrame): DataFrame =
@@ -321,7 +349,9 @@ object Relational {
     "r_value_band_join" -> ((s, d) => valueBandJoin(eventsUs(s, d))),
     "r_order_rollup" -> ((s, d) => orderRollup(Tables.orders(s, d))),
     "r_event_type_pivot" -> ((s, d) => eventTypePivot(eventsUs(s, d))),
-    "r_funnel_conversion" -> ((s, d) => funnelQuery(eventsUs(s, d))))
+    "r_funnel_conversion" -> ((s, d) => funnelQuery(eventsUs(s, d))),
+    "r_trailing_hour_value" -> ((s, d) => trailingHourValue(eventsUs(s, d))),
+    "r_interevent_gap_histogram" -> ((s, d) => intereventGapHistogram(eventsUs(s, d))))
 
   /** One oracle, two independently-derived Spark plans (window
     * carry-forward and cogroup merge) — both must hash to it. */
@@ -337,6 +367,19 @@ object Relational {
       |WHERE event_type = 'purchase'""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "r_trailing_hour_value" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_value
+        |FROM events""".stripMargin,
+    "r_interevent_gap_histogram" ->
+      """WITH g AS (
+        |  SELECT epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events)
+        |SELECT gap_us // 60000000 AS gap_minutes, count(*) AS n_gaps
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
     "r_event_type_pivot" -> {
       val cells = EventTypes.map(t =>
         s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")

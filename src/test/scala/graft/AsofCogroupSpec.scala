@@ -41,4 +41,20 @@ class AsofCogroupSpec extends SparkSpec {
     // click predates their view); purchased after that click: 1 only
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 2L, 1L)))
   }
+
+  test("trailing-hour RANGE frame includes all tied timestamps, drops the hour-old row") {
+    val hour = 3600000000L
+    val d = Seq(
+      (1L, 1L, 0L, "view", 1.0),
+      (1L, 2L, hour, "view", 2.0), // exactly 1h later: row 1 still in frame
+      (1L, 3L, hour + 1, "view", 4.0), // 1h+1µs after row 1: row 1 drops
+      (1L, 4L, hour + 1, "view", 8.0)) // tied ts: both tied rows share one frame
+      .toDF("user_id", "event_id", "ts_us", "event_type", "value")
+    val m = Relational.trailingHourValue(d).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(m(1L) === 1.0)
+    assert(m(2L) === 3.0) // 1 + 2 (range is inclusive both ends)
+    // rows 3 and 4 tie on ts: each frame holds rows 2, 3 AND 4 = 14
+    assert(m(3L) === 14.0 && m(4L) === 14.0)
+  }
 }
