@@ -59,7 +59,11 @@ object Bench {
       // blocks NOW instead of mid-way through the next query's timed
       // window (cross-query GC debt measured as 1.2 vs 4.2 s swings on
       // the same query, same binary). Cleanup time is excluded from the
-      // mark, matching a per-job submission model.
+      // mark, matching a per-job submission model. CacheScope.drain() is
+      // the engine's own lifecycle (unpersists operator-registered
+      // frames); clearCache() remains as a belt-and-braces sweep for
+      // anything cached outside the registry.
+      CacheScope.drain()
       spark.catalog.clearCache()
       System.gc()
       name -> (if (ok) sec else -1.0)

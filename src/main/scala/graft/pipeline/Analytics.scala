@@ -23,7 +23,7 @@ object Analytics {
   def reasonReportQuery(docs: DataFrame, cfg: Quality.Config = Quality.Config()): DataFrame = {
     val byReason = Quality.withReason(docs, cfg)
       .groupBy("reason").agg(count(lit(1)).as("n_docs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist)
     val total = byReason.agg(sum(col("n_docs")).as("total"))
     byReason.crossJoin(broadcast(total))
       .withColumn("share", col("n_docs").cast("double") / col("total").cast("double"))

@@ -126,11 +126,29 @@ object Cluster {
     * checkpointed blocks — `spark.catalog.clearCache()` between bench
     * queries clears SQL-cached relations, not these), so the second query
     * is a cached-partition scan. Keyed by (session, dir): a new session
-    * (Verify vs tests) cannot reuse another session's blocks. */
+    * (Verify vs tests) cannot reuse another session's blocks.
+    *
+    * Eviction (round-6 verdict #1): capacity-bounded LRU. An unbounded
+    * memo held a strong reference to every directory's checkpointed label
+    * RDD forever, pinning block-manager memory that `clearCache()` cannot
+    * touch. Capacity 4 keeps the working pair (clusters+stats on the
+    * current dir) plus headroom for a test suite touching a few fixtures;
+    * an evicted entry's checkpoint blocks are released by Spark's
+    * ContextCleaner once the dropped reference is GC'd (Bench/Verify GC
+    * between queries). */
+  private val MemoCapacity = 4
   private val ccMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def clustersFor(s: SparkSession, d: String): DataFrame =
-    ccMemo.getOrElseUpdate((s, d), minhashClusters(Tables.documents(s, d)))
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > MemoCapacity
+    }
+  private def clustersFor(s: SparkSession, d: String): DataFrame = ccMemo.synchronized {
+    val k = (s, d)
+    Option(ccMemo.get(k)).getOrElse {
+      val v = minhashClusters(Tables.documents(s, d)); ccMemo.put(k, v); v
+    }
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_clusters" -> ((s, d) => clustersFor(s, d)),

@@ -189,7 +189,7 @@ object MinHash {
       .repartition(numParts, col("gh"))
       .withColumn("gid", min(col("doc_id")).over(Window.partitionBy(col("gh"), col("sig"))))
       .drop("gh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist)
     val reps = withG.filter(col("doc_id") === col("gid"))
       .select(col("gid"), col("sig"))
     val bands = reps.select(col("gid"), posexplode(expr(bandsExpr)).as(Seq("band", "bh")))

@@ -86,7 +86,7 @@ object NearDup {
     // The window key is a plain long — the cheapest possible shuffle.
     val withG = docs.select(col("doc_id"), simHashUdf(col("text")).as("sh"))
       .withColumn("gid", min(col("doc_id")).over(Window.partitionBy(col("sh"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist)
     val reps = withG.filter(col("doc_id") === col("gid")).select(col("gid"), col("sh"))
     val blocks = reps.select(col("gid"), col("sh"),
       explode(expr(
@@ -198,7 +198,7 @@ object NearDup {
       .withColumn("gid", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("gh"), col("ga"))))
       .drop("gh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist)
     val repsArr = withG.filter(col("doc_id") === col("gid"))
       .select(col("gid").as("doc_id"), col("ga"))
     // PERSISTED: `grams` feeds the df-count and the dictionary join;
@@ -207,7 +207,7 @@ object NearDup {
     val grams = repsArr.withColumn("n", size(col("ga")))
       .select(col("doc_id"), col("n"), explode(col("ga")).as("g"))
       .repartition(numParts, col("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist)
     // Dictionary-encode grams as dense ints in global rarity order
     // (document frequency, gram) — EXACT (no hash collisions), and gid
     // order *is* the rarity order, so downstream sorts/windows use the
@@ -233,7 +233,7 @@ object NearDup {
     val gramsG = grams.join(gramDict, "g")
       .select(col("doc_id"), col("n"), col("gid"))
       .repartition(numParts, col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist)
     val t = JaccardNumer.toDouble / JaccardDenom
     // rk = position of gid in the doc's grams sorted by global rarity; kept
     // past the prefix cut because the positional filter below needs it.
@@ -243,7 +243,7 @@ object NearDup {
       .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
       .select(col("doc_id"), col("gid"), col("n"), col("rk"))
       .repartition(numParts, col("gid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist)
     // Candidate join with two further LOSSLESS prunes evaluated inside the
     // join condition, before the pair ever materializes (PPJoin, Xiao et
     // al.): with t = N/D and jaccard(a,b) >= t  ⟺  (D+N)·inter >= N·(n_a+n_b),

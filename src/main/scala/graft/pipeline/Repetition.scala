@@ -118,7 +118,7 @@ object Repetition {
         explode(expr("filter(split(text, '\\\\s+'), x -> x != '')")).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("n_occ"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist)
     val freq = perDocWord.groupBy(col("word"))
       .agg(sum(col("n_occ")).as("corpus_freq"))
     perDocWord.join(freq, "word")

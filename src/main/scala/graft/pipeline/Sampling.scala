@@ -86,7 +86,7 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
       .withColumn("weight",
         coalesce(expr("try_cast(regexp_extract(source, '\\\\d+', 0) AS BIGINT)"), lit(0L)) + 1L)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist)
     val tw = bySource.agg(sum(col("weight")).as("tw"))
     val u = bySource.crossJoin(broadcast(tw))
       .withColumn("q", expr(s"(${budget}L * weight) div tw"))

@@ -37,11 +37,70 @@ object Similarity {
   val NumQueries = 5 // query set: vec_id < 5
   val NumPlanes = 8
 
-  /** Deterministic ±1 hyperplane components, LCG seed 7 — fixed forever. */
+  // ---------------------------------------------------------------------
+  // Corpus-proportional blocking constants (round-6 verdict #2).
+  //
+  // At FIXED constants the within-bucket/within-cell pair joins grow with
+  // occupancy² — the one super-linear growth left in the engine at round
+  // 5 (10x→30x exponent 0.79 on sim_embed_dedup_mp). The counts below
+  // derive from the input cardinality instead, so occupancy — and the
+  // quadratic term — is held at a target as the corpus grows:
+  //
+  //  - hyperplane count p = bitlen(n / 128): 2^p sign buckets keep the
+  //    EXPECTED bucket occupancy near 128; the per-row bucket cost grows
+  //    only log(n). Clamped to [8, 20] — 8 keeps every existing small-
+  //    fixture golden bit-identical, 20 (≈134M vectors at occupancy 128)
+  //    is the point where you'd re-shard the corpus anyway.
+  //  - IVF/SemDeDup cell count = 2^(bitlen(n)/2) ≈ sqrt(n) (the FAISS
+  //    sizing guideline): balances the per-row argmin O(cells) against
+  //    within-cell pair work O(n²/cells) — both ~n^1.5 total, the best a
+  //    flat (non-hierarchical) coarse quantizer can do. Clamped to
+  //    [16, 1024]: 16 preserves small-fixture behavior, 1024 bounds the
+  //    driver-resident codebook; beyond that a real deployment swaps in
+  //    a hierarchical assignment (IMI/HNSW) — documented, not needed at
+  //    bench scale. SemDeDup's paper runs ~100k cells at LAION scale;
+  //    the growth LAW is what matters here and sqrt(n) provides it.
+  //
+  // Both formulas are INTEGER-EXACT and spelled identically in the
+  // DuckDB oracle (`length(bin(n))` = 64 - numberOfLeadingZeros(n) for
+  // n >= 1), so engine and oracle always agree on the derived constant —
+  // the same parameterized-oracle pattern as MinHash's band constants.
+  // ---------------------------------------------------------------------
+
+  val MaxPlanes = 20
+  val MinCells = 16
+  val MaxCells = 1024
+  val TargetBucketOccupancy = 128
+
+  /** Integer bit length: bitLen(x) = length(bin(x)) for x >= 1. */
+  private def bitLen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+
+  /** Hyperplane count for an n-vector corpus (clamped [NumPlanes, MaxPlanes]). */
+  def planesFor(n: Long): Int =
+    math.max(NumPlanes, math.min(MaxPlanes, bitLen(math.max(1L, n / TargetBucketOccupancy))))
+
+  /** IVF/SemDeDup cell count for an n-vector corpus: 2^(bitlen(n)/2) ≈ sqrt(n),
+    * clamped [MinCells, MaxCells]. */
+  def cellsFor(n: Long): Int =
+    math.max(MinCells, math.min(MaxCells, 1 << (bitLen(math.max(1L, n)) / 2)))
+
+  /** SQL spellings of the two formulas — interpolated into every oracle
+    * that blocks by cell or bucket, so the oracle derives the SAME
+    * constant from the SAME input cardinality. */
+  private val cellsSql =
+    s"greatest($MinCells, least($MaxCells, 1 << (length(bin(greatest(1, (SELECT count(*) FROM embeddings)))) // 2)))"
+  private val planesSql =
+    s"greatest($NumPlanes, least($MaxPlanes, length(bin(greatest(1, (SELECT count(*) FROM embeddings) // $TargetBucketOccupancy)))))"
+
+  /** Deterministic ±1 hyperplane components, LCG seed 7 — fixed forever.
+    * [[MaxPlanes]] rows are drawn; a query built with p < MaxPlanes planes
+    * uses the FIRST p rows, so the row-major LCG fill makes every smaller
+    * plane set a strict prefix — growing the corpus never changes the
+    * planes a smaller corpus hashed with. */
   val planes: Array[Array[Double]] = {
     var x = 7L
     def next(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
-    Array.fill(NumPlanes, Dim)(if (((next() >> 16) & 1L) == 1L) 1.0 else -1.0)
+    Array.fill(MaxPlanes, Dim)(if (((next() >> 16) & 1L) == 1L) 1.0 else -1.0)
   }
 
   /** Spark-side deterministic left-fold dot product of two vector columns. */
@@ -396,7 +455,7 @@ object Similarity {
       .withColumn("gid",
         min(col("vec_id")).over(Window.partitionBy(col("gh"), col("embedding"))))
       .drop("gh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.persist)
     (withG, withG.filter(col("vec_id") === col("gid"))
       .select(col("gid"), col("embedding")))
   }
