@@ -67,8 +67,9 @@ object Similarity {
   // the same parameterized-oracle pattern as MinHash's band constants.
   // ---------------------------------------------------------------------
 
+  val NumCells = 16 // minimum cell count (small-corpus clamp)
+  val NProbe = 2
   val MaxPlanes = 20
-  val MinCells = 16
   val MaxCells = 1024
   val TargetBucketOccupancy = 128
 
@@ -80,15 +81,15 @@ object Similarity {
     math.max(NumPlanes, math.min(MaxPlanes, bitLen(math.max(1L, n / TargetBucketOccupancy))))
 
   /** IVF/SemDeDup cell count for an n-vector corpus: 2^(bitlen(n)/2) ≈ sqrt(n),
-    * clamped [MinCells, MaxCells]. */
+    * clamped [NumCells, MaxCells]. */
   def cellsFor(n: Long): Int =
-    math.max(MinCells, math.min(MaxCells, 1 << (bitLen(math.max(1L, n)) / 2)))
+    math.max(NumCells, math.min(MaxCells, 1 << (bitLen(math.max(1L, n)) / 2)))
 
   /** SQL spellings of the two formulas — interpolated into every oracle
     * that blocks by cell or bucket, so the oracle derives the SAME
     * constant from the SAME input cardinality. */
   private val cellsSql =
-    s"greatest($MinCells, least($MaxCells, 1 << (length(bin(greatest(1, (SELECT count(*) FROM embeddings)))) // 2)))"
+    s"greatest($NumCells, least($MaxCells, 1 << (length(bin(greatest(1, (SELECT count(*) FROM embeddings)))) // 2)))"
   private val planesSql =
     s"greatest($NumPlanes, least($MaxPlanes, length(bin(greatest(1, (SELECT count(*) FROM embeddings) // $TargetBucketOccupancy)))))"
 
@@ -113,9 +114,12 @@ object Similarity {
     s"aggregate(zip_with($emb, $arr, (x, s) -> CAST(x AS DOUBLE) * s), CAST(0 AS DOUBLE), (a, v) -> a + v)"
   }
 
-  /** 8-bit LSH bucket id from sign bits of the plane projections. */
-  private def bucketS(emb: String): String =
-    (0 until NumPlanes)
+  /** LSH bucket id from the sign bits of the first `np` plane projections.
+    * The default ([[NumPlanes]]) serves [[annTopK]], whose recall/latency
+    * trade is a user knob rather than a corpus-derived one; the dedup
+    * family passes [[planesFor]] of the input cardinality. */
+  private def bucketS(emb: String, np: Int = NumPlanes): String =
+    (0 until np)
       .map(p => s"(CASE WHEN ${planeDotS(emb, p)} > 0 THEN ${1 << p} ELSE 0 END)")
       .mkString(" + ")
 
@@ -236,10 +240,7 @@ object Similarity {
   // IVF (inverted-file) ANN — the second scale path from the brief
   // -----------------------------------------------------------------------
 
-  val NumCells = 16
-  val NProbe = 2
-
-  /** IVF top-k: a coarse quantizer of [[NumCells]] data-sampled centroids
+  /** IVF top-k: a coarse quantizer of [[cellsFor]]-many data-sampled centroids
     * (the embeddings of fixed vec_ids — the deterministic stand-in for a
     * k-means codebook; FAISS-style IVF training at zero effort) assigns
     * every vector to its nearest-L2 cell; a query scores only its
@@ -259,8 +260,8 @@ object Similarity {
     * with partitioning. Sampling keeps the whole pipeline a pure
     * function of the input set, the reproducibility property everything
     * else here maintains. */
-  private def codebook(emb: DataFrame): Array[(Long, Array[Double])] = emb
-    .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + NumCells)
+  private def codebook(emb: DataFrame, cells: Int): Array[(Long, Array[Double])] = emb
+    .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + cells)
     .select(col("vec_id"), col("embedding")).collect()
     .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
     .sortBy(_._1)
@@ -286,7 +287,7 @@ object Similarity {
     }
 
   def ivfTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
-    val cents = codebook(emb)
+    val cents = codebook(emb, cellsFor(emb.count()))
     def nearestCells(probes: Int) = nearestCellsUdf(cents, probes)
     val cells = emb.withColumn("cell", explode(nearestCells(1)(col("embedding"))))
     val q = queriesDf(emb)
@@ -315,8 +316,8 @@ object Similarity {
     * coarse quantizer uses: codebook m holds the 16 centroids'
     * m-th 8-dim slice. Driver-resident like [[codebook]] (k*Dim doubles
     * at any corpus scale). */
-  private def pqCodebook(emb: DataFrame): Array[Array[Array[Double]]] = {
-    val base = codebook(emb)
+  private def pqCodebook(emb: DataFrame, cells: Int): Array[Array[Array[Double]]] = {
+    val base = codebook(emb, cells)
     Array.tabulate(PqSub)(m =>
       base.map { case (_, v) => v.slice(m * PqSubDim, (m + 1) * PqSubDim) })
   }
@@ -362,8 +363,9 @@ object Similarity {
     * UDF closure. Approximation error vs `sim_ivf_topk` is the PQ
     * reconstruction error — diff the two queries to see it. */
   def ivfPqTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
-    val cents = codebook(emb)
-    val cb = pqCodebook(emb)
+    val cells = cellsFor(emb.count())
+    val cents = codebook(emb, cells)
+    val cb = pqCodebook(emb, cells)
     val coded = emb
       .withColumn("cell", explode(nearestCellsUdf(cents, 1)(col("embedding"))))
       .withColumn("codes", pqEncodeUdf(cb)(col("embedding")))
@@ -415,14 +417,17 @@ object Similarity {
     *
     * Scale knob: at fixed hyperplane count the per-bucket pair join grows
     * quadratically with bucket occupancy (measured 0.64 s → 6.7 s for 10x
-    * vectors at the 10x probe), so the bit count should grow with the
-    * corpus — each added plane halves expected occupancy (quarter the
-    * pairs) at the cost of more boundary misses; banded multi-probe (à la
-    * the MinHash band join) recovers recall if needed. */
+    * vectors at the 10x probe), so the bit count GROWS with the corpus —
+    * [[planesFor]] targets ~[[TargetBucketOccupancy]] vectors per bucket
+    * (each added plane halves expected occupancy, quartering the pairs) at
+    * the cost of more boundary misses; [[embedDedupMultiProbe]] wins the
+    * recall back. The oracle derives the same count from the same
+    * cardinality, so results stay hash-comparable at every scale. */
   def embedDedup(emb: DataFrame, threshold: Double = DedupCosine): DataFrame = {
+    val np = planesFor(emb.count())
     val (withG, reps) = collapseIdenticalVectors(emb)
     val b = reps.select(col("gid"), col("embedding"),
-      expr(bucketS("embedding")).as("bucket"))
+      expr(bucketS("embedding", np)).as("bucket"))
     val verified = b.select(col("gid").as("ga"), col("embedding").as("e_a"), col("bucket"))
       .join(b.select(col("gid").as("gb"), col("embedding").as("e_b"), col("bucket")),
         "bucket")
@@ -494,12 +499,13 @@ object Similarity {
     * Cosine verification is unchanged — multi-probe only widens the
     * candidate net, never the result criterion. */
   def embedDedupMultiProbe(emb: DataFrame, threshold: Double = DedupCosine): DataFrame = {
+    val np = planesFor(emb.count())
     val (withG, reps) = collapseIdenticalVectors(emb)
     val b = reps.select(col("gid"), col("embedding"),
-      expr(bucketS("embedding")).as("bucket"))
+      expr(bucketS("embedding", np)).as("bucket"))
     val probes = b.select(col("gid").as("ga"), col("embedding").as("e_a"),
         explode(expr(
-          s"""transform(sequence(0, $NumPlanes),
+          s"""transform(sequence(0, $np),
              |  k -> CASE WHEN k = 0 THEN bucket
              |            ELSE CAST(bucket AS INT) ^ shiftleft(1, k - 1) END)"""
             .stripMargin)).as("bucket"))
@@ -533,7 +539,7 @@ object Similarity {
     * bounded; cells are also the natural partition key for the join. */
   def semDedup(emb: DataFrame, threshold: Double = DedupCosine): DataFrame = {
     val (withG, reps) = collapseIdenticalVectors(emb)
-    val cents = codebook(emb)
+    val cents = codebook(emb, cellsFor(emb.count()))
     val cells = reps.withColumn("cell",
       explode(nearestCellsUdf(cents, 1)(col("embedding"))))
     val b = cells.select(col("gid"), col("embedding"), col("cell"))
@@ -575,6 +581,19 @@ object Similarity {
       .map(p => s"(CASE WHEN ${planeDotD(emb, p)} > 0 THEN ${1 << p} ELSE 0 END)")
       .mkString(" + ")
 
+  /** Variable-plane-count bucket: every [[MaxPlanes]] term is guarded by
+    * `p < np` where `np` comes from the oracle's `params` CTE — the SQL
+    * twin of `bucketS(emb, np)` with a runtime-derived plane count. */
+  private def bucketDNp(emb: String): String =
+    (0 until MaxPlanes)
+      .map(p =>
+        s"(CASE WHEN $p < (SELECT np FROM params) AND ${planeDotD(emb, p)} > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** The oracle's derived-constant CTE (cells for the codebook family,
+    * np for the hyperplane family) — prepend to any oracle that blocks. */
+  private val paramsCte = s"params AS (SELECT $cellsSql AS cells, $planesSql AS np)"
+
   /** DuckDB left-fold squared-L2, same fold order as the JVM argmin loop. */
   private def l2D(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${Dim + 1}), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), (s, v) -> s + v)"""
@@ -604,9 +623,10 @@ object Similarity {
          |           FROM sims)
          |SELECT q_id, rn, vec_id, score, label FROM ranked WHERE rn <= $TopK""".stripMargin,
     "sim_ivfpq_topk" ->
-      s"""WITH cents AS (SELECT vec_id AS c_id, row_number() OVER (ORDER BY vec_id) - 1 AS c,
-         |                      embedding AS c_emb
-         |               FROM embeddings WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCells}),
+      s"""WITH $paramsCte,
+         |cents AS (SELECT vec_id AS c_id, row_number() OVER (ORDER BY vec_id) - 1 AS c,
+         |                 embedding AS c_emb
+         |          FROM embeddings WHERE vec_id >= $NumQueries AND vec_id < $NumQueries + (SELECT cells FROM params)),
          |cells AS (
          |  SELECT vec_id, label, c_id AS cell FROM (
          |    SELECT e.vec_id, e.label, c.c_id,
@@ -643,8 +663,9 @@ object Similarity {
          |           FROM adc)
          |SELECT q_id, rn, vec_id, adc, label FROM ranked WHERE rn <= $TopK""".stripMargin,
     "sim_semdedup" ->
-      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-         |               WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCells}),
+      s"""WITH $paramsCte,
+         |cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+         |          WHERE vec_id >= $NumQueries AND vec_id < $NumQueries + (SELECT cells FROM params)),
          |cells AS (
          |  SELECT vec_id, embedding, c_id AS cell FROM (
          |    SELECT e.vec_id, e.embedding, c.c_id,
@@ -662,10 +683,11 @@ object Similarity {
          |WHERE na > 0 AND nb > 0 AND dot / (sqrt(na) * sqrt(nb)) >= $DedupCosine
          |GROUP BY id_b""".stripMargin,
     "sim_embed_dedup_mp" ->
-      s"""WITH b AS (SELECT vec_id, embedding, ${bucketD("embedding")} AS bucket FROM embeddings),
+      s"""WITH $paramsCte,
+         |b AS (SELECT vec_id, embedding, ${bucketDNp("embedding")} AS bucket FROM embeddings),
          |p AS (
          |  SELECT vec_id, embedding,
-         |         unnest(list_transform(range(0, ${NumPlanes + 1}),
+         |         unnest(list_transform(range(0, (SELECT np FROM params) + 1),
          |                k -> CASE WHEN k = 0 THEN bucket
          |                          ELSE xor(bucket, (1 << (k - 1))) END)) AS bucket
          |  FROM b),
@@ -679,7 +701,8 @@ object Similarity {
          |WHERE na > 0 AND nb > 0 AND dot / (sqrt(na) * sqrt(nb)) >= $DedupCosine
          |GROUP BY id_b""".stripMargin,
     "sim_embed_dedup" ->
-      s"""WITH b AS (SELECT vec_id, embedding, ${bucketD("embedding")} AS bucket FROM embeddings),
+      s"""WITH $paramsCte,
+         |b AS (SELECT vec_id, embedding, ${bucketDNp("embedding")} AS bucket FROM embeddings),
          |pairs AS (
          |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
          |         ${dotD("x.embedding", "y.embedding")} AS dot,
@@ -706,8 +729,9 @@ object Similarity {
     "sim_ivf_topk" -> {
       val l2D = (a: String, b: String) =>
         s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${Dim + 1}), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), (s, v) -> s + v)"""
-      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-         |               WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCells}),
+      s"""WITH $paramsCte,
+         |cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+         |          WHERE vec_id >= $NumQueries AND vec_id < $NumQueries + (SELECT cells FROM params)),
          |cells AS (
          |  SELECT vec_id, embedding, label, c_id AS cell FROM (
          |    SELECT e.vec_id, e.embedding, e.label, c.c_id,
