@@ -14,13 +14,21 @@ import org.apache.spark.sql.functions._
   * a distinct suffix (near-dup variants that must survive collapse and
   * still pair through the LSH/prefix joins).
   *
-  * Usage: runMain graft.ScaleGen <sfDir> <outDir> [factor=10]
+  * With `--skew-events`, one planted user receives every 10th event row
+  * (10% of the table) — THE adversarial shape for the window/sessionize/
+  * funnel family, whose per-user windows otherwise see near-uniform
+  * user_id: a hot user's partition is 10% of the corpus on one task
+  * unless AQE skew handling (or salting) engages.
+  *
+  * Usage: runMain graft.ScaleGen <sfDir> <outDir> [factor=10] [--skew-events]
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
-    val factor = if (args.length > 2) args(2).toInt else 10
+    val skewEvents = args.contains("--skew-events")
+    val factor = args.drop(2).filterNot(_.startsWith("--"))
+      .headOption.map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -70,9 +78,19 @@ object ScaleGen {
     write(replicate(lineitem, Map("l_orderkey" -> orderStride)), "lineitem")
 
     val events = load("events")
-    write(replicate(events,
+    val eventsRep = replicate(events,
       Map("event_id" -> stride(events, "event_id"),
-        "user_id" -> stride(events, "user_id"))), "events")
+        "user_id" -> stride(events, "user_id")))
+    // Hot-user remap: every 10th event_id lands on ONE user id beyond the
+    // replicated range. Deterministic (keyed on event_id), preserves all
+    // other columns, and keeps the remaining 90% near-uniform.
+    val hotUser = stride(events, "user_id") * factor + 1L
+    write(
+      if (!skewEvents) eventsRep
+      else eventsRep.withColumn("user_id",
+        when(pmod(col("event_id"), lit(10)) === 0, lit(hotUser))
+          .otherwise(col("user_id"))),
+      "events")
 
     val emb = load("embeddings")
     write(replicate(emb, Map("vec_id" -> stride(emb, "vec_id"))), "embeddings")
