@@ -88,3 +88,42 @@ object Trigrams {
   def apply(c: Column): Column =
     GraftSqlBridge.column(TrigramsExpression(GraftSqlBridge.expression(c)))
 }
+
+/** Per-language distinct-trigram profile hit counts over the language-
+  * detection window → array<int> in [[graft.pipeline.LangProfiles.profiles]]
+  * order. Kernel: [[graft.pipeline.LangProfiles.hitCounts]] (bit-equal to
+  * the oracle's staged `list_intersect` spelling). */
+case class LangHitsExpression(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "graft_lang_hits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LangHitsExpression.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LangHitsExpression.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LangHitsExpression =
+    copy(child = newChild)
+}
+
+object LangHitsExpression {
+  def compute(s: UTF8String): ArrayData = {
+    val counts = graft.pipeline.LangProfiles.hitCounts(s.toString)
+    val out = new Array[Any](counts.length)
+    var i = 0
+    while (i < counts.length) { out(i) = counts(i); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+object LangHits {
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(LangHitsExpression(GraftSqlBridge.expression(c)))
+}

@@ -241,7 +241,8 @@ object Analytics {
     "quality_reason_report" ->
       s"""SELECT reason, count(*) AS n_docs,
          |  CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE) AS share
-         |FROM (SELECT ${Quality.reasonCascadeD(Quality.Config())} AS reason FROM documents)
+         |FROM (SELECT ${Quality.reasonCascadeD(Quality.Config())} AS reason
+         |      FROM ${Quality.qmetricsD("documents")})
          |GROUP BY reason
          |ORDER BY n_docs DESC, reason""".stripMargin,
     "doc_length_histogram" ->

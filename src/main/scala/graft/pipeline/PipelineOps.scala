@@ -79,6 +79,6 @@ object PipelineOps {
          |  (SELECT count(*) FROM kept) AS docs_after_clean,
          |  CAST((SELECT sum(orig_len - length(text)) FROM kept) AS BIGINT) AS chars_removed,
          |  (SELECT count(*) FROM uniq) AS docs_after_dedup,
-         |  CAST((SELECT count(*) FROM uniq WHERE ($cascade) = 'passed') AS BIGINT) AS docs_passed_quality""".stripMargin
+         |  CAST((SELECT count(*) FROM ${Quality.qmetricsD("uniq")} WHERE ($cascade) = 'passed') AS BIGINT) AS docs_passed_quality""".stripMargin
     })
 }

@@ -55,19 +55,13 @@ object Quality {
   /** reference quality_filter.py:226 */
   val BulletRe = """^\s*[-•*►▪▸]\s"""
 
-  /** Tiny public-stopword profiles for the n-gram-free language heuristic
-    * (the reference calls langdetect, quality_filter.py:245; we keep its
-    * *semantics* — allowed-set check, undetectable ⇒ pass — with a
-    * deterministic, SQL-expressible detector). */
-  val Stopwords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
-      "on", "are", "with", "as", "at", "by", "this", "have", "from", "be"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu",
-      "den", "von", "auf", "für", "im", "dem", "des", "als", "auch", "es"),
-    "es" -> Seq("el", "los", "las", "que", "y", "en", "un", "una", "es", "por",
-      "con", "para", "del", "se", "su", "al", "lo", "como", "más", "pero"),
-    "fr" -> Seq("le", "les", "des", "et", "une", "est", "pour", "dans", "qui", "au",
-      "pas", "sur", "ne", "ce", "vous", "nous", "mais", "ou", "si", "être"))
+  /** Character-trigram language profiles (see [[LangProfiles]] — trained
+    * at init, shared verbatim by the Spark projection and the DuckDB
+    * oracle). The reference calls langdetect (quality_filter.py:245); we
+    * keep its *semantics* — allowed-set check over `text[:1000]`,
+    * undetectable ⇒ pass — with a deterministic detector of the same
+    * model family (char n-gram profiles, Cavnar & Trenkle 1994). */
+  val Profiles: Seq[(String, Seq[String])] = LangProfiles.profiles
 
   // -----------------------------------------------------------------------
   // Metric projection (Spark side). Each metric is computed once; NOTE the
@@ -76,16 +70,21 @@ object Quality {
   // -----------------------------------------------------------------------
 
   private val langHitCols: Seq[(String, String)] =
-    Stopwords.map { case (l, _) => l -> s"m_hits_$l" }
+    Profiles.map { case (l, _) => l -> s"m_hits_$l" }
 
   /** Stage 1+2: append one column per metric. Input needs a `text` column. */
   def withMetrics(df: DataFrame): DataFrame = {
+    // m_langhits: all four profile intersections in ONE pass of a native
+    // codegen'd kernel (graft.functions.LangHits — the interpreted
+    // sequence/transform/array_intersect spelling of the same semantics
+    // measured 3.4 s vs 0.6 s on lang_distribution at sf0.1). The array
+    // is a non-cheap multi-use alias, so CollapseProject keeps it staged
+    // and the per-language columns below are plain element reads.
     val s1 = df.select(col("*"),
       expr("""split(text, '\\n')""").as("m_lines"),
-      expr("""split(lower(substring(text, 1, 1000)), '\\s+')""").as("m_pwords"))
-    val hitCols = Stopwords.map { case (l, ws) =>
-      expr(s"""size(filter(m_pwords, w -> w in (${ws.map(w => s"'$w'").mkString(",")})))""")
-        .as(s"m_hits_$l")
+      graft.functions.LangHits(col("text")).as("m_langhits"))
+    val hitCols = Profiles.zipWithIndex.map { case ((l, _), i) =>
+      expr(s"m_langhits[$i]").as(s"m_hits_$l")
     }
     val s2 = s1.select(Seq(col("*"),
       expr("""regexp_count(text, '\\S+')""").as("m_wc"),
@@ -115,7 +114,7 @@ object Quality {
       expr(langCaseOverCols).as("m_langdet"))
   }
 
-  /** argmax over stopword-hit columns; ties break by profile order;
+  /** argmax over trigram-profile hit columns; ties break by profile order;
     * all-zero ⇒ 'unknown'. Mirrors the oracle's langD generation exactly. */
   private def langCaseOverCols: String = {
     val conds = langHitCols.zipWithIndex.map { case ((l, h), i) =>
@@ -149,9 +148,9 @@ object Quality {
   }
 
   private val metricCols: Seq[String] =
-    Seq("m_lines", "m_pwords", "m_wc", "m_nonspace", "m_alpha", "m_digit",
-      "m_boiler", "m_bullets", "m_stripped_ne", "m_maxrep", "m_nlines",
-      "m_nstrip", "m_awl", "m_langdet") ++ langHitCols.map(_._2)
+    Seq("m_lines", "m_langhits", "m_wc", "m_nonspace", "m_alpha",
+      "m_digit", "m_boiler", "m_bullets", "m_stripped_ne", "m_maxrep",
+      "m_nlines", "m_nstrip", "m_awl", "m_langdet") ++ langHitCols.map(_._2)
 
   /** Append a `reason` column (and drop the metric intermediates).
     * [[Stage.once]] keeps a downstream `filter(reason === ...)` ABOVE
@@ -199,7 +198,7 @@ object Quality {
   /** Corpus language-ID distribution — the dedicated language-analysis
     * surface (the detector otherwise only appears per-doc inside the
     * cascade): detected language vs the table's labeled `lang`, counted.
-    * Also an honest accuracy read on the stopword-profile heuristic. */
+    * Also an honest accuracy read on the trigram-profile detector. */
   def langDistributionQuery(docs: DataFrame): DataFrame =
     withMetrics(docs)
       .groupBy(col("lang").as("labeled_lang"), col("m_langdet").as("detected_language"))
@@ -230,20 +229,34 @@ object Quality {
   val bulletLinesD = s"""len(list_filter($linesD, l -> regexp_matches(l, '$BulletRe')))"""
   val boilerD = s"""len(regexp_extract_all(text, '$BoilerplateRe'))"""
 
-  private def hitsD(words: Seq[String]): String =
-    s"""len(list_filter(regexp_split_to_array(lower(substr(text, 1, 1000)), '\\s+'),
-       | w -> w in (${words.map(w => s"'$w'").mkString(",")})))""".stripMargin
+  private val normD =
+    s"""regexp_replace(lower(substr(text, 1, ${LangProfiles.PrefixChars})), '\\s+', ' ', 'g')"""
+  private val trisD =
+    s"""list_transform(range(1, length($normD) - 1), i -> substr($normD, i, 3))"""
 
-  val langD: String = {
-    val hits = Stopwords.map { case (l, ws) => l -> hitsD(ws) }
-    val conds = hits.zipWithIndex.map { case ((l, h), i) =>
-      val geRest = hits.drop(i + 1).map { case (_, h2) => s"$h >= $h2" }
-      (s"(${(geRest :+ s"$h > 0").mkString(" AND ")})", l)
-    }
-    "CASE " + conds.map { case (c, l) => s"WHEN $c THEN '$l'" }.mkString(" ") +
-      " ELSE 'unknown' END"
+  /** Staged metric relation for the oracle — the DuckDB twin of the Spark
+    * projection staging: the trigram array is built ONCE per row and the
+    * per-language intersections become plain `m_hits_*` columns, so the
+    * cascade/langD spellings below reference columns instead of re-
+    * inlining the trigram window (8x per oracle before staging — measured
+    * 4 min vs ~30 s for the quality family at sf0.01). `rel` is any
+    * relation exposing a `text` column (a table name or CTE). */
+  def qmetricsD(rel: String): String = {
+    val hitCols = Profiles.map { case (l, tris) =>
+      s"len(list_intersect(m_tris, [${tris.map(t => s"'$t'").mkString(",")}])) AS m_hits_$l"
+    }.mkString(",\n   ")
+    s"""(SELECT q1.*,
+       |   $hitCols
+       | FROM (SELECT q0.*, $trisD AS m_tris FROM $rel q0) q1)""".stripMargin
   }
 
+  /** Detector over the staged `m_hits_*` columns — the same CASE text the
+    * Spark side generates ([[langCaseOverCols]]), so both engines argmax
+    * identically. Use FROM [[qmetricsD]]. */
+  val langD: String = langCaseOverCols
+
+  /** First-failure cascade for the oracle. References `text` and the
+    * staged `m_hits_*` columns — use FROM [[qmetricsD]]. */
   def reasonCascadeD(cfg: Config): String = {
     val langOk =
       if (cfg.allowedLanguages.isEmpty) "true"
@@ -267,11 +280,12 @@ object Quality {
 
   def oracles: Map[String, String] = {
     val cfg = Config()
+    val qm = qmetricsD("documents")
     Map(
       "lang_distribution" ->
         s"""SELECT lang AS labeled_lang, $langD AS detected_language,
            |       count(*) AS n_docs
-           |FROM documents
+           |FROM $qm
            |GROUP BY 1, 2""".stripMargin,
       "quality_cascade" ->
         s"""SELECT doc_id,
@@ -282,17 +296,17 @@ object Quality {
            | $boilerD AS boilerplate_matches,
            | $langD AS detected_language,
            | ${reasonCascadeD(cfg)} AS reason
-           |FROM documents""".stripMargin,
+           |FROM $qm""".stripMargin,
       "quality_histogram" ->
         s"""SELECT reason, count(*) AS n_docs
-           |FROM (SELECT ${reasonCascadeD(cfg)} AS reason FROM documents)
+           |FROM (SELECT ${reasonCascadeD(cfg)} AS reason FROM $qm)
            |GROUP BY reason""".stripMargin,
       "quality_histogram_refdefaults" ->
         s"""SELECT reason, count(*) AS n_docs
-           |FROM (SELECT ${reasonCascadeD(Config.reference)} AS reason FROM documents)
+           |FROM (SELECT ${reasonCascadeD(Config.reference)} AS reason FROM $qm)
            |GROUP BY reason""".stripMargin,
       "quality_passed" ->
-        s"""SELECT doc_id, lang, source, n_chars FROM documents
+        s"""SELECT doc_id, lang, source, n_chars FROM $qm
            |WHERE (${reasonCascadeD(cfg)}) = 'passed'""".stripMargin)
   }
 }

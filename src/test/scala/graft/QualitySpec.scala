@@ -66,6 +66,31 @@ class QualitySpec extends SparkSpec {
     assert(reasonOf(german) == "wrong_language")
   }
 
+  test("trigram detector resolves text the stopword heuristic could not (round-6 item 4)") {
+    def detect(text: String): String =
+      Quality.cascadeQuery(Seq((1L, text)).toDF("doc_id", "text"), cfg)
+        .select("detected_language").as[String].collect().head
+    // German compound nouns: ZERO of the old top-20 stopwords appear, so
+    // the word-list heuristic returned 'unknown'/'en'; word-interior
+    // trigrams (sch/ver/ung/eit) carry the signal.
+    assert(detect("Geschwindigkeitsbegrenzung Straßenverkehrsordnung " +
+      "Kraftfahrzeugversicherung Wirtschaftlichkeitsberechnung") == "de")
+    // Short stopword-light phrases with diacritics.
+    assert(detect("la canción del corazón y las lágrimas de la estación") == "es")
+    assert(detect("la chanson des enfants dans la rivière et la lumière") == "fr")
+    // Prose in each profiled language.
+    assert(detect("Die Regierung hat gestern neue Maßnahmen für den " +
+      "Umweltschutz angekündigt, die ab nächstem Jahr gelten sollen.") == "de")
+    assert(detect("El gobierno anunció ayer nuevas medidas para la protección " +
+      "del medio ambiente que entrarán en vigor el próximo año.") == "es")
+    assert(detect("Le gouvernement a annoncé hier de nouvelles mesures pour la " +
+      "protection des forêts qui entreront en vigueur cette année.") == "fr")
+    assert(detect(goodText) == "en")
+    // Undetectable stays 'unknown' and therefore PASSES the cascade
+    // (reference semantics: LangDetectException => let it pass).
+    assert(detect("12345 67890 %%% ###") == "unknown")
+  }
+
   test("metric columns surface per-doc scores (Q11)") {
     val df = Quality.cascadeQuery(Seq((7L, goodText)).toDF("doc_id", "text"), cfg)
     val row = df.collect().head
