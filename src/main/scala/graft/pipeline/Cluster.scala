@@ -35,10 +35,11 @@ import graft.Tables
   * row per clustered doc and the edge list — both linear in the dup
   * graph, never quadratic (identical-signature groups enter as stars via
   * [[MinHash.clusterEdges]], not cliques). Each round's result is
-  * `localCheckpoint`ed to truncate the logical plan — without it the
-  * plan doubles per round and analysis time dominates. On a real
-  * cluster with `spark.sparkContext.setCheckpointDir` configured,
-  * reliable `checkpoint()` would be the fault-tolerant choice.
+  * checkpointed to truncate the logical plan — without it the plan
+  * doubles per round and analysis time dominates. The checkpoint flavor
+  * follows the session: reliable `checkpoint()` when a checkpoint dir is
+  * configured (fault-tolerant on a real cluster), `localCheckpoint()`
+  * otherwise (local mode — no write amplification).
   */
 object Cluster {
 
@@ -57,6 +58,20 @@ object Cluster {
     *    round's own materialized checkpoint — not the former separate
     *    join-with-previous-labels + count() job per round. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    // Plan-truncation strategy per round (round-6 verdict #8): when the
+    // session has a reliable checkpoint directory configured
+    // (`spark.sparkContext.setCheckpointDir` — HDFS/object store on a
+    // real cluster), use fault-tolerant `checkpoint()`: a lost executor
+    // re-reads the round state from storage instead of recomputing the
+    // whole iteration lineage (which `localCheckpoint` CANNOT replay —
+    // its blocks die with the executor, failing the job). Local runs
+    // default to `localCheckpoint` (no dir configured): same truncation,
+    // no write amplification. Both paths produce identical labels
+    // (ClusterSpec pins this).
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -64,7 +79,7 @@ object Cluster {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
       .withColumn("chg", lit(true))
-      .localCheckpoint()
+      .transform(truncate)
     var anyChanged = true
     var rounds = 0
     while (anyChanged && rounds < MaxRounds) {
@@ -86,7 +101,7 @@ object Cluster {
           col("slab") === col("jid"), "left")
         .select(col("id"), coalesce(col("jlab"), col("slab")).as("lab"),
           (coalesce(col("jlab"), col("slab")) =!= col("olab")).as("chg"))
-        .localCheckpoint()
+        .transform(truncate)
       // cached-partition scan with limit-1 short-circuit — near-free.
       anyChanged = !jumped.filter(col("chg")).isEmpty
       labels = jumped

@@ -204,11 +204,14 @@ object Similarity {
     * document-quality prior (here length-based: n_chars/(n_chars+300),
     * a saturating preference for substantial documents — the stand-in
     * for any scalar quality score riding the corpus). The candidate
-    * table joins its prior BEFORE scoring, so the blend costs one
-    * broadcast-side multiply; the prior is exact-integer in, one double
-    * division out, and `score = cosine * prior` adds a single rounding —
-    * both engines bit-agree. Same two-phase partial top-k as [[topK]]:
-    * only O(k) rows per partition reach the per-query shuffle. */
+    * table joins its prior BEFORE scoring — a shuffled hash join keyed
+    * on vec_id (the prior derives from the corpus-sized documents table,
+    * so it is NOT broadcastable at scale; co-partitioning on the id is
+    * the right shape) — then the blend is one multiply in the scoring
+    * projection; the prior is exact-integer in, one double division out,
+    * and `score = cosine * prior` adds a single rounding — both engines
+    * bit-agree. Same two-phase partial top-k as [[topK]]: only O(k) rows
+    * per partition reach the per-query shuffle. */
   def hybridTopK(emb: DataFrame, docs: DataFrame, k: Int = TopK): DataFrame = {
     val ss = emb.sparkSession
     import ss.implicits._

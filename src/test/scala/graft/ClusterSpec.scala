@@ -1,0 +1,43 @@
+package graft
+
+import graft.pipeline.Cluster
+
+/** Connected components: label correctness on chains/stars (the oracle
+  * pins CC against WITH RECURSIVE on real data; this pins the algebra on
+  * adversarial shapes) and the round-6 requirement that the reliable
+  * `checkpoint()` path (checkpoint dir configured) and the local-mode
+  * `localCheckpoint()` path produce IDENTICAL labels. */
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def labelsOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Cluster.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+
+  // A 6-long chain (pointer-jumping needs >1 round), a star, a 2-cycle
+  // duplicate edge, and an isolated pair.
+  private val graph = Seq(
+    (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // chain -> min 1
+    (10L, 11L), (10L, 12L), (10L, 13L),               // star  -> min 10
+    (20L, 21L), (21L, 20L),                           // dup edge -> min 20
+    (30L, 31L))                                       // pair -> min 30
+  private val want = Map(
+    1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+    10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+    20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L)
+
+  test("localCheckpoint path: chain/star/cycle label to component minima") {
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    assert(labelsOf(graph) == want)
+  }
+
+  test("reliable checkpoint() path produces identical labels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try assert(labelsOf(graph) == want)
+    finally org.apache.spark.GraftTestHooks.clearCheckpointDir(spark.sparkContext)
+    // reliable mode really wrote round states to the configured dir
+    val wrote = java.nio.file.Files.walk(dir).count() > 1
+    assert(wrote, s"no checkpoint data written under $dir")
+  }
+}
