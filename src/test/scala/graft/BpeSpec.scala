@@ -61,4 +61,18 @@ class BpeSpec extends SparkSpec {
     val m = Bpe.trainOn(docs, vocabSize = 32)
     assert(m.vocabSize <= 32)
   }
+
+  test("lexicon coverage quantifies the truncation bound exactly") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark spark flink spark"), (2L, "flink beam"))
+      .toDF("doc_id", "text")
+    // pair mass per occurrence = length(word) (chars-1 adjacencies + EOW)
+    val full = Bpe.wordFrequenciesWithCoverage(docs)
+    assert(full.totalPairMass == 3 * 5 + 2 * 5 + 1 * 4) // spark/flink/beam
+    assert(full.droppedPairMass == 0)
+    // cap at 1: highest-frequency word kept, the bound counts the rest
+    val capped = Bpe.wordFrequenciesWithCoverage(docs, maxLexicon = 1)
+    assert(capped.lexicon == Map("spark" -> 3L))
+    assert(capped.keptPairMass == 15 && capped.droppedPairMass == 14)
+  }
 }

@@ -87,6 +87,17 @@ class BpeTrainScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab_size=32000 over a 1M-word lexicon trains in bounded time (round-6 cap lift)") {
+    val lex = syntheticLexicon(1000000)
+    val t0 = System.nanoTime()
+    val model = Bpe.train(lex, 32000, minFreq = 2L)
+    val seconds = (System.nanoTime() - t0) / 1e9
+    info(f"trained ${model.vocabSize} symbols over ${lex.size} words in $seconds%.1f s")
+    assert(model.vocabSize == 32000)
+    assert(model.merges.size > 31000)
+    assert(seconds < 300.0, f"training too slow: $seconds%.1f s")
+  }
+
   test("vocab_size=32000 over a 100k-word lexicon trains in bounded time") {
     val lex = syntheticLexicon(100000)
     val t0 = System.nanoTime()
