@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.SortExec
+
+/** Plan-shape regression tests (round-6 verdict #6): pin the number of
+  * shuffle exchanges, broadcast exchanges, and sorts in the INITIAL
+  * physical plan of the headline queries. Rounds 3 and 5 each re-found
+  * planner regressions (AQE mis-coalescing, pushdown inlining) by bench
+  * archaeology; a failing count here is the cheap early alarm. Counts are
+  * taken before execution (AQE's initial plan), so they are partition-
+  * and data-volume independent — a changed count means the QUERY SHAPE
+  * changed: an added shuffle, a join strategy flip, a lost reuse.
+  *
+  * When a pin fails legitimately (an intentional plan improvement),
+  * update the expected triple and say why in the commit.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def shape(df: DataFrame): (Int, Int, Int) = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    def count(p: SparkPlan, f: SparkPlan => Boolean): Int = {
+      // collect() on SparkPlan stops at exchange boundaries' reused
+      // subtrees only in AQE final plans; the initial plan is one tree.
+      var n = 0
+      p.foreach(node => if (f(node)) n += 1)
+      n
+    }
+    (count(plan, _.isInstanceOf[ShuffleExchangeLike]),
+      count(plan, _.isInstanceOf[BroadcastExchangeLike]),
+      count(plan, _.isInstanceOf[SortExec]))
+  }
+
+  private def shapeOf(name: String): (Int, Int, Int) =
+    shape(SparkEntry.queries(name)(spark, sfDir))
+
+  /** (query, (shuffle exchanges, broadcast exchanges, sorts)). */
+  private val pins: Seq[(String, (Int, Int, Int))] = Seq(
+    "dedup_jaccard_dupmap" -> ((9, 5, 4)),
+    "dedup_minhash" -> ((5, 7, 2)),
+    "dedup_minhash_dupmap" -> ((3, 7, 0)),
+    "dedup_minhash_stats" -> ((7, 8, 0)),
+    "dedup_exact" -> ((2, 0, 2)),
+    "r_q1_pricing_summary" -> ((2, 0, 0)),
+    "r_hourly_event_stats" -> ((2, 0, 0)),
+    "sim_ivfpq_topk" -> ((2, 1, 2)),
+    "quality_histogram" -> ((2, 0, 0)),
+    "corpus_top_bigrams" -> ((2, 0, 0)))
+
+  for ((name, want) <- pins)
+    test(s"plan shape pinned: $name") {
+      val got = shapeOf(name)
+      info(s"$name -> shuffles=${got._1} broadcasts=${got._2} sorts=${got._3}")
+      assert(got == want, s"$name plan shape drifted: got $got, pinned $want")
+    }
+
+  test("plan shape pinned: minhash cluster edge list (CC per-round input)") {
+    val edges = graft.pipeline.MinHash.clusterEdges(Tables.documents(spark, sfDir))
+    val got = shape(edges)
+    info(s"clusterEdges -> shuffles=${got._1} broadcasts=${got._2} sorts=${got._3}")
+    assert(got == ((1, 3, 0)), s"clusterEdges plan shape drifted: got $got")
+  }
+}
