@@ -176,7 +176,41 @@ object Analytics {
         countDistinct(col("word")).as("n_distinct_words"))
   }
 
+  /** Keywords kept per doc. */
+  val TfidfTopK = 3
+
+  /** Per-doc top-[[TfidfTopK]] keywords by tf-idf — the standard corpus-
+    * analysis surface for topical skew checks and mixture diagnostics.
+    * idf is the RATIONAL spelling `N / df` (no log damp): ranking needs
+    * only monotonicity in tf and 1/df, and `CAST(tf * N AS DOUBLE) / df`
+    * is one exact-integer product and one IEEE division — bit-identical
+    * across engines, where `ln`'s last-ulp is libm-specific. Shape: one
+    * explode + (doc, word) aggregation, a word-keyed df aggregation
+    * joined back (AQE splits any hot word), and a per-doc top-k window —
+    * doc_id is corpus-cardinality, so the window never funnels. */
+  def tfidfKeywordsQuery(docs: DataFrame, k: Int = TfidfTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .transform(graft.CacheScope.persist) // feeds df-agg, nd-agg AND the join
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nd = tf.agg(countDistinct(col("doc_id")).as("nd"))
+    val scored = tf.join(df, "word").crossJoin(broadcast(nd))
+      .withColumn("score",
+        (col("tf") * col("nd")).cast("double") / col("df").cast("double"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("word"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("df"), col("score"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_tfidf_keywords" -> ((s, d) => tfidfKeywordsQuery(Tables.documents(s, d))),
     "doc_readability" -> ((s, d) => readabilityQuery(Tables.documents(s, d))),
     "tok_seq_length_histogram" -> ((s, d) => seqLengthHistogramQuery(Tables.documents(s, d))),
     "corpus_vocab_per_source" -> ((s, d) => vocabPerSourceQuery(Tables.documents(s, d))),
@@ -188,6 +222,27 @@ object Analytics {
     "events_props_extract" -> ((s, d) => eventsPropsQuery(Tables.events(s, d))))
 
   def oracles: Map[String, String] = Map(
+    "doc_tfidf_keywords" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, word, count(*) AS tf FROM (
+         |    SELECT doc_id,
+         |           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                              x -> x <> '')) AS word
+         |    FROM documents)
+         |  GROUP BY doc_id, word),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM tf),
+         |scored AS (
+         |  SELECT doc_id, word, tf, df,
+         |         CAST(tf * nd AS DOUBLE) / CAST(df AS DOUBLE) AS score
+         |  FROM tf JOIN df USING (word), nd),
+         |ranked AS (
+         |  SELECT doc_id, word, tf, df, score,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY score DESC, word) AS rk
+         |  FROM scored)
+         |SELECT doc_id, rk, word, tf, df, score FROM ranked
+         |WHERE rk <= $TfidfTopK""".stripMargin,
     "tok_seq_length_histogram" ->
       """WITH m AS (
         |  SELECT CAST(len(regexp_split_to_array(

@@ -165,9 +165,34 @@ object Cluster {
     }
   }
 
+  /** Quality-aware dedup: within each near-dup cluster KEEP THE BEST
+    * DOCUMENT (longest n_chars, ties to the smallest id) instead of the
+    * arrival-order/min-id original — the production policy when clusters
+    * mix a full article with truncated mirrors (Gopher, RefinedWeb keep
+    * a canonical copy, not an arbitrary one). Emits the removal map
+    * `(duplicate_id, kept_id)`. One join of the cluster assignment with
+    * the doc metadata and a per-cluster argmax window — cluster ids are
+    * corpus-cardinality keys, so the window never funnels, and the CC
+    * evaluation is shared with `_clusters`/`_cluster_stats` via the
+    * memo. */
+  def keepBestOf(clusters: DataFrame, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = clusters.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val ranked = sized.withColumn("rk", row_number().over(w))
+    val kept = ranked.filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_id"))
+    ranked.filter(col("rk") > 1)
+      .join(kept, "cluster_id")
+      .select(col("doc_id").as("duplicate_id"), col("kept_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_clusters" -> ((s, d) => clustersFor(s, d)),
-    "dedup_minhash_cluster_stats" -> ((s, d) => statsOf(clustersFor(s, d))))
+    "dedup_minhash_cluster_stats" -> ((s, d) => statsOf(clustersFor(s, d))),
+    "dedup_keep_best" -> ((s, d) =>
+      keepBestOf(clustersFor(s, d), Tables.documents(s, d))))
 
   // -----------------------------------------------------------------------
   // DuckDB oracle: same fixed point via WITH RECURSIVE reachability —
@@ -192,6 +217,17 @@ object Cluster {
     "dedup_minhash_clusters" ->
       s"""$clusterCtes
          |SELECT doc_id, cluster_id FROM clus""".stripMargin,
+    "dedup_keep_best" ->
+      s"""$clusterCtes,
+         |sized AS (
+         |  SELECT c.doc_id, c.cluster_id, d.n_chars,
+         |         row_number() OVER (PARTITION BY c.cluster_id
+         |                            ORDER BY d.n_chars DESC, c.doc_id) AS rk
+         |  FROM clus c JOIN documents d USING (doc_id)),
+         |kept AS (SELECT cluster_id, doc_id AS kept_id FROM sized WHERE rk = 1)
+         |SELECT s.doc_id AS duplicate_id, k.kept_id
+         |FROM sized s JOIN kept k USING (cluster_id)
+         |WHERE s.rk > 1""".stripMargin,
     "dedup_minhash_cluster_stats" ->
       s"""$clusterCtes,
          |csz AS (SELECT cluster_id, count(*) AS sz FROM clus GROUP BY cluster_id)

@@ -51,8 +51,42 @@ object Contamination {
       .agg(count(lit(1)).as("n_contaminated_grams"))
   }
 
+  /** Severity tier: a doc whose shared-gram share clears this is
+    * "substantially contaminated" (drop it); below, quarantine/inspect.
+    * The two-tier read is the Llama/GPT-3 appendix practice — a single
+    * shared 5-gram in a long doc is usually boilerplate, not leakage. */
+  val OverlapThreshold = 0.2
+
+  /** Fractional-overlap decontamination: per contaminated training doc,
+    * the SHARE of its distinct [[GramN]]-grams found in the benchmark
+    * (plus the substantial-contamination verdict at [[OverlapThreshold]]).
+    * Same broadcast semi-join as [[contaminationQuery]] with one extra
+    * per-doc aggregation for the denominator — the denominator count
+    * rides the same exploded gram relation and its exchange is reused
+    * (both aggregations key on doc_id). */
+  def overlapQuery(docs: DataFrame): DataFrame = {
+    val withGrams = docs.select(
+        col("doc_id"),
+        Stage.once(expr("filter(split(text, '\\\\s+'), x -> x != '')")).as("w"))
+      .select(col("doc_id"), explode(expr(gramsExpr(GramN))).as("gram"))
+    val train = withGrams.filter(col("doc_id") >= BenchmarkDocs)
+    val benchGrams = withGrams.filter(col("doc_id") < BenchmarkDocs)
+      .select(col("gram")).distinct()
+    val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    train.join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(totals, "doc_id")
+      .select(col("doc_id"), col("n_shared"), col("n_grams"),
+        (col("n_shared").cast("double") / col("n_grams").cast("double"))
+          .as("overlap_fraction"),
+        (col("n_shared").cast("double") / col("n_grams").cast("double")
+          >= OverlapThreshold).as("substantial"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "decontaminate_flags" -> ((s, d) => contaminationQuery(Tables.documents(s, d))))
+    "decontaminate_flags" -> ((s, d) => contaminationQuery(Tables.documents(s, d))),
+    "decontaminate_overlap" -> ((s, d) => overlapQuery(Tables.documents(s, d))))
 
   def oracles: Map[String, String] = {
     val parts = (0 until GramN).map(k => s"w[i + $k]").mkString(" || ' ' || ")
@@ -71,6 +105,26 @@ object Contamination {
            |SELECT doc_id, count(*) AS n_contaminated_grams
            |FROM g JOIN bench USING (gram)
            |WHERE doc_id >= $BenchmarkDocs
-           |GROUP BY doc_id""".stripMargin)
+           |GROUP BY doc_id""".stripMargin,
+      "decontaminate_overlap" ->
+        s"""WITH b AS (
+           |  SELECT doc_id,
+           |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+           |  FROM documents),
+           |g AS (
+           |  SELECT DISTINCT doc_id,
+           |         unnest(list_transform(range(1, len(w) - ${GramN - 2}),
+           |                               i -> $parts)) AS gram
+           |  FROM b),
+           |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < $BenchmarkDocs),
+           |tot AS (SELECT doc_id, count(*) AS n_grams FROM g
+           |        WHERE doc_id >= $BenchmarkDocs GROUP BY doc_id),
+           |sh AS (SELECT doc_id, count(*) AS n_shared
+           |       FROM g JOIN bench USING (gram)
+           |       WHERE doc_id >= $BenchmarkDocs GROUP BY doc_id)
+           |SELECT doc_id, n_shared, n_grams,
+           |       CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) AS overlap_fraction,
+           |       CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) >= $OverlapThreshold AS substantial
+           |FROM sh JOIN tot USING (doc_id)""".stripMargin)
   }
 }

@@ -408,6 +408,37 @@ object Similarity {
       .select(col("q_id"), col("rn"), col("vec_id"), col("adc"), col("label"))
   }
 
+  /** Candidate depth for the exact re-rank stage (4x the final k — the
+    * usual retrieve-rerank oversampling). */
+  val RerankDepth: Int = TopK * 4
+
+  /** Two-stage retrieval (the production ANN layout): stage 1 ranks by
+    * PQ's approximate ADC inside the probed IVF cells ([[ivfPqTopK]] at
+    * [[RerankDepth]]); stage 2 re-scores ONLY those candidates with the
+    * exact cosine against the raw vectors and re-ranks to top-k. The
+    * expensive exact math touches nprobe-cells' worth of 8-int codes in
+    * stage 1 and `RerankDepth x queries` raw vectors in stage 2 — at any
+    * corpus size the full-precision reads are bounded by the candidate
+    * count, which is the point of the layout (FAISS's refine/rerank
+    * stage). Candidate set and final order are both deterministic
+    * (adc/sim with vec_id tie-breaks), so the oracle reproduces the
+    * two-stage pipeline bit-exactly. */
+  def ivfPqRerank(emb: DataFrame, k: Int = TopK, depth: Int = RerankDepth): DataFrame = {
+    val cand = ivfPqTopK(emb, depth).select(col("q_id"), col("vec_id"))
+    val scored = cand
+      .join(emb.select(col("vec_id"), col("embedding"), col("label")), "vec_id")
+      .join(broadcast(queriesDf(emb)), "q_id")
+      .withColumn("dot", expr(dotS("embedding", "q_emb")))
+      .withColumn("na", expr(dotS("embedding", "embedding")))
+      .withColumn("nb", expr(dotS("q_emb", "q_emb")))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("sim", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"), col("label"))
+  }
+
   val DedupCosine = 0.95
 
   /** Embedding-cosine near-duplicate detection (builder-brief dedup
@@ -558,6 +589,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> ((s, d) => topK(Tables.embeddings(s, d))),
     "sim_ivfpq_topk" -> ((s, d) => ivfPqTopK(Tables.embeddings(s, d))),
+    "sim_ivfpq_rerank" -> ((s, d) => ivfPqRerank(Tables.embeddings(s, d))),
     "sim_hybrid_topk" -> ((s, d) =>
       hybridTopK(Tables.embeddings(s, d), Tables.documents(s, d))),
     "sim_semdedup" -> ((s, d) => semDedup(Tables.embeddings(s, d))),
@@ -606,6 +638,50 @@ object Similarity {
   private def subL2D(a: String, b: String, m: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${PqSubDim + 1}), j -> (CAST($a[$m * $PqSubDim + j] AS DOUBLE) - CAST($b[$m * $PqSubDim + j] AS DOUBLE)) * (CAST($a[$m * $PqSubDim + j] AS DOUBLE) - CAST($b[$m * $PqSubDim + j] AS DOUBLE)))), (s, v) -> s + v)"""
 
+  /** Shared IVF-PQ oracle prefix: params/cents/cells/codes/q/adc/ranked —
+    * everything up to the ADC ranking, consumed by both `sim_ivfpq_topk`
+    * (cut at TopK) and `sim_ivfpq_rerank` (cut at RerankDepth, then
+    * exact-cosine re-ranked). */
+  private lazy val ivfpqRankedCtes: String =
+    s"""WITH $paramsCte,
+       |cents AS (SELECT vec_id AS c_id, row_number() OVER (ORDER BY vec_id) - 1 AS c,
+       |                 embedding AS c_emb
+       |          FROM embeddings WHERE vec_id >= $NumQueries AND vec_id < $NumQueries + (SELECT cells FROM params)),
+       |cells AS (
+       |  SELECT vec_id, label, c_id AS cell FROM (
+       |    SELECT e.vec_id, e.label, c.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${l2D("e.embedding", "c.c_emb")}, c.c_id) AS rn
+       |    FROM embeddings e, cents c)
+       |  WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id, m, c AS code FROM (
+       |    SELECT e.vec_id, s.m, c.c,
+       |           row_number() OVER (PARTITION BY e.vec_id, s.m
+       |                              ORDER BY ${subL2D("e.embedding", "c.c_emb", "s.m")}, c.c) AS rn
+       |    FROM embeddings e, range(0, $PqSub) s(m), cents c)
+       |  WHERE rn = 1),
+       |q AS (
+       |  SELECT q_id, q_emb, c_id AS q_cell FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${l2D("e.embedding", "c.c_emb")}, c.c_id) AS rn
+       |    FROM embeddings e, cents c WHERE e.vec_id < $NumQueries)
+       |  WHERE rn <= $NProbe),
+       |adc AS (
+       |  SELECT q.q_id, x.vec_id, x.label,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list(${subL2D("q.q_emb", "cc.c_emb", "cd.m")} ORDER BY cd.m)),
+       |           (s, v) -> s + v) AS adc
+       |  FROM cells x
+       |  JOIN q ON x.cell = q.q_cell AND x.vec_id <> q.q_id
+       |  JOIN codes cd ON cd.vec_id = x.vec_id
+       |  JOIN cents cc ON cc.c = cd.code
+       |  GROUP BY q.q_id, x.vec_id, x.label),
+       |ranked AS (SELECT q_id, vec_id, label, adc,
+       |                  row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+       |           FROM adc)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "sim_hybrid_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NumQueries),
@@ -626,45 +702,27 @@ object Similarity {
          |           FROM sims)
          |SELECT q_id, rn, vec_id, score, label FROM ranked WHERE rn <= $TopK""".stripMargin,
     "sim_ivfpq_topk" ->
-      s"""WITH $paramsCte,
-         |cents AS (SELECT vec_id AS c_id, row_number() OVER (ORDER BY vec_id) - 1 AS c,
-         |                 embedding AS c_emb
-         |          FROM embeddings WHERE vec_id >= $NumQueries AND vec_id < $NumQueries + (SELECT cells FROM params)),
-         |cells AS (
-         |  SELECT vec_id, label, c_id AS cell FROM (
-         |    SELECT e.vec_id, e.label, c.c_id,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |                              ORDER BY ${l2D("e.embedding", "c.c_emb")}, c.c_id) AS rn
-         |    FROM embeddings e, cents c)
-         |  WHERE rn = 1),
-         |codes AS (
-         |  SELECT vec_id, m, c AS code FROM (
-         |    SELECT e.vec_id, s.m, c.c,
-         |           row_number() OVER (PARTITION BY e.vec_id, s.m
-         |                              ORDER BY ${subL2D("e.embedding", "c.c_emb", "s.m")}, c.c) AS rn
-         |    FROM embeddings e, range(0, $PqSub) s(m), cents c)
-         |  WHERE rn = 1),
-         |q AS (
-         |  SELECT q_id, q_emb, c_id AS q_cell FROM (
-         |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.c_id,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |                              ORDER BY ${l2D("e.embedding", "c.c_emb")}, c.c_id) AS rn
-         |    FROM embeddings e, cents c WHERE e.vec_id < $NumQueries)
-         |  WHERE rn <= $NProbe),
-         |adc AS (
-         |  SELECT q.q_id, x.vec_id, x.label,
-         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |           list(${subL2D("q.q_emb", "cc.c_emb", "cd.m")} ORDER BY cd.m)),
-         |           (s, v) -> s + v) AS adc
-         |  FROM cells x
-         |  JOIN q ON x.cell = q.q_cell AND x.vec_id <> q.q_id
-         |  JOIN codes cd ON cd.vec_id = x.vec_id
-         |  JOIN cents cc ON cc.c = cd.code
-         |  GROUP BY q.q_id, x.vec_id, x.label),
-         |ranked AS (SELECT q_id, vec_id, label, adc,
-         |                  row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
-         |           FROM adc)
+      s"""$ivfpqRankedCtes
          |SELECT q_id, rn, vec_id, adc, label FROM ranked WHERE rn <= $TopK""".stripMargin,
+    "sim_ivfpq_rerank" ->
+      s"""$ivfpqRankedCtes,
+         |cand AS (SELECT q_id, vec_id FROM ranked WHERE rn <= $RerankDepth),
+         |qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |       WHERE vec_id < $NumQueries),
+         |ex AS (
+         |  SELECT c.q_id, c.vec_id, e.label,
+         |         ${dotD("e.embedding", "q_emb")} AS dot,
+         |         ${dotD("e.embedding", "e.embedding")} AS na,
+         |         ${dotD("q_emb", "q_emb")} AS nb
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN qv ON qv.q_id = c.q_id),
+         |sims2 AS (SELECT q_id, vec_id, label, dot / (sqrt(na) * sqrt(nb)) AS sim
+         |          FROM ex WHERE na > 0 AND nb > 0),
+         |rr AS (SELECT q_id, vec_id, label, sim,
+         |              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+         |       FROM sims2)
+         |SELECT q_id, rn, vec_id, sim, label FROM rr WHERE rn <= $TopK""".stripMargin,
     "sim_semdedup" ->
       s"""WITH $paramsCte,
          |cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings

@@ -31,6 +31,18 @@ class ClusterSpec extends SparkSpec {
     assert(labelsOf(graph) == want)
   }
 
+  test("keep-best dedup keeps the longest doc per cluster, ties to smallest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq((1L, 100L), (2L, 500L), (3L, 500L), (10L, 50L), (11L, 50L))
+      .toDF("doc_id", "n_chars")
+    val removals = Cluster.keepBestOf(clusters, docs)
+      .as[(Long, Long)].collect().toSet
+    // cluster 1: docs 2 and 3 tie at 500 chars -> 2 kept (smaller id);
+    // cluster 10: tie at 50 -> 10 kept.
+    assert(removals == Set((1L, 2L), (3L, 2L), (11L, 10L)))
+  }
+
   test("reliable checkpoint() path produces identical labels") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
     spark.sparkContext.setCheckpointDir(dir.toString)
