@@ -102,10 +102,54 @@ object Sampling {
         (col("target_tokens").cast("double") / col("n_tokens").cast("double")).as("epochs"))
   }
 
+  /** Temperature-balanced mixture (τ = 0.5): per-source token targets
+    * proportional to `n_tokens^τ` — the multilingual up/down-sampling
+    * practice (mT5/XLM-R temperature sampling: a low-resource source is
+    * upsampled toward, but not all the way to, parity). τ is fixed at
+    * 0.5 because `sqrt` is IEEE CORRECTLY ROUNDED in both engines while
+    * general `pow` is not — the one τ that keeps the oracle bit-exact.
+    *
+    * Float determinism: the weight total is a LEFT FOLD over the
+    * source-ordered weight list (both engines spell the same fold; a
+    * plain SUM over doubles is accumulation-order-dependent and would
+    * hash-differ), and each quota is the same mul/div/floor sequence.
+    * The per-source relation is #sources rows — every list/fold here is
+    * bounded by the source count, not the corpus. */
+  def mixTemperatureQuery(docs: DataFrame, budget: Long = MixBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val trimmed = regexp_replace(col("text"), Clean.EdgeWsRe, "")
+    val bySource = docs
+      .select(col("source"), size(split(trimmed, "\\s+")).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .withColumn("w", sqrt(col("n_tokens").cast("double")))
+      .transform(graft.CacheScope.persist)
+    // deterministic total: fold source-ordered weights left to right
+    val tw = bySource
+      .agg(expr(
+        """aggregate(
+          |  transform(array_sort(collect_list(struct(source, w))), x -> x.w),
+          |  CAST(0 AS DOUBLE), (s, v) -> s + v)""".stripMargin).as("tw"))
+    val u = bySource.crossJoin(broadcast(tw))
+      .withColumn("exact", lit(budget.toDouble) * col("w") / col("tw"))
+      .withColumn("q", floor(col("exact")).cast("long"))
+      .withColumn("r", col("exact") - col("q").cast("double"))
+    val sq = u.agg(sum(col("q")).as("sq"))
+    val rankW = Window.orderBy(col("r").desc, col("source"))
+    u.crossJoin(broadcast(sq))
+      .withColumn("rk", row_number().over(rankW))
+      .withColumn("target_tokens",
+        col("q") + when(col("rk") <= lit(budget) - col("sq"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w").as("weight"),
+        col("target_tokens"),
+        (col("target_tokens").cast("double") / col("n_tokens").cast("double")).as("epochs"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> ((s, d) => stratifiedSampleQuery(Tables.documents(s, d))),
     "split_counts" -> ((s, d) => splitCountsQuery(Tables.documents(s, d))),
-    "mix_allocation" -> ((s, d) => mixAllocationQuery(Tables.documents(s, d))))
+    "mix_allocation" -> ((s, d) => mixAllocationQuery(Tables.documents(s, d))),
+    "mix_temperature" -> ((s, d) => mixTemperatureQuery(Tables.documents(s, d))))
 
   def oracles: Map[String, String] = {
     val rateRows = tierOf.toSeq.sortBy(_._1)
@@ -140,6 +184,28 @@ object Sampling {
            |             (SELECT CAST(sum(q) AS BIGINT) FROM t) AS sq
            |      FROM t)
            |SELECT source, weight, n_docs, n_tokens,
+           |       CAST(q + CASE WHEN rk <= $MixBudget - sq THEN 1 ELSE 0 END AS BIGINT) AS target_tokens,
+           |       CAST(q + CASE WHEN rk <= $MixBudget - sq THEN 1 ELSE 0 END AS DOUBLE)
+           |         / CAST(n_tokens AS DOUBLE) AS epochs
+           |FROM v""".stripMargin,
+      "mix_temperature" ->
+        s"""WITH s AS (
+           |  SELECT source, count(*) AS n_docs,
+           |         CAST(sum(len(regexp_split_to_array(
+           |           regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+'))) AS BIGINT) AS n_tokens,
+           |         sqrt(CAST(CAST(sum(len(regexp_split_to_array(
+           |           regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+'))) AS BIGINT) AS DOUBLE)) AS w
+           |  FROM documents GROUP BY source),
+           |tw AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY source)),
+           |                          (a, v) -> a + v) AS tw FROM s),
+           |u AS (SELECT s.*, CAST($MixBudget AS DOUBLE) * w / tw AS ex FROM s, tw),
+           |u2 AS (SELECT *, CAST(floor(ex) AS BIGINT) AS q,
+           |              ex - CAST(CAST(floor(ex) AS BIGINT) AS DOUBLE) AS r
+           |       FROM u),
+           |v AS (SELECT *, row_number() OVER (ORDER BY r DESC, source) AS rk,
+           |             (SELECT CAST(sum(q) AS BIGINT) FROM u2) AS sq
+           |      FROM u2)
+           |SELECT source, n_docs, n_tokens, w AS weight,
            |       CAST(q + CASE WHEN rk <= $MixBudget - sq THEN 1 ELSE 0 END AS BIGINT) AS target_tokens,
            |       CAST(q + CASE WHEN rk <= $MixBudget - sq THEN 1 ELSE 0 END AS DOUBLE)
            |         / CAST(n_tokens AS DOUBLE) AS epochs
