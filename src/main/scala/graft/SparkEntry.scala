@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Analytics, Bpe, Chunking, Clean, Cluster, Contamination, Dedup, MinHash, NearDup, PipelineOps, Quality, Repetition, Sampling, Tokenize, Unigram, Wiki, WordPiece}
+import graft.pipeline.{Analytics, Bpe, Chunking, Clean, Cluster, Contamination, Dedup, MinHash, NearDup, PipelineOps, Quality, Repetition, Sampling, TextEmbed, Tokenize, Unigram, Wiki, WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -49,6 +49,7 @@ object SparkEntry {
       (PipelineOps.queries, PipelineOps.oracles),
       (Analytics.queries, Analytics.oracles),
       (NearDup.queries, NearDup.oracles),
+      (TextEmbed.queries, TextEmbed.oracles),
       (graft.relational.Relational.queries, graft.relational.Relational.oracles),
       (graft.relational.Similarity.queries, graft.relational.Similarity.oracles),
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracles))
