@@ -27,7 +27,7 @@ object Contamination {
 
   /** Distinct word n-grams of `text` as a column expression (built-in
     * HOFs; the CASE guards short docs). */
-  private def gramsExpr(n: Int): String = {
+  private[graft] def gramsExpr(n: Int): String = {
     val parts = (0 until n).map(k => s"element_at(w, i + $k)").mkString(", ")
     s"""CASE WHEN size(w) < $n THEN CAST(array() AS ARRAY<STRING>)
        |ELSE array_distinct(transform(sequence(1, size(w) - ${n - 1}),

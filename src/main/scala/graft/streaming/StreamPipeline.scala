@@ -245,6 +245,38 @@ object StreamPipeline {
         col("s.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming eval-set decontamination: tag every streamed doc with how
+    * many of its distinct [[graft.pipeline.Contamination.GramN]]-grams
+    * appear in a STATIC benchmark corpus, dropping substantial overlaps
+    * (the batch operator's semantics applied per micro-batch). The
+    * benchmark gram set is collected once and rides the plan as an
+    * array literal — BOUNDED BY CONSTRUCTION (eval sets are thousands
+    * of docs; the same documented-bounded-collect contract as the IVF
+    * codebook), which keeps the stream completely STATELESS: no state
+    * store, no watermark, the gram intersection is a per-row codegen'd
+    * expression. A benchmark too big to ship in a task binary would
+    * instead use a stream-static broadcast join; this form is the
+    * right one for real eval sets. */
+  def decontaminatedStream(docs: DataFrame, benchmark: DataFrame,
+      dropContaminated: Boolean = false): DataFrame = {
+    import graft.pipeline.Contamination
+    val benchGrams: Array[String] = benchmark
+      .select(col("doc_id"),
+        expr("filter(split(text, '\\\\s+'), x -> x != '')").as("w"))
+      .select(explode(expr(Contamination.gramsExpr(Contamination.GramN))).as("gram"))
+      .distinct()
+      .collect().map(_.getString(0))
+    val flagged = docs
+      .withColumn("w", expr("filter(split(text, '\\\\s+'), x -> x != '')"))
+      .withColumn("n_contaminated_grams",
+        size(array_intersect(
+          expr(Contamination.gramsExpr(Contamination.GramN)),
+          typedLit(benchGrams.toSeq))))
+      .drop("w")
+    if (dropContaminated) flagged.filter(col("n_contaminated_grams") === 0)
+    else flagged
+  }
+
   /** D4-with-state in streaming form: first-seen-wins dedup WITH
     * duplicate→original attribution via flatMapGroupsWithState — the
     * reference's growing index (`duplicate_of`, deduplicator.py:150-180)

@@ -74,4 +74,35 @@ class StreamPipelineSpec extends SparkSpec {
       assert(ids == Set(1L, 3L, 4L), s"got $ids")
     } finally q.stop()
   }
+
+  test("streaming decontamination tags overlap with a static benchmark, stays stateless") {
+    import spark.implicits._
+    val dir: Path = Files.createTempDirectory("stream-decon")
+    val leaked = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val benchmark = Seq((100L, leaked)).toDF("doc_id", "text")
+    val stream = StreamPipeline.decontaminatedStream(
+      StreamPipeline.readDocs(spark, dir.toString), benchmark)
+    val q = StreamPipeline.toMemorySink(stream, "stream_decon").start()
+    try {
+      Files.writeString(dir.resolve("b1.json"),
+        jsonLine(1, "completely clean training text about something else entirely " +
+          "with many original words") + "\n" +
+          jsonLine(2, "prefix words then " + leaked + " then suffix words") + "\n")
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, n_contaminated_grams FROM stream_decon")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(out(1L) == 0)
+      assert(out(2L) > 5, s"leaked doc under-flagged: ${out(2L)}")
+      // drop mode removes the contaminated doc outright
+      val dropped = StreamPipeline.decontaminatedStream(
+        StreamPipeline.readDocs(spark, dir.toString), benchmark, dropContaminated = true)
+      val q2 = StreamPipeline.toMemorySink(dropped, "stream_decon_drop").start()
+      try {
+        q2.processAllAvailable()
+        val kept = spark.sql("SELECT doc_id FROM stream_decon_drop")
+          .collect().map(_.getLong(0)).toSet
+        assert(kept == Set(1L))
+      } finally q2.stop()
+    } finally q.stop()
+  }
 }
