@@ -65,6 +65,62 @@ object Sinks {
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Training-ready BINARY token shards (the GPT-NeoX/Megatron `.bin` +
+    * `.idx` layout, reduced to its portable core): each shard is one
+    * `tokens.bin` of little-endian uint16 token ids, documents
+    * concatenated back-to-back in doc_id order, plus one `index.bin` of
+    * little-endian int64 pairs `(doc_id, n_tokens)` in the same order —
+    * enough to reconstruct every document boundary with O(1) arithmetic
+    * at load time, which is what a data loader actually needs (memmap +
+    * prefix sums; no parquet decode on the training hot path).
+    *
+    * Distribution shape: docs hash-scatter to shards on doc_id and each
+    * TASK writes its own shard pair via `foreachPartition` — nothing
+    * funnels through the driver, matching [[writeShards]]. uint16 bounds
+    * vocab at 65,536 — the caller's contract (assertion per id), the
+    * same trade the published layouts make for 2-byte tokens. */
+  def writeTokenShards(tokens: DataFrame, path: String, numShards: Int,
+      idCol: String = "doc_id", tokCol: String = "token_ids"): Unit = {
+    Files.createDirectories(Paths.get(path))
+    tokens
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(tokCol).cast("array<int>").as("ids"))
+      .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(numShards)).cast("int"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        var bin: java.io.DataOutputStream = null
+        var idx: java.io.DataOutputStream = null
+        var shard = -1
+        def le16(v: Int): Array[Byte] =
+          Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+        def le64(v: Long): Array[Byte] =
+          Array.tabulate(8)(i => ((v >> (8 * i)) & 0xFF).toByte)
+        try {
+          rows.foreach { r =>
+            if (bin == null) {
+              shard = r.getInt(2)
+              val dir = Paths.get(path, s"shard=$shard")
+              Files.createDirectories(dir)
+              bin = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+                Files.newOutputStream(dir.resolve("tokens.bin"))))
+              idx = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+                Files.newOutputStream(dir.resolve("index.bin"))))
+            }
+            val ids = r.getSeq[Int](1)
+            idx.write(le64(r.getLong(0)))
+            idx.write(le64(ids.length.toLong))
+            ids.foreach { id =>
+              require(id >= 0 && id < 65536, s"token id $id exceeds uint16")
+              bin.write(le16(id))
+            }
+          }
+        } finally {
+          if (bin != null) { bin.close(); idx.close() }
+        }
+      }
+  }
+
   /** A6: attach named observed metrics to a stage. The returned
     * Observation yields rows/bytes counters after the next action, without
     * a second pass over the data (vs the reference's per-stage timers,

@@ -65,6 +65,41 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("binary token shards: uint16 stream + int64 index reconstruct every doc") {
+    import spark.implicits._
+    val toks = Seq(
+      (1L, Seq(5, 65535, 7)),
+      (2L, Seq(42)),
+      (3L, Seq(0, 1, 2, 3)),
+      (4L, Seq(9, 9))).toDF("doc_id", "token_ids")
+    val dir = java.nio.file.Files.createTempDirectory("tok-shards").toString
+    Sinks.writeTokenShards(toks, dir, numShards = 2)
+    def le64(b: Array[Byte], off: Int): Long =
+      (0 until 8).map(i => (b(off + i).toLong & 0xFF) << (8 * i)).sum
+    def le16(b: Array[Byte], off: Int): Int =
+      (b(off).toInt & 0xFF) | ((b(off + 1).toInt & 0xFF) << 8)
+    val rebuilt = scala.collection.mutable.Map.empty[Long, Seq[Int]]
+    import scala.jdk.CollectionConverters._
+    for (sh <- java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+           if sh.getFileName.toString.startsWith("shard=")) {
+      val idx = java.nio.file.Files.readAllBytes(sh.resolve("index.bin"))
+      val bin = java.nio.file.Files.readAllBytes(sh.resolve("tokens.bin"))
+      assert(idx.length % 16 == 0)
+      var off = 0L
+      val entries = (0 until idx.length / 16)
+        .map(i => (le64(idx, i * 16), le64(idx, i * 16 + 8)))
+      // doc_id-sorted within the shard (sortWithinPartitions)
+      assert(entries.map(_._1) == entries.map(_._1).sorted)
+      assert(bin.length.toLong == 2 * entries.map(_._2).sum)
+      entries.foreach { case (docId, n) =>
+        rebuilt(docId) = (0L until n).map(j => le16(bin, (off + j).toInt * 2))
+        off += n
+      }
+    }
+    assert(rebuilt.toMap == Map(
+      1L -> Seq(5, 65535, 7), 2L -> Seq(42), 3L -> Seq(0, 1, 2, 3), 4L -> Seq(9, 9)))
+  }
+
   test("observed stage metrics report rows and bytes after one action") {
     val (observed, obs) = Sinks.observeStage(docs, "clean_stage_test")
     observed.write.format("noop").mode("overwrite").save()
