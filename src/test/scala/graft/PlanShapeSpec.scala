@@ -53,7 +53,10 @@ class PlanShapeSpec extends SparkSpec {
     "r_hourly_event_stats" -> ((2, 0, 0)),
     "sim_ivfpq_topk" -> ((2, 1, 2)),
     "quality_histogram" -> ((2, 0, 0)),
-    "corpus_top_bigrams" -> ((2, 0, 0)))
+    "corpus_top_bigrams" -> ((2, 0, 0)),
+    "dedup_semantic_text" -> ((10, 6, 2)),
+    "doc_tfidf_keywords" -> ((4, 2, 2)),
+    "mix_temperature" -> ((4, 3, 1)))
 
   for ((name, want) <- pins)
     test(s"plan shape pinned: $name") {
