@@ -40,6 +40,15 @@ object TextEmbed {
   val NumPlanes = 8
   val DedupCosine = 0.9
 
+  /** Corpus-proportional plane count (round-6 scale rule, same formula
+    * and clamps as the float-embedding family): buckets track n/128 so
+    * per-bucket occupancy — and the candidate pair join — stays bounded
+    * as the corpus grows. Derived from the RAW document count on both
+    * sides (Spark counts `docs`, the oracle counts `documents`), so the
+    * two engines always block identically; small corpora clamp to
+    * [[NumPlanes]]. Recall trade documented on [[semanticDedupQuery]]. */
+  private def planesFor(n: Long): Int = graft.relational.Similarity.planesFor(n)
+
   /** word → dimension: first 32 bits of md5, mod [[Dim]]. */
   private val dimExprS =
     s"CAST(conv(substring(md5(word), 1, 8), 16, 10) AS BIGINT) % $Dim"
@@ -54,47 +63,117 @@ object TextEmbed {
       .agg(count(lit(1)).as("weight"))
 
   /** The ±1 plane entries as integer rows `(p, dim, sign)` — the SAME
-    * LCG constants as the float-embedding family's first [[NumPlanes]]
-    * planes, consumed exactly. */
-  private def planeRows: Seq[(Int, Int, Int)] =
-    for (p <- 0 until NumPlanes; d <- 0 until Dim)
+    * LCG constants as the float-embedding family's planes, consumed
+    * exactly (prefix-stable: `np` planes are always the first `np`). */
+  private def planeRows(np: Int): Seq[(Int, Int, Int)] =
+    for (p <- 0 until np; d <- 0 until Dim)
       yield (p, d, graft.relational.Similarity.planes(p)(d).toInt)
 
-  /** Semantic near-dup over the hashed vectors: sign-LSH bucket
-    * blocking, dim-to-dim exact-integer dot verification, cosine >=
-    * [[DedupCosine]]; lowest partner id wins. */
+  /** Semantic near-dup over the hashed vectors: identical-vector
+    * collapse, sign-LSH bucket blocking over the REPRESENTATIVES,
+    * dim-to-dim exact-integer dot verification, cosine >=
+    * [[DedupCosine]]; lowest partner id wins.
+    *
+    * The collapse is the same hot-cluster guard every dedup operator
+    * here carries (MinHash.repGraph, jaccard, the embedding family):
+    * byte-identical texts hash to IDENTICAL vectors, so a k-copy
+    * boilerplate cluster would otherwise meet itself in one bucket as
+    * k²/2 candidate pairs — the 10x probe measured 216 s before the
+    * collapse, 8 s after, hash-identical results (cosine is a pure
+    * function of the two vectors; a group's min member below any doc is
+    * the group's global min, so rep-level verification + the standard
+    * member expansion reproduces the all-pairs answer the oracle
+    * computes). */
   def semanticDedupQuery(docs: DataFrame, threshold: Double = DedupCosine): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ss = docs.sparkSession
     import ss.implicits._
+    val numParts = ss.sparkContext.defaultParallelism
+    val np = planesFor(docs.count())
     val e = hashEmbeddingQuery(docs).transform(graft.CacheScope.persist)
-    val planes = planeRows.toDF("p", "pdim", "sign")
-    // 8 exact-int plane sums per doc -> sign bits -> bucket id
-    val buckets = e.join(broadcast(planes), col("dim") === col("pdim"))
+    // identical-vector collapse: canonical sorted (dim, weight) array,
+    // exchange keyed on its 8-byte xxhash64, exact (gh, vec) grouping.
+    val collapsed = e.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("weight")))).as("vec"))
+      .withColumn("gh", xxhash64(col("vec")))
+      .repartition(numParts, col("gh"))
+      .withColumn("gid", min(col("doc_id")).over(
+        Window.partitionBy(col("gh"), col("vec"))))
+      .drop("gh")
+      .transform(graft.CacheScope.persist)
+    val members = collapsed.select(col("doc_id"), col("gid"))
+    // packed sparse vector: dim << 32 | weight in one Long per entry —
+    // the verify kernel reads a primitive array instead of deserializing
+    // a struct Row per entry per candidate pair.
+    val repVecs = collapsed.filter(col("doc_id") === col("gid"))
+      .select(col("doc_id"),
+        expr("transform(vec, x -> x.dim * 4294967296L + x.weight)").as("pv"))
+    val eReps = e.join(repVecs.select("doc_id"), "doc_id")
+    val planes = planeRows(np).toDF("p", "pdim", "sign")
+    // np exact-int plane sums per rep -> sign bits -> bucket id
+    val buckets = eReps.join(broadcast(planes), col("dim") === col("pdim"))
       .groupBy(col("doc_id"), col("p"))
       .agg(sum(col("weight") * col("sign")).as("pv"))
       .groupBy(col("doc_id"))
       .agg(sum(when(col("pv") > 0, expr("CAST(shiftleft(1, p) AS BIGINT)"))
         .otherwise(0L)).as("bucket"))
-    val norms = e.groupBy(col("doc_id"))
-      .agg(sum(col("weight") * col("weight")).as("nn"))
+      .transform(graft.CacheScope.persist)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-    val dots = cand
-      .join(e.select(col("doc_id").as("id_a"), col("dim"), col("weight").as("wa")),
-        Seq("id_a"))
-      .join(e.select(col("doc_id").as("id_b"), col("dim"), col("weight").as("wb")),
-        Seq("id_b", "dim"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(col("wa") * col("wb")).as("dot"))
-    dots
-      .join(norms.select(col("doc_id").as("id_a"), col("nn").as("na")), "id_a")
-      .join(norms.select(col("doc_id").as("id_b"), col("nn").as("nb")), "id_b")
-      .filter(col("dot").cast("double") /
-        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))) >= threshold)
-      .groupBy(col("id_b").as("duplicate_id"))
-      .agg(min(col("id_a")).as("original_id"))
+    // verification: one row per candidate pair carrying the two sorted
+    // sparse vectors; a merge kernel computes dot + both norms in one
+    // pass of exact-int arithmetic (the jaccard family's per-pair-kernel
+    // spelling — the dim-exploded join form shipped ~40 rows per pair
+    // through a shuffle and measured 78 s vs ~8 s at the 10x probe).
+    val verified = cand
+      .join(repVecs.select(col("doc_id").as("id_a"), col("pv").as("pv_a")), "id_a")
+      .join(repVecs.select(col("doc_id").as("id_b"), col("pv").as("pv_b")), "id_b")
+      .filter(cosineGeUdf(threshold)(col("pv_a"), col("pv_b")))
+      .select(col("id_a"), col("id_b"))
+      .transform(graft.CacheScope.persist)
+    // member expansion (the shared algebra of MinHash.duplicateOfSigs /
+    // Similarity.dedupFromRepPairs): in-group members attribute to their
+    // gid; cross-group to the smallest verified partner gid below them.
+    val partners = verified.select(col("id_a").as("gid"), col("id_b").as("cand"))
+      .union(verified.select(col("id_b").as("gid"), col("id_a").as("cand")))
+    members.join(partners, "gid")
+      .filter(col("cand") < col("doc_id"))
+      .select(col("doc_id"), col("cand"))
+      .union(members.filter(col("doc_id") =!= col("gid"))
+        .select(col("doc_id"), col("gid").as("cand")))
+      .groupBy(col("doc_id").as("duplicate_id"))
+      .agg(min(col("cand")).as("original_id"))
   }
+
+  /** cosine(a, b) >= t over two dim-SORTED packed sparse vectors
+    * (entry = dim << 32 | weight), by linear merge: dot over shared dims
+    * and both norms accumulate as EXACT Longs in one pass; the final
+    * compare is the same `CAST(dot AS DOUBLE) / (sqrt(na) * sqrt(nb))
+    * >= t` double sequence the oracle spells, so verdicts are
+    * bit-identical. Packing keeps dim-order sorting (dim is the high
+    * word) and weights positive 32-bit (counts). */
+  private def cosineGeUdf(threshold: Double) =
+    udf { (a: Array[Long], b: Array[Long]) =>
+      val M = 0xFFFFFFFFL
+      var i = 0
+      var j = 0
+      var dot = 0L
+      while (i < a.length && j < b.length) {
+        val da = a(i) >>> 32
+        val db = b(j) >>> 32
+        if (da == db) { dot += (a(i) & M) * (b(j) & M); i += 1; j += 1 }
+        else if (da < db) i += 1
+        else j += 1
+      }
+      var na = 0L
+      var nb = 0L
+      i = 0
+      while (i < a.length) { val w = a(i) & M; na += w * w; i += 1 }
+      j = 0
+      while (j < b.length) { val w = b(j) & M; nb += w * w; j += 1 }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)) >= threshold
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_hash_embedding" -> ((s, d) => hashEmbeddingQuery(Tables.documents(s, d))),
@@ -117,7 +196,8 @@ object TextEmbed {
        |  GROUP BY doc_id, dim)""".stripMargin
 
   def oracles: Map[String, String] = {
-    val planeVals = planeRows
+    import graft.relational.Similarity.{MaxPlanes, TargetBucketOccupancy}
+    val planeVals = planeRows(MaxPlanes)
       .map { case (p, d, s) => s"($p, $d, $s)" }.mkString(", ")
     Map(
       "doc_hash_embedding" ->
@@ -125,10 +205,13 @@ object TextEmbed {
            |SELECT doc_id, dim, weight FROM e""".stripMargin,
       "dedup_semantic_text" ->
         s"""WITH $embedCte,
+           |params AS (SELECT greatest($NumPlanes, least($MaxPlanes,
+           |  length(bin(greatest(1, (SELECT count(*) FROM documents) // $TargetBucketOccupancy))))) AS np),
            |planes(p, pdim, sign) AS (VALUES $planeVals),
            |pv AS (
            |  SELECT doc_id, p, CAST(sum(weight * sign) AS BIGINT) AS pv
            |  FROM e JOIN planes ON e.dim = planes.pdim
+           |  WHERE planes.p < (SELECT np FROM params)
            |  GROUP BY doc_id, p),
            |bkt AS (
            |  SELECT doc_id,

@@ -54,7 +54,7 @@ class PlanShapeSpec extends SparkSpec {
     "sim_ivfpq_topk" -> ((2, 1, 2)),
     "quality_histogram" -> ((2, 0, 0)),
     "corpus_top_bigrams" -> ((2, 0, 0)),
-    "dedup_semantic_text" -> ((10, 6, 2)),
+    "dedup_semantic_text" -> ((1, 1, 0)),
     "doc_tfidf_keywords" -> ((4, 2, 2)),
     "mix_temperature" -> ((4, 3, 1)))
 
