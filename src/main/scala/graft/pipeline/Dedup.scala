@@ -68,8 +68,12 @@ object Dedup {
     * recall budget). At extreme corpus sizes, shard the filter by a
     * hash prefix and probe the matching shard — same algebra, bounded
     * per-filter memory. */
-  def bloomNewDocs(batch: DataFrame, corpus: DataFrame, fpp: Double = 0.001): DataFrame = {
-    val expected = math.max(corpus.count(), 1L)
+  def bloomNewDocs(batch: DataFrame, corpus: DataFrame, fpp: Double = 0.001,
+      expectedItems: Option[Long] = None): DataFrame = {
+    // Callers in the nightly-delta shape usually KNOW the corpus
+    // cardinality (yesterday's summary row); passing it skips a full
+    // history scan that otherwise runs solely to size the filter.
+    val expected = math.max(expectedItems.getOrElse(corpus.count()), 1L)
     val bf = corpus.stat.bloomFilter(contentHash(col("text")), expected, fpp)
     val seen = udf((h: String) => bf.mightContain(h))
     batch.withColumn("content_hash", contentHash(col("text")))

@@ -333,13 +333,14 @@ object NearDup {
     * (`transform(sequence, i -> array_min(slice(h, i, w)))`) is
     * interpreted, allocates a slice per window, and cost ~15 s at the
     * 50k-doc probe. */
-  def winnow(text: String): (Int, Long) = {
+  /** The sliding-window-min deque pass itself, shared by [[winnow]] and
+    * [[winnowSet]]: calls `emit` with each window's min hash (the raw
+    * Schleimer stream, repeats included — callers dedup/fold). ONE
+    * kernel so the two spellings (and the oracle SQL mirroring them)
+    * cannot silently drift on a future WinnowWindow or boundary change.
+    * `Function1[Long, Unit]` is @specialized, so emit does not box. */
+  private def winnowScan(text: String)(emit: Long => Unit): Unit = {
     val h = MinHash.shingleHashes(text)
-    val seen = new java.util.HashSet[java.lang.Long]()
-    var count = 0
-    var checksum = 0L
-    def emit(v: Long): Unit =
-      if (seen.add(v)) { count += 1; checksum = (checksum + v) % MinHash.P }
     if (h.length < WinnowWindow) {
       var m = h(0); var i = 1
       while (i < h.length) { if (h(i) < m) m = h(i); i += 1 }
@@ -357,6 +358,15 @@ object NearDup {
         i += 1
       }
     }
+  }
+
+  def winnow(text: String): (Int, Long) = {
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var count = 0
+    var checksum = 0L
+    winnowScan(text) { v =>
+      if (seen.add(v)) { count += 1; checksum = (checksum + v) % MinHash.P }
+    }
     (count, checksum)
   }
   /** Native codegen'd expression form (graft.functions.WinnowExpression). */
@@ -365,24 +375,8 @@ object NearDup {
   /** The fingerprint SET itself (first-occurrence-deduped), for
     * fingerprint-join operators — same deque pass as [[winnow]]. */
   def winnowSet(text: String): Array[Long] = {
-    val h = MinHash.shingleHashes(text)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    if (h.length < WinnowWindow) {
-      var m = h(0); var i = 1
-      while (i < h.length) { if (h(i) < m) m = h(i); i += 1 }
-      seen.add(m)
-    } else {
-      val dq = new Array[Int](h.length)
-      var lo = 0; var hi = 0
-      var i = 0
-      while (i < h.length) {
-        while (hi > lo && h(dq(hi - 1)) >= h(i)) hi -= 1
-        dq(hi) = i; hi += 1
-        if (dq(lo) <= i - WinnowWindow) lo += 1
-        if (i >= WinnowWindow - 1) seen.add(h(dq(lo)))
-        i += 1
-      }
-    }
+    winnowScan(text) { v => seen.add(v); () }
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var i = 0
