@@ -69,6 +69,47 @@ class MinHashSpec extends SparkSpec {
     assert(MinHash.duplicateOf(d).count() == 0L)
   }
 
+  /** The oracle mirrors the band blocking, so a banding bug would pass
+    * the gate. Soundness checked against the per-pair criterion computed
+    * independently here: every reported (dup, orig) pair must agree on
+    * >= MinMatches of the 128 signature slots, and exact text copies
+    * must ALWAYS be attributed (identical signatures collide in every
+    * band — blocking-independent). */
+  test("random corpora: reported dup pairs meet the signature criterion; exact copies always pair") {
+    for (seed <- Seq(3, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon").split(" ")
+      def doc(): String =
+        Seq.fill(25 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val rows = (0 until 10).flatMap { i =>
+        val id = i * 10L
+        val base = doc()
+        i % 3 match {
+          case 0 => Seq((id, base), (id + 1L, base)) // exact copy
+          case 1 => // one-word edit: likely pairs, must be sound
+            val w = base.split(" ")
+            Seq((id, base), (id + 1L, (w.init :+ "omega").mkString(" ")))
+          case _ => Seq((id, base))
+        }
+      }
+      val byId = rows.toMap
+      val dup = MinHash.duplicateOf(docs(rows: _*))
+        .as[(Long, Long)].collect().toMap
+      for ((d, o) <- dup) {
+        assert(o < d, s"seed=$seed: original $o not below duplicate $d")
+        val (sa, sb) = (MinHash.signature(byId(d)), MinHash.signature(byId(o)))
+        val matches = sa.zip(sb).count { case (x, y) => x == y }
+        assert(matches >= MinHash.MinMatches,
+          s"seed=$seed: reported pair ($d, $o) matches only $matches/${MinHash.NumPerm} slots")
+      }
+      for ((id, text) <- rows; (id2, text2) <- rows
+           if id2 < id && text == text2)
+        assert(dup.contains(id) && dup(id) <= id2,
+          s"seed=$seed: exact copy $id not attributed at or below $id2 (got ${dup.get(id)})")
+    }
+  }
+
   test("property: signature-estimated Jaccard tracks exact shingle Jaccard (±0.15)") {
     // deterministic pseudo-corpus: pairs across the similarity spectrum
     val rnd = new scala.util.Random(1234)
