@@ -171,7 +171,11 @@ object Cluster {
     * mix a full article with truncated mirrors (Gopher, RefinedWeb keep
     * a canonical copy, not an arbitrary one). Emits the removal map
     * `(duplicate_id, kept_id)`. One join of the cluster assignment with
-    * the doc metadata and a per-cluster argmax window — cluster ids are
+    * the doc metadata and a SINGLE per-cluster window pass: the ordered
+    * window's `first(doc_id)` (frame = unbounded-preceding..current) IS
+    * the argmax id, so every row carries its cluster's kept_id directly
+    * and the duplicates are the rows where `doc_id != kept_id` — no
+    * rank-1 self-join, no second window evaluation. Cluster ids are
     * corpus-cardinality keys, so the window never funnels, and the CC
     * evaluation is shared with `_clusters`/`_cluster_stats` via the
     * memo. */
@@ -180,11 +184,8 @@ object Cluster {
     val sized = clusters.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("n_chars").desc, col("doc_id"))
-    val ranked = sized.withColumn("rk", row_number().over(w))
-    val kept = ranked.filter(col("rk") === 1)
-      .select(col("cluster_id"), col("doc_id").as("kept_id"))
-    ranked.filter(col("rk") > 1)
-      .join(kept, "cluster_id")
+    sized.withColumn("kept_id", first(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("kept_id"))
       .select(col("doc_id").as("duplicate_id"), col("kept_id"))
   }
 
