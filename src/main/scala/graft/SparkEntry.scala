@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Analytics, Bpe, Chunking, Clean, Cluster, Contamination, Dedup, MinHash, NearDup, PipelineOps, Quality, Repetition, Sampling, TextEmbed, Tokenize, Unigram, Wiki, WordPiece}
+import graft.pipeline.{Analytics, Bpe, Chunking, Clean, Cluster, Contamination, Dedup, LangModel, MinHash, NearDup, PipelineOps, Quality, Repetition, Sampling, TextEmbed, Tokenize, Unigram, Wiki, WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,6 +35,7 @@ object SparkEntry {
       (Clean.queries, Clean.oracles),
       (Quality.queries, Quality.oracles),
       (Repetition.queries, Repetition.oracles),
+      (LangModel.queries, LangModel.oracles),
       (Sampling.queries, Sampling.oracles),
       (Chunking.queries, Chunking.oracles),
       (Contamination.queries, Contamination.oracles),

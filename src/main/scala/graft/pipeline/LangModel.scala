@@ -1,0 +1,228 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-LM fluency scoring and importance weighting — the two model-based
+  * selection signals a production training-data pipeline adds on top of
+  * rule cascades (beyond the reference's quality_filter.py surface):
+  *
+  *  - CCNet (Wenzek et al. 2020) filters web text by the perplexity of a
+  *    reference-corpus LM; docs with improbable token transitions are
+  *    noise/jargon, docs with only ultra-common transitions are
+  *    boilerplate. [[transitionScoreQuery]] is that signal with the LM
+  *    trained in-corpus: an add-one-smoothed bigram transition model.
+  *  - DSIR (Xie et al. 2023, "Data Selection for Language Models via
+  *    Importance Resampling") weights raw docs by
+  *    p_target(doc)/p_raw(doc) under n-gram multinomials so that sampling
+  *    by weight shifts the mixture toward a target domain.
+  *    [[dsirWeightsQuery]] computes those weights with target = the
+  *    quality-cascade-passing subset (the in-repo stand-in for "looks
+  *    like Wikipedia") over unigram features.
+  *
+  * Both scores are spelled RATIONALLY — ratios of exact-integer sums with
+  * the float born in one final IEEE expression — not as the papers' sums
+  * of logs: a log-sum is order-dependent under float addition and libm-
+  * specific in the last ulp, so it can never be hash-identical across
+  * Spark and DuckDB (the same reasoning as tf-idf's `N/df` spelling,
+  * Analytics.scala). The micro-averaged ratio Σnum/Σden ranks fluency the
+  * same way the geometric mean does for filtering purposes (monotone in
+  * each per-token probability) and is bit-reproducible on both engines;
+  * the docstring-level difference (arithmetic vs geometric averaging) is
+  * deliberate and documented rather than hidden in float noise.
+  */
+object LangModel {
+
+  private val wordsExpr = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+
+  /** Per-(doc, bigram-type) occurrence counts — the collapsed frame every
+    * downstream join runs on. Collapsing BEFORE joining the model is the
+    * Zipf-skew story (same as doc_commonness): a "the the"-heavy corpus
+    * ships one row per (doc, bigram-type), not one per occurrence. */
+  private def perDocBigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), Stage.once(expr(wordsExpr)).as("w"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(w) < 2 THEN CAST(array() AS ARRAY<STRUCT<prev: STRING, cur: STRING>>)
+          |ELSE zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
+          |              (a, b) -> named_struct('prev', a, 'cur', b)) END""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .groupBy(col("doc_id"), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("n_occ"))
+
+  /** Add-one-smoothed bigram transition score per doc.
+    *
+    * Model, trained on the whole corpus in two aggregations over the
+    * collapsed bigram frame:
+    *   c(prev,cur)  corpus occurrences of the transition,
+    *   c(prev)      total transitions out of `prev`,
+    *   V            number of distinct contexts (the smoothing mass).
+    * Per-token smoothed probability is (c(prev,cur)+1)/(c(prev)+V); the
+    * doc score is the micro-average
+    *   score = Σ n_occ·(c(prev,cur)+1) / Σ n_occ·(c(prev)+V)
+    * over the doc's transitions — both sums exact BIGINTs, one division.
+    * Low score = improbable transitions (CCNet's high-perplexity tail);
+    * high = boilerplate-common ones. Docs with < 2 tokens have no
+    * transitions and drop out (inner semantics, like doc_commonness).
+    *
+    * Scale shape: one shuffle to collapse (doc,prev,cur), one to build the
+    * bigram model keyed (prev,cur) (map-side partials absorb hot
+    * transitions), a vocabulary-sized context rollup, then model joins on
+    * the COLLAPSED frame (AQE splits residual hot bigrams) and a per-doc
+    * aggregation. Integer overflow bound: Σ n_occ·c ≤ doc_tokens ·
+    * corpus_transitions — same envelope as doc_commonness's total_freq;
+    * int64 holds to ~1e6-token docs against ~1e12-transition corpora. */
+  def transitionScoreQuery(docs: DataFrame): DataFrame = {
+    val pdb = perDocBigrams(docs).transform(graft.CacheScope.persist)
+    val big = pdb.groupBy(col("prev"), col("cur"))
+      .agg(sum(col("n_occ")).as("c_bg"))
+      .transform(graft.CacheScope.persist) // feeds ctx, V AND the join
+    val ctx = big.groupBy(col("prev")).agg(sum(col("c_bg")).as("c_ctx"))
+    val v = ctx.agg(count(lit(1)).as("v"))
+    pdb.join(big, Seq("prev", "cur"))
+      .join(ctx, Seq("prev"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n_occ")).as("n_transitions"),
+        sum(col("n_occ") * (col("c_bg") + lit(1L))).as("sum_smoothed_bigram"),
+        sum(col("n_occ") * (col("c_ctx") + col("v"))).as("sum_smoothed_context"))
+      .select(
+        col("doc_id"), col("n_transitions"),
+        col("sum_smoothed_bigram"), col("sum_smoothed_context"),
+        (col("sum_smoothed_bigram").cast("double")
+          / col("sum_smoothed_context").cast("double")).as("transition_score"))
+  }
+
+  /** DSIR importance weights toward the quality-passing subset.
+    *
+    * Unigram multinomials with add-one smoothing over the raw vocabulary:
+    *   c_tgt(w) counts over docs the quality cascade passes,
+    *   c_raw(w) counts over the whole corpus,  V = |raw vocabulary|.
+    * The paper's importance weight is Π p_tgt(w_i)/p_raw(w_i); the
+    * rational spelling micro-averages each side —
+    *   weight = (Σ(c_tgt+1) · (T_raw+V)) / (Σ(c_raw+1) · (T_tgt+V))
+    * with Σ over the doc's token occurrences and T_* the model's total
+    * token mass — exact-integer sufficient statistics, two products and
+    * one division in double (deterministic: IEEE ops on exactly-cast
+    * ints, no float accumulation). weight > 1 ⇒ the doc looks more like
+    * the target than the average raw doc; sampling ∝ weight is the DSIR
+    * resampling step (the Gumbel top-k draw itself is left to the caller
+    * — it is the one genuinely random stage of the method).
+    *
+    * Production note: DSIR buckets features with the hashing trick to a
+    * fixed dim; at vocabulary level the estimator is identical and exact,
+    * so the oracle can arbitrate it — the bucketing is a memory cap, not
+    * a semantic. Scale shape: the (doc,word) collapse is the only wide
+    * frame; the target model is a semi-join-then-rollup of it; both scalar
+    * masses broadcast. */
+  def dsirWeightsQuery(docs: DataFrame): DataFrame = {
+    val pdw = docs
+      .select(col("doc_id"),
+        explode(expr(wordsExpr)).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n_occ"))
+      .transform(graft.CacheScope.persist)
+    val passedIds = Quality.passedQuery(docs).select(col("doc_id"))
+    val raw = pdw.groupBy(col("word")).agg(sum(col("n_occ")).as("c_raw"))
+      .transform(graft.CacheScope.persist) // feeds the join and both scalars
+    val tgt = pdw.join(passedIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("word")).agg(sum(col("n_occ")).as("c_tgt"))
+    val mass = raw.join(tgt, Seq("word"), "left")
+      .agg(
+        sum(col("c_raw")).as("t_raw"),
+        sum(coalesce(col("c_tgt"), lit(0L))).as("t_tgt"),
+        count(lit(1)).as("v"))
+    pdw.join(raw, Seq("word"))
+      .join(tgt, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n_occ")).as("n_tokens"),
+        sum(col("n_occ") * (coalesce(col("c_tgt"), lit(0L)) + lit(1L))).as("sum_tgt"),
+        sum(col("n_occ") * (col("c_raw") + lit(1L))).as("sum_raw"))
+      .crossJoin(broadcast(mass))
+      .select(
+        col("doc_id"), col("n_tokens"), col("sum_tgt"), col("sum_raw"),
+        ((col("sum_tgt").cast("double") * (col("t_raw") + col("v")).cast("double"))
+          / (col("sum_raw").cast("double") * (col("t_tgt") + col("v")).cast("double")))
+          .as("dsir_weight"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_lm_transition" -> ((s, d) => transitionScoreQuery(Tables.documents(s, d))),
+    "mix_dsir_weights" -> ((s, d) => dsirWeightsQuery(Tables.documents(s, d))))
+
+  // -----------------------------------------------------------------------
+  // DuckDB oracle — independent relational spelling (unnest + group-by),
+  // same exact-int sums, same single-expression floats.
+  // -----------------------------------------------------------------------
+
+  def oracles: Map[String, String] = Map(
+    "quality_lm_transition" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                     x -> x <> '') AS w
+         |  FROM documents),
+         |pdb AS (
+         |  SELECT doc_id, prev, cur, count(*) AS n_occ FROM (
+         |    SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+         |    FROM w, unnest(range(1, len(w))) AS r(i))
+         |  GROUP BY doc_id, prev, cur),
+         |big AS (
+         |  SELECT prev, cur, CAST(sum(n_occ) AS BIGINT) AS c_bg
+         |  FROM pdb GROUP BY prev, cur),
+         |ctx AS (
+         |  SELECT prev, CAST(sum(c_bg) AS BIGINT) AS c_ctx
+         |  FROM big GROUP BY prev),
+         |v AS (SELECT count(*) AS v FROM ctx)
+         |SELECT p.doc_id,
+         |  CAST(sum(p.n_occ) AS BIGINT) AS n_transitions,
+         |  CAST(sum(p.n_occ * (b.c_bg + 1)) AS BIGINT) AS sum_smoothed_bigram,
+         |  CAST(sum(p.n_occ * (c.c_ctx + v.v)) AS BIGINT) AS sum_smoothed_context,
+         |  CAST(sum(p.n_occ * (b.c_bg + 1)) AS BIGINT)::DOUBLE
+         |    / CAST(sum(p.n_occ * (c.c_ctx + v.v)) AS BIGINT)::DOUBLE
+         |    AS transition_score
+         |FROM pdb p
+         |JOIN big b ON p.prev = b.prev AND p.cur = b.cur
+         |JOIN ctx c ON p.prev = c.prev, v
+         |GROUP BY p.doc_id""".stripMargin,
+    "mix_dsir_weights" -> {
+      val qm = Quality.qmetricsD("documents")
+      s"""WITH pdw AS (
+         |  SELECT doc_id, word, count(*) AS n_occ FROM (
+         |    SELECT doc_id,
+         |           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                              x -> x <> '')) AS word
+         |    FROM documents)
+         |  GROUP BY doc_id, word),
+         |passed AS (
+         |  SELECT doc_id FROM $qm
+         |  WHERE (${Quality.reasonCascadeD(Quality.Config())}) = 'passed'),
+         |raw AS (
+         |  SELECT word, CAST(sum(n_occ) AS BIGINT) AS c_raw
+         |  FROM pdw GROUP BY word),
+         |tgt AS (
+         |  SELECT word, CAST(sum(n_occ) AS BIGINT) AS c_tgt
+         |  FROM pdw WHERE doc_id IN (SELECT doc_id FROM passed)
+         |  GROUP BY word),
+         |mass AS (
+         |  SELECT CAST(sum(r.c_raw) AS BIGINT) AS t_raw,
+         |         CAST(sum(coalesce(t.c_tgt, 0)) AS BIGINT) AS t_tgt,
+         |         count(*) AS v
+         |  FROM raw r LEFT JOIN tgt t USING (word))
+         |SELECT p.doc_id,
+         |  CAST(sum(p.n_occ) AS BIGINT) AS n_tokens,
+         |  CAST(sum(p.n_occ * (coalesce(t.c_tgt, 0) + 1)) AS BIGINT) AS sum_tgt,
+         |  CAST(sum(p.n_occ * (r.c_raw + 1)) AS BIGINT) AS sum_raw,
+         |  (CAST(sum(p.n_occ * (coalesce(t.c_tgt, 0) + 1)) AS BIGINT)::DOUBLE
+         |     * (m.t_raw + m.v)::DOUBLE)
+         |  / (CAST(sum(p.n_occ * (r.c_raw + 1)) AS BIGINT)::DOUBLE
+         |     * (m.t_tgt + m.v)::DOUBLE) AS dsir_weight
+         |FROM pdw p
+         |JOIN raw r USING (word)
+         |LEFT JOIN tgt t USING (word), mass m
+         |GROUP BY p.doc_id, m.t_raw, m.t_tgt, m.v""".stripMargin
+    })
+}

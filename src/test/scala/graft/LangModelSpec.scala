@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{LangModel, Quality}
+
+/** LM-transition scoring and DSIR weights: hand-computed goldens for the
+  * bigram model, and a brute-force local recomputation for both queries
+  * over a mixed fixture (independent of the Spark join/aggregation
+  * plumbing being tested). */
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDF(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")))
+
+  test("transition score: hand-computed add-one bigram golden") {
+    // corpus bigrams: (a,b) x3, (b,a) x1; contexts a:3 b:1; V=2.
+    val docs = docsDF(Seq(1L -> "a b a b", 2L -> "a b", 3L -> "x"))
+    val got = LangModel.transitionScoreQuery(docs)
+      .select("doc_id", "n_transitions", "sum_smoothed_bigram",
+        "sum_smoothed_context", "transition_score")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map { case (id, a, b, c, d) => id -> ((a, b, c, d)) }.toMap
+    // doc 3 has one token -> no transitions -> absent.
+    assert(got.keySet == Set(1L, 2L))
+    // doc1: 2*(3+1)+1*(1+1)=10 over 2*(3+2)+1*(1+2)=13.
+    assert(got(1L) == ((3L, 10L, 13L, 10.0 / 13.0)))
+    // doc2: (3+1)=4 over (3+2)=5.
+    assert(got(2L) == ((1L, 4L, 5L, 4.0 / 5.0)))
+  }
+
+  private def words(t: String): Seq[String] =
+    t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+
+  test("transition score matches a local brute-force recomputation") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("the", "cat", "sat", "on", "mat", "dog", "ran", "zap")
+    val rows = (1L to 40L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val corpus = rows.flatMap { case (_, t) => words(t).sliding(2).filter(_.size == 2) }
+      .map { case Seq(a, b) => (a, b) }
+    val big = corpus.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ctx = big.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val v = ctx.size.toLong
+    val want = rows.flatMap { case (id, t) =>
+      val bgs = words(t).sliding(2).filter(_.size == 2).map { case Seq(a, b) => (a, b) }.toSeq
+      if (bgs.isEmpty) None
+      else {
+        val num = bgs.map(bg => big(bg) + 1L).sum
+        val den = bgs.map(bg => ctx(bg._1) + v).sum
+        Some(id -> ((bgs.size.toLong, num, den, num.toDouble / den.toDouble)))
+      }
+    }.toMap
+    val got = LangModel.transitionScoreQuery(docsDF(rows))
+      .select("doc_id", "n_transitions", "sum_smoothed_bigram",
+        "sum_smoothed_context", "transition_score")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map { case (id, a, b, c, d) => id -> ((a, b, c, d)) }.toMap
+    assert(got == want)
+  }
+
+  test("dsir weights match a local brute-force recomputation over the passed set") {
+    // realistic-ish sentences so SOME docs pass the cascade and some fail
+    // (short docs fail word count; digit strings fail ratios).
+    val sentence = "the quick brown fox jumps over the lazy dog near the quiet river " +
+      "and then rests under a tall green tree while birds sing softly above"
+    val rows: Seq[(Long, String)] =
+      (1L to 6L).map(id => id -> (sentence + " take " + id)) ++
+        Seq(7L -> "tiny", 8L -> "12345 67890 11111 22222 33333")
+    val docs = docsDF(rows)
+    val passed = Quality.passedQuery(docs).select("doc_id").as[Long].collect().toSet
+    assert(passed.nonEmpty && passed.size < rows.size,
+      s"fixture should mix passing and failing docs, got $passed")
+    val raw = rows.flatMap { case (_, t) => words(t) }
+      .groupBy(identity).map { case (w, v) => w -> v.size.toLong }
+    val tgt = rows.filter(r => passed(r._1)).flatMap { case (_, t) => words(t) }
+      .groupBy(identity).map { case (w, v) => w -> v.size.toLong }
+    val (tRaw, tTgt, v) = (raw.values.sum, tgt.values.sum, raw.size.toLong)
+    val want = rows.map { case (id, t) =>
+      val ws = words(t)
+      val sumTgt = ws.map(w => tgt.getOrElse(w, 0L) + 1L).sum
+      val sumRaw = ws.map(w => raw(w) + 1L).sum
+      id -> ((ws.size.toLong, sumTgt, sumRaw,
+        (sumTgt.toDouble * (tRaw + v).toDouble) / (sumRaw.toDouble * (tTgt + v).toDouble)))
+    }.toMap
+    val got = LangModel.dsirWeightsQuery(docs)
+      .select("doc_id", "n_tokens", "sum_tgt", "sum_raw", "dsir_weight")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map { case (id, a, b, c, d) => id -> ((a, b, c, d)) }.toMap
+    assert(got == want)
+    // passing docs weigh >= the digit-noise doc (direction sanity).
+    assert(got(1L)._4 > got(8L)._4)
+  }
+}
