@@ -117,14 +117,15 @@ object LangModel {
     * a semantic. Scale shape: the (doc,word) collapse is the only wide
     * frame; the target model is a semi-join-then-rollup of it; both scalar
     * masses broadcast. */
-  def dsirWeightsQuery(docs: DataFrame): DataFrame = {
+  def dsirWeightsQuery(docs: DataFrame,
+                       cfg: Quality.Config = Quality.Config()): DataFrame = {
     val pdw = docs
       .select(col("doc_id"),
         explode(expr(wordsExpr)).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("n_occ"))
       .transform(graft.CacheScope.persist)
-    val passedIds = Quality.passedQuery(docs).select(col("doc_id"))
+    val passedIds = Quality.passedQuery(docs, cfg).select(col("doc_id"))
     val raw = pdw.groupBy(col("word")).agg(sum(col("n_occ")).as("c_raw"))
       .transform(graft.CacheScope.persist) // feeds the join and both scalars
     val tgt = pdw.join(passedIds, Seq("doc_id"), "left_semi")

@@ -75,10 +75,16 @@ object Sinks {
     * prefix sums; no parquet decode on the training hot path).
     *
     * Distribution shape: docs hash-scatter to shards on doc_id and each
-    * TASK writes its own shard pair via `foreachPartition` — nothing
-    * funnels through the driver, matching [[writeShards]]. uint16 bounds
-    * vocab at 65,536 — the caller's contract (assertion per id), the
-    * same trade the published layouts make for 2-byte tokens. */
+    * TASK writes shard pairs via `foreachPartition` — nothing funnels
+    * through the driver, matching [[writeShards]]. `repartition(n, shard)`
+    * places rows by murmur3(shard) % n, NOT by shard identity, so one task
+    * may receive several distinct shard values back-to-back; rows arrive
+    * sorted by (shard, doc_id), so the writer ROLLS to a fresh
+    * tokens.bin/index.bin pair whenever the shard value changes. Each
+    * shard value still lands in exactly one task (same key ⇒ same
+    * partition), so every shard directory is written exactly once. uint16
+    * bounds vocab at 65,536 — the caller's contract (assertion per id),
+    * the same trade the published layouts make for 2-byte tokens. */
   def writeTokenShards(tokens: DataFrame, path: String, numShards: Int,
       idCol: String = "doc_id", tokCol: String = "token_ids"): Unit = {
     Files.createDirectories(Paths.get(path))
@@ -98,7 +104,8 @@ object Sinks {
           Array.tabulate(8)(i => ((v >> (8 * i)) & 0xFF).toByte)
         try {
           rows.foreach { r =>
-            if (bin == null) {
+            if (bin == null || r.getInt(2) != shard) {
+              if (bin != null) { bin.close(); idx.close() }
               shard = r.getInt(2)
               val dir = Paths.get(path, s"shard=$shard")
               Files.createDirectories(dir)

@@ -65,14 +65,18 @@ class LangModelSpec extends SparkSpec {
 
   test("dsir weights match a local brute-force recomputation over the passed set") {
     // realistic-ish sentences so SOME docs pass the cascade and some fail
-    // (short docs fail word count; digit strings fail ratios).
+    // (short docs fail word count; digit strings fail ratios). The fixture's
+    // natural English runs awl ~4.07, below the engine-default sf-tuned band
+    // [4.1, 4.9] — use the reference's wide band so the long docs pass while
+    // the word-count default (25) still fails the two short docs.
+    val cfg = Quality.Config(minAvgWordLen = 3.0, maxAvgWordLen = 15.0)
     val sentence = "the quick brown fox jumps over the lazy dog near the quiet river " +
       "and then rests under a tall green tree while birds sing softly above"
     val rows: Seq[(Long, String)] =
       (1L to 6L).map(id => id -> (sentence + " take " + id)) ++
         Seq(7L -> "tiny", 8L -> "12345 67890 11111 22222 33333")
     val docs = docsDF(rows)
-    val passed = Quality.passedQuery(docs).select("doc_id").as[Long].collect().toSet
+    val passed = Quality.passedQuery(docs, cfg).select("doc_id").as[Long].collect().toSet
     assert(passed.nonEmpty && passed.size < rows.size,
       s"fixture should mix passing and failing docs, got $passed")
     val raw = rows.flatMap { case (_, t) => words(t) }
@@ -87,7 +91,7 @@ class LangModelSpec extends SparkSpec {
       id -> ((ws.size.toLong, sumTgt, sumRaw,
         (sumTgt.toDouble * (tRaw + v).toDouble) / (sumRaw.toDouble * (tTgt + v).toDouble)))
     }.toMap
-    val got = LangModel.dsirWeightsQuery(docs)
+    val got = LangModel.dsirWeightsQuery(docs, cfg)
       .select("doc_id", "n_tokens", "sum_tgt", "sum_raw", "dsir_weight")
       .as[(Long, Long, Long, Long, Double)].collect()
       .map { case (id, a, b, c, d) => id -> ((a, b, c, d)) }.toMap

@@ -100,6 +100,48 @@ class SinksSpec extends SparkSpec {
       1L -> Seq(5, 65535, 7), 2L -> Seq(42), 3L -> Seq(0, 1, 2, 3), 4L -> Seq(9, 9)))
   }
 
+  test("binary token shards roll files when several shard values share a task") {
+    // repartition(n, shard) places rows by murmur3(shard) % n, not identity,
+    // so with 8 shard values some task receives two+ shards back-to-back.
+    // Regression for the writer keying the whole partition to the FIRST
+    // row's shard: every shard dir must exist, hold exactly its own docs,
+    // and reconstruct byte-exactly.
+    import spark.implicits._
+    val n = 64
+    val toks = (1L to n.toLong).map(id => (id, Seq(id.toInt, (id % 7).toInt)))
+      .toDF("doc_id", "token_ids")
+    val dir = java.nio.file.Files.createTempDirectory("tok-shards-8").toString
+    Sinks.writeTokenShards(toks, dir, numShards = 8)
+    def le64(b: Array[Byte], off: Int): Long =
+      (0 until 8).map(i => (b(off + i).toLong & 0xFF) << (8 * i)).sum
+    def le16(b: Array[Byte], off: Int): Int =
+      (b(off).toInt & 0xFF) | ((b(off + 1).toInt & 0xFF) << 8)
+    val shardOf = spark.range(1, n + 1).toDF("doc_id")
+      .select(col("doc_id"),
+        pmod(xxhash64(col("doc_id")), lit(8)).cast("int").as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rebuilt = scala.collection.mutable.Map.empty[Long, Seq[Int]]
+    (0 until 8).foreach { s =>
+      val sh = java.nio.file.Paths.get(dir, s"shard=$s")
+      assert(java.nio.file.Files.exists(sh), s"missing shard dir $s")
+      val idx = java.nio.file.Files.readAllBytes(sh.resolve("index.bin"))
+      val bin = java.nio.file.Files.readAllBytes(sh.resolve("tokens.bin"))
+      val entries = (0 until idx.length / 16)
+        .map(i => (le64(idx, i * 16), le64(idx, i * 16 + 8)))
+      assert(entries.map(_._1) == entries.map(_._1).sorted)
+      assert(entries.forall { case (id, _) => shardOf(id) == s },
+        s"shard dir $s holds a foreign doc")
+      var off = 0L
+      entries.foreach { case (docId, len) =>
+        rebuilt(docId) = (0L until len).map(j => le16(bin, (off + j).toInt * 2))
+        off += len
+      }
+    }
+    assert(rebuilt.size === n)
+    (1L to n.toLong).foreach { id =>
+      assert(rebuilt(id) == Seq(id.toInt, (id % 7).toInt)) }
+  }
+
   test("observed stage metrics report rows and bytes after one action") {
     val (observed, obs) = Sinks.observeStage(docs, "clean_stage_test")
     observed.write.format("noop").mode("overwrite").save()
