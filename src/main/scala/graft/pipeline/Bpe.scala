@@ -256,7 +256,11 @@ object Bpe {
       .limit(maxLexicon)
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
-    val keptMass = top.iterator.map { case (w, f) => f * w.length }.sum
+    // Spark SQL length() counts code points; match it here (w.length is
+    // UTF-16 units, which over-counts supplementary chars and could make
+    // the "exact" droppedPairMass bound wrong or negative).
+    val keptMass = top.iterator.map { case (w, f) =>
+      f * w.codePointCount(0, w.length) }.sum
     LexiconCoverage(top.toMap, keptMass, totalMass)
   }
 

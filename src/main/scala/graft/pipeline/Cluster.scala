@@ -72,6 +72,26 @@ object Cluster {
     val reliable = sc.getCheckpointDir.isDefined
     def truncate(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
+    // Reliable-path hygiene: each round's checkpoint() writes a rdd-<id>
+    // directory that Spark never deletes on its own
+    // (spark.cleaner.referenceTracking.cleanCheckpoints defaults to false),
+    // so a long-lived session would accumulate one per round per query.
+    // Once round n+1 is materialized, round n's files can never be read
+    // again — delete them eagerly. Only the FINAL round's checkpoint
+    // survives (it backs the returned DataFrame and the query memo). The
+    // checkpointed RDD is reached through the Dataset's LogicalRDD leaf by
+    // class name, not a compile-time type: LogicalRDD is spark-internal
+    // and reflection keeps this a best-effort cleanup, never a crash.
+    def dropCheckpoint(df: DataFrame): Unit = if (reliable) {
+      try df.queryExecution.analyzed.collectFirst {
+        case l if l.getClass.getSimpleName == "LogicalRDD" =>
+          l.getClass.getMethod("rdd").invoke(l)
+            .asInstanceOf[org.apache.spark.rdd.RDD[_]].getCheckpointFile
+      }.flatten.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -104,6 +124,7 @@ object Cluster {
         .transform(truncate)
       // cached-partition scan with limit-1 short-circuit — near-free.
       anyChanged = !jumped.filter(col("chg")).isEmpty
+      dropCheckpoint(labels) // this round is materialized; last round's files are dead
       labels = jumped
       rounds += 1
     }

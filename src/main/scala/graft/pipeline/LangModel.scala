@@ -118,33 +118,71 @@ object LangModel {
     * frame; the target model is a semi-join-then-rollup of it; both scalar
     * masses broadcast. */
   def dsirWeightsQuery(docs: DataFrame,
-                       cfg: Quality.Config = Quality.Config()): DataFrame = {
-    val pdw = docs
-      .select(col("doc_id"),
-        explode(expr(wordsExpr)).as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("n_occ"))
+                       cfg: Quality.Config = Quality.Config()): DataFrame =
+    dsirOver(
+      docs.select(col("doc_id"), explode(expr(wordsExpr)).as("feat")),
+      Quality.passedQuery(docs, cfg).select(col("doc_id")),
+      nName = "n_tokens")
+
+  /** Hash-bucket count for DSIR's bigram features. The paper's headline
+    * configuration (Xie et al. 2023 §2.2) hashes n-gram features to a
+    * fixed dimension; 4096 buckets ≈ the sf-corpus bigram vocabulary, so
+    * collisions exist but are rare — exactly the memory/robustness trade
+    * the paper makes. The hash is the first 32 bits of md5, the one hash
+    * both engines spell identically (see TextEmbed's cross-engine
+    * exactness note), so the oracle arbitrates the WHOLE feature map, not
+    * a Spark-only reimplementation. */
+  val DsirHashDim = 4096
+
+  /** DSIR importance weights over HASHED BIGRAM features — the paper's
+    * headline feature space. Word-order sensitivity is the point: a
+    * reordered paraphrase keeps its unigram weights but shifts its bigram
+    * weights, so selection tracks fluency, not just vocabulary. Docs with
+    * < 2 tokens have no bigram features and drop out (inner semantics,
+    * same as the transition score). Scale shape identical to the unigram
+    * variant: the (doc, feat) collapse is the only wide frame — and the
+    * feature key is a bounded int bucket, so the model frames are at most
+    * [[DsirHashDim]] rows however large the corpus grows. */
+  def dsirBigramWeightsQuery(docs: DataFrame,
+                             cfg: Quality.Config = Quality.Config()): DataFrame =
+    dsirOver(
+      perDocBigrams(docs).select(col("doc_id"),
+          expr(s"CAST(conv(substring(md5(concat(prev, ' ', cur)), 1, 8), 16, 10) AS BIGINT)" +
+            s" % $DsirHashDim").as("feat"),
+          col("n_occ")),
+      Quality.passedQuery(docs, cfg).select(col("doc_id")),
+      nName = "n_bigrams")
+
+  /** Shared DSIR estimator body over any feature frame: `feats` is
+    * `(doc_id, feat [, n_occ])` occurrence rows (pre-collapsed rows may
+    * carry `n_occ`; exploded rows count 1 each). `nName` labels the
+    * per-doc feature-occurrence count column. */
+  private def dsirOver(feats: DataFrame, passedIds: DataFrame, nName: String): DataFrame = {
+    val occ = if (feats.columns.contains("n_occ")) feats
+      else feats.withColumn("n_occ", lit(1L))
+    val pdw = occ
+      .groupBy(col("doc_id"), col("feat"))
+      .agg(sum(col("n_occ")).as("n_occ"))
       .transform(graft.CacheScope.persist)
-    val passedIds = Quality.passedQuery(docs, cfg).select(col("doc_id"))
-    val raw = pdw.groupBy(col("word")).agg(sum(col("n_occ")).as("c_raw"))
+    val raw = pdw.groupBy(col("feat")).agg(sum(col("n_occ")).as("c_raw"))
       .transform(graft.CacheScope.persist) // feeds the join and both scalars
     val tgt = pdw.join(passedIds, Seq("doc_id"), "left_semi")
-      .groupBy(col("word")).agg(sum(col("n_occ")).as("c_tgt"))
-    val mass = raw.join(tgt, Seq("word"), "left")
+      .groupBy(col("feat")).agg(sum(col("n_occ")).as("c_tgt"))
+    val mass = raw.join(tgt, Seq("feat"), "left")
       .agg(
         sum(col("c_raw")).as("t_raw"),
         sum(coalesce(col("c_tgt"), lit(0L))).as("t_tgt"),
         count(lit(1)).as("v"))
-    pdw.join(raw, Seq("word"))
-      .join(tgt, Seq("word"), "left")
+    pdw.join(raw, Seq("feat"))
+      .join(tgt, Seq("feat"), "left")
       .groupBy(col("doc_id"))
       .agg(
-        sum(col("n_occ")).as("n_tokens"),
+        sum(col("n_occ")).as(nName),
         sum(col("n_occ") * (coalesce(col("c_tgt"), lit(0L)) + lit(1L))).as("sum_tgt"),
         sum(col("n_occ") * (col("c_raw") + lit(1L))).as("sum_raw"))
       .crossJoin(broadcast(mass))
       .select(
-        col("doc_id"), col("n_tokens"), col("sum_tgt"), col("sum_raw"),
+        col("doc_id"), col(nName), col("sum_tgt"), col("sum_raw"),
         ((col("sum_tgt").cast("double") * (col("t_raw") + col("v")).cast("double"))
           / (col("sum_raw").cast("double") * (col("t_tgt") + col("v")).cast("double")))
           .as("dsir_weight"))
@@ -152,7 +190,8 @@ object LangModel {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_lm_transition" -> ((s, d) => transitionScoreQuery(Tables.documents(s, d))),
-    "mix_dsir_weights" -> ((s, d) => dsirWeightsQuery(Tables.documents(s, d))))
+    "mix_dsir_weights" -> ((s, d) => dsirWeightsQuery(Tables.documents(s, d))),
+    "mix_dsir_weights_bigram" -> ((s, d) => dsirBigramWeightsQuery(Tables.documents(s, d))))
 
   // -----------------------------------------------------------------------
   // DuckDB oracle — independent relational spelling (unnest + group-by),
@@ -224,6 +263,50 @@ object LangModel {
          |FROM pdw p
          |JOIN raw r USING (word)
          |LEFT JOIN tgt t USING (word), mass m
+         |GROUP BY p.doc_id, m.t_raw, m.t_tgt, m.v""".stripMargin
+    },
+    "mix_dsir_weights_bigram" -> {
+      val qm = Quality.qmetricsD("documents")
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                     x -> x <> '') AS w
+         |  FROM documents),
+         |pdf AS (
+         |  SELECT doc_id,
+         |         CAST('0x' || substr(md5(prev || ' ' || cur), 1, 8) AS BIGINT)
+         |           % $DsirHashDim AS feat,
+         |         CAST(count(*) AS BIGINT) AS n_occ
+         |  FROM (
+         |    SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+         |    FROM w, unnest(range(1, len(w))) AS r(i))
+         |  GROUP BY doc_id, feat),
+         |passed AS (
+         |  SELECT doc_id FROM $qm
+         |  WHERE (${Quality.reasonCascadeD(Quality.Config())}) = 'passed'),
+         |raw AS (
+         |  SELECT feat, CAST(sum(n_occ) AS BIGINT) AS c_raw
+         |  FROM pdf GROUP BY feat),
+         |tgt AS (
+         |  SELECT feat, CAST(sum(n_occ) AS BIGINT) AS c_tgt
+         |  FROM pdf WHERE doc_id IN (SELECT doc_id FROM passed)
+         |  GROUP BY feat),
+         |mass AS (
+         |  SELECT CAST(sum(r.c_raw) AS BIGINT) AS t_raw,
+         |         CAST(sum(coalesce(t.c_tgt, 0)) AS BIGINT) AS t_tgt,
+         |         count(*) AS v
+         |  FROM raw r LEFT JOIN tgt t USING (feat))
+         |SELECT p.doc_id,
+         |  CAST(sum(p.n_occ) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(p.n_occ * (coalesce(t.c_tgt, 0) + 1)) AS BIGINT) AS sum_tgt,
+         |  CAST(sum(p.n_occ * (r.c_raw + 1)) AS BIGINT) AS sum_raw,
+         |  (CAST(sum(p.n_occ * (coalesce(t.c_tgt, 0) + 1)) AS BIGINT)::DOUBLE
+         |     * (m.t_raw + m.v)::DOUBLE)
+         |  / (CAST(sum(p.n_occ * (r.c_raw + 1)) AS BIGINT)::DOUBLE
+         |     * (m.t_tgt + m.v)::DOUBLE) AS dsir_weight
+         |FROM pdf p
+         |JOIN raw r USING (feat)
+         |LEFT JOIN tgt t USING (feat), mass m
          |GROUP BY p.doc_id, m.t_raw, m.t_tgt, m.v""".stripMargin
     })
 }

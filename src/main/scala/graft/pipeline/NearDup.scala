@@ -160,7 +160,17 @@ object NearDup {
     * every trigram hot) never generate candidates. Exact: the prefix
     * lemma guarantees no false negatives, and the naive DuckDB oracle
     * arbitrates that — results are hash-identical to the unpruned join. */
-  def jaccardDuplicateOf(docs: DataFrame): DataFrame = {
+  /** Upper bound on representative-doc rows the verify stage will
+    * broadcast (see [[jaccardDuplicateOf]]). At ~300 bytes per row
+    * (8-byte id + ~60-int sorted gram array) the default caps the
+    * broadcast near 300 MB — comfortably inside executor/driver memory
+    * on any sane cluster; past it the corpus-cardinality frame must NOT
+    * ride the driver, and the verify joins degrade to ordinary shuffled
+    * joins on id instead. */
+  val JaccardBroadcastMaxReps: Long = 1L << 20
+
+  def jaccardDuplicateOf(docs: DataFrame,
+      broadcastMaxReps: Long = JaccardBroadcastMaxReps): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Explicit partition counts on the reused frames, each keyed by the
     // column its consumers join/group on, serve two purposes: (a) the
@@ -272,14 +282,23 @@ object NearDup {
     // No distinct() on candidates: pairs colliding on several prefix grams
     // are re-verified (map-side, ~1.4x rows) instead of paying a full
     // candidate shuffle — the final groupBy(id_b).min(id_a) dedups anyway.
-    // gidArr is one skinny row per doc (id + int array), broadcast so the
-    // verify joins stay shuffle-free; on a corpus too big to broadcast,
-    // drop the hint and these become ordinary shuffled hash joins on id.
+    // gidArr is one skinny row per doc (id + int array) — a CORPUS-
+    // cardinality frame, so the broadcast hint is SIZE-GATED: below
+    // broadcastMaxReps representatives the two verify joins ride a
+    // broadcast and stay shuffle-free; above it the hint is dropped and
+    // they become ordinary shuffled joins on id (a corpus-sized driver
+    // collect is the one plan shape that cannot survive a 100x scale-up).
+    // The rep count is read off the already-persisted withG frame — one
+    // cheap count job at plan-build time, not a second corpus pass.
+    val nReps = withG.filter(col("doc_id") === col("gid")).count()
     val gidArr = gramsG.groupBy("doc_id")
       .agg(sort_array(collect_list(col("gid"))).as("ga"))
+      .transform(graft.CacheScope.persist)
+    def verifySide(df: DataFrame): DataFrame =
+      if (nReps <= broadcastMaxReps) broadcast(df) else df
     val repPairs = cand
-      .join(broadcast(gidArr.select(col("doc_id").as("id_a"), col("ga").as("ga_a"))), "id_a")
-      .join(broadcast(gidArr.select(col("doc_id").as("id_b"), col("ga").as("ga_b"))), "id_b")
+      .join(verifySide(gidArr.select(col("doc_id").as("id_a"), col("ga").as("ga_a"))), "id_a")
+      .join(verifySide(gidArr.select(col("doc_id").as("id_b"), col("ga").as("ga_b"))), "id_b")
       .filter(jaccardGeUdf(col("ga_a"), col("ga_b")))
       .select(col("id_a").as("pa"), col("id_b").as("pb"))
     // expand rep-level pairs back to members (see MinHash.duplicateOf for

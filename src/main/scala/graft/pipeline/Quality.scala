@@ -24,11 +24,17 @@ import graft.Tables
 object Quality {
 
   /** Thresholds mirroring quality_filter.py:94-137 / pipeline_config.yaml:41-58.
-    * Word-count/avg-word-length defaults are tightened for the driver's
+    *
+    * WARNING — `Config()` is NOT the reference's defaults. The no-arg
+    * word-count/avg-word-length bands are tightened for the driver's
     * synthetic docs (wc 10-99, awl 3.7-5.3) so the registered queries
-    * exercise several cascade branches; the reference defaults are
-    * minWords=50, maxWords=100000, avg word length in [3.0, 15.0]
-    * (see [[Config.reference]]). */
+    * exercise several cascade branches; natural English prose (awl ~4.0)
+    * can FAIL the default `[4.1, 4.9]` avg-word-length band. Code (or
+    * tests) filtering real text should pass [[Config.reference]]
+    * (minWords=50, maxWords=100000, awl in [3.0, 15.0] — the reference's
+    * own thresholds, used by `quality_histogram_refdefaults`) or an
+    * explicit config. This divergence is deliberate and trapped its own
+    * author once (round-6 DSIR spec fixture) — hence the warning. */
   final case class Config(
       minWords: Int = 25,
       maxWords: Int = 90,

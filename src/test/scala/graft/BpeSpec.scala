@@ -75,4 +75,17 @@ class BpeSpec extends SparkSpec {
     assert(capped.lexicon == Map("spark" -> 3L))
     assert(capped.keptPairMass == 15 && capped.droppedPairMass == 14)
   }
+
+  test("coverage masses agree in code points when kept words hold supplementary chars") {
+    import spark.implicits._
+    // "😀😀" = 2 code points but 4 UTF-16 units; counting the kept side in
+    // UTF-16 once made droppedPairMass negative.
+    val docs = Seq((1L, "😀😀 😀😀 aa"))
+      .toDF("doc_id", "text")
+    val capped = Bpe.wordFrequenciesWithCoverage(docs, maxLexicon = 1)
+    assert(capped.lexicon.keySet == Set("😀😀"))
+    assert(capped.totalPairMass == 2 * 2 + 1 * 2)
+    assert(capped.keptPairMass == 4)
+    assert(capped.droppedPairMass == 2)
+  }
 }

@@ -51,5 +51,13 @@ class ClusterSpec extends SparkSpec {
     // reliable mode really wrote round states to the configured dir
     val wrote = java.nio.file.Files.walk(dir).count() > 1
     assert(wrote, s"no checkpoint data written under $dir")
+    // ... and deleted every superseded round's files: only the final
+    // round's rdd-<id> checkpoint may remain (round-7 hygiene — a
+    // long-lived session must not accumulate one dir per CC round).
+    import scala.jdk.CollectionConverters._
+    val rddDirs = java.nio.file.Files.walk(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("rdd-")).toList
+    assert(rddDirs.size == 1,
+      s"expected exactly the final round's checkpoint, found: $rddDirs")
   }
 }

@@ -61,7 +61,8 @@ class MinHashSkewSpec extends SparkSpec {
     val docs = (hot ++ tail).toDF("doc_id", "text")
     for ((name, fn) <- Seq(
         "simhash" -> graft.pipeline.NearDup.simhashDuplicateOf _,
-        "jaccard" -> graft.pipeline.NearDup.jaccardDuplicateOf _)) {
+        "jaccard" -> ((d: org.apache.spark.sql.DataFrame) =>
+          graft.pipeline.NearDup.jaccardDuplicateOf(d)))) {
       val t0 = System.nanoTime()
       val dup = fn(docs).as[(Long, Long)].collect()
       val wallSeconds = (System.nanoTime() - t0) / 1e9

@@ -38,6 +38,16 @@ class NearDupSpec extends SparkSpec {
     assert(dup == Set((2L, 1L)))
   }
 
+  test("trigram jaccard: gated (non-broadcast) verify path is result-identical") {
+    val d = docs(1L -> longA, 2L -> longB, 3L -> other, 4L -> "two words",
+      5L -> longA, 6L -> (longA + " extra trailing words here"))
+    val want = NearDup.jaccardDuplicateOf(d).as[(Long, Long)].collect().toSet
+    val got = NearDup.jaccardDuplicateOf(d, broadcastMaxReps = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.contains((5L, 1L))) // exact copy collapses pre-join either way
+  }
+
   test("containment: a doc quoted inside a much larger doc is flagged; doc-level jaccard misses it") {
     val small = "the quick brown fox jumps over the lazy dog while seven wizards brew quartz potions " * 3
     val filler = (1 to 12).map(i => s"unrelated filler sentence number $i about completely different topics entirely").mkString(" ")
