@@ -188,8 +188,36 @@ object LangModel {
           .as("dsir_weight"))
   }
 
+  /** CCNet's deployment shape for the LM score: split each language's
+    * docs into perplexity terciles — `head` (most fluent/common),
+    * `middle`, `tail` (the noise CCNet drops or down-weights) — with the
+    * cut PER LANGUAGE, because raw transition scores are not comparable
+    * across languages (Wenzek et al. 2020 §3.3 bucket per-language for
+    * exactly this reason; here the in-corpus bigram score stands in for
+    * the wiki-LM perplexity, higher = more fluent = head-ward).
+    *
+    * Determinism: ntile runs over a TOTAL order (score desc, doc_id) so
+    * replicated docs with bit-identical rational scores land in the same
+    * bucket on both engines. Scale shape: the score query's frames plus
+    * one per-language window — language keys bound the partitions, and
+    * within a language the window is a sort, not a funnel (same envelope
+    * as the per-source windows in Sampling); docs with < 2 tokens have
+    * no score and stay out (inner semantics, as the score query). */
+  def perplexityBucketsQuery(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("transition_score").desc, col("doc_id"))
+    transitionScoreQuery(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("b", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("transition_score"),
+        when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_lm_transition" -> ((s, d) => transitionScoreQuery(Tables.documents(s, d))),
+    "quality_lm_buckets" -> ((s, d) => perplexityBucketsQuery(Tables.documents(s, d))),
     "mix_dsir_weights" -> ((s, d) => dsirWeightsQuery(Tables.documents(s, d))),
     "mix_dsir_weights_bigram" -> ((s, d) => dsirBigramWeightsQuery(Tables.documents(s, d))))
 
@@ -198,36 +226,48 @@ object LangModel {
   // same exact-int sums, same single-expression floats.
   // -----------------------------------------------------------------------
 
+  /** The transition-score oracle body, shared verbatim by the score
+    * query and the per-language bucket query built on top of it. */
+  private val transitionOracleSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                     x -> x <> '') AS w
+       |  FROM documents),
+       |pdb AS (
+       |  SELECT doc_id, prev, cur, count(*) AS n_occ FROM (
+       |    SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+       |    FROM w, unnest(range(1, len(w))) AS r(i))
+       |  GROUP BY doc_id, prev, cur),
+       |big AS (
+       |  SELECT prev, cur, CAST(sum(n_occ) AS BIGINT) AS c_bg
+       |  FROM pdb GROUP BY prev, cur),
+       |ctx AS (
+       |  SELECT prev, CAST(sum(c_bg) AS BIGINT) AS c_ctx
+       |  FROM big GROUP BY prev),
+       |v AS (SELECT count(*) AS v FROM ctx)
+       |SELECT p.doc_id,
+       |  CAST(sum(p.n_occ) AS BIGINT) AS n_transitions,
+       |  CAST(sum(p.n_occ * (b.c_bg + 1)) AS BIGINT) AS sum_smoothed_bigram,
+       |  CAST(sum(p.n_occ * (c.c_ctx + v.v)) AS BIGINT) AS sum_smoothed_context,
+       |  CAST(sum(p.n_occ * (b.c_bg + 1)) AS BIGINT)::DOUBLE
+       |    / CAST(sum(p.n_occ * (c.c_ctx + v.v)) AS BIGINT)::DOUBLE
+       |    AS transition_score
+       |FROM pdb p
+       |JOIN big b ON p.prev = b.prev AND p.cur = b.cur
+       |JOIN ctx c ON p.prev = c.prev, v
+       |GROUP BY p.doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "quality_lm_transition" ->
-      s"""WITH w AS (
-         |  SELECT doc_id,
-         |         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-         |                     x -> x <> '') AS w
-         |  FROM documents),
-         |pdb AS (
-         |  SELECT doc_id, prev, cur, count(*) AS n_occ FROM (
-         |    SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
-         |    FROM w, unnest(range(1, len(w))) AS r(i))
-         |  GROUP BY doc_id, prev, cur),
-         |big AS (
-         |  SELECT prev, cur, CAST(sum(n_occ) AS BIGINT) AS c_bg
-         |  FROM pdb GROUP BY prev, cur),
-         |ctx AS (
-         |  SELECT prev, CAST(sum(c_bg) AS BIGINT) AS c_ctx
-         |  FROM big GROUP BY prev),
-         |v AS (SELECT count(*) AS v FROM ctx)
-         |SELECT p.doc_id,
-         |  CAST(sum(p.n_occ) AS BIGINT) AS n_transitions,
-         |  CAST(sum(p.n_occ * (b.c_bg + 1)) AS BIGINT) AS sum_smoothed_bigram,
-         |  CAST(sum(p.n_occ * (c.c_ctx + v.v)) AS BIGINT) AS sum_smoothed_context,
-         |  CAST(sum(p.n_occ * (b.c_bg + 1)) AS BIGINT)::DOUBLE
-         |    / CAST(sum(p.n_occ * (c.c_ctx + v.v)) AS BIGINT)::DOUBLE
-         |    AS transition_score
-         |FROM pdb p
-         |JOIN big b ON p.prev = b.prev AND p.cur = b.cur
-         |JOIN ctx c ON p.prev = c.prev, v
-         |GROUP BY p.doc_id""".stripMargin,
+    "quality_lm_transition" -> transitionOracleSql,
+    "quality_lm_buckets" ->
+      s"""WITH t AS ($transitionOracleSql)
+         |SELECT t.doc_id, d.lang, t.transition_score,
+         |  CASE ntile(3) OVER (PARTITION BY d.lang
+         |                      ORDER BY t.transition_score DESC, t.doc_id)
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+         |  END AS ppl_bucket
+         |FROM t JOIN documents d USING (doc_id)""".stripMargin,
     "mix_dsir_weights" -> {
       val qm = Quality.qmetricsD("documents")
       s"""WITH pdw AS (

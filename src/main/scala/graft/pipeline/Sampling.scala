@@ -145,11 +145,71 @@ object Sampling {
         (col("target_tokens").cast("double") / col("n_tokens").cast("double")).as("epochs"))
   }
 
+  /** Per-language repeat ceiling for [[unimaxAllocationQuery]]: no
+    * language's data is seen more than this many epochs however much
+    * budget is left over (UniMax's core constraint — temperature
+    * sampling has no such cap and can cycle a tiny language 100s of
+    * times). */
+  val UniMaxEpochCap = 2L
+
+  /** UniMax language-balanced allocation (Chung et al. 2023): split a
+    * character budget across languages as UNIFORMLY as possible subject
+    * to a per-language repeat ceiling of [[UniMaxEpochCap]] epochs.
+    * Greedy water-filling, smallest capacity first: each language gets
+    * `min(capacity, remaining_budget / remaining_languages)`. The greedy
+    * has a closed form — a language is budget-capped iff
+    * `capacity * langs_from_here_on <= budget - smaller_capacities`
+    * (exact BIGINT test; capped-ness is monotone in capacity order, so
+    * the prefix sum only ever covers capped rows), and every uncapped
+    * language shares the leftover equally (largest-remainder spread of
+    * the integer remainder, ordered by capacity then language, keeps the
+    * shares exact integers summing to the budget). The budget is
+    * corpus-proportional (3/2 of total chars, integer division) so the
+    * query exercises both branches at every scale: minority languages
+    * hit the 2-epoch ceiling, the majority language absorbs the rest.
+    *
+    * Scale shape: one per-language aggregation inside the scan stage;
+    * everything after runs on a #languages-row frame (windows ordered on
+    * a bounded relation, 1-row broadcast scalar attaches) — the same
+    * envelope as [[mixTemperatureQuery]], fine at any corpus size. */
+  def unimaxAllocationQuery(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("capacity", col("n_chars") * lit(UniMaxEpochCap))
+      .transform(graft.CacheScope.persist)
+    val tot = byLang.agg(expr("(3 * sum(n_chars)) div 2").as("b"))
+    val ord = Window.orderBy(col("capacity"), col("lang"))
+    val c = byLang.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(ord))
+      .withColumn("prefix", coalesce(
+        sum(col("capacity")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("k", count(lit(1)).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("capped",
+        col("capacity") * (col("k") - col("i") + 1L) <= col("b") - col("prefix"))
+      .transform(graft.CacheScope.persist)
+    val agg = c.agg(
+      coalesce(sum(when(col("capped"), col("capacity"))), lit(0L)).as("s_capped"),
+      sum(when(col("capped"), 0L).otherwise(1L)).as("m"))
+    val urkW = Window.partitionBy(col("capped")).orderBy(col("i"))
+    c.crossJoin(broadcast(agg))
+      .withColumn("urk", row_number().over(urkW))
+      .withColumn("alloc_chars", when(col("capped"), col("capacity"))
+        .otherwise(expr("(b - s_capped) div m") +
+          when(col("urk") <= expr("(b - s_capped) % m"), 1L).otherwise(0L)))
+      .select(col("lang"), col("n_docs"), col("n_chars"), col("capacity"),
+        col("alloc_chars"),
+        (col("alloc_chars").cast("double") / col("n_chars").cast("double")).as("epochs"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> ((s, d) => stratifiedSampleQuery(Tables.documents(s, d))),
     "split_counts" -> ((s, d) => splitCountsQuery(Tables.documents(s, d))),
     "mix_allocation" -> ((s, d) => mixAllocationQuery(Tables.documents(s, d))),
-    "mix_temperature" -> ((s, d) => mixTemperatureQuery(Tables.documents(s, d))))
+    "mix_temperature" -> ((s, d) => mixTemperatureQuery(Tables.documents(s, d))),
+    "mix_unimax" -> ((s, d) => unimaxAllocationQuery(Tables.documents(s, d))))
 
   def oracles: Map[String, String] = {
     val rateRows = tierOf.toSeq.sortBy(_._1)
@@ -209,6 +269,35 @@ object Sampling {
            |       CAST(q + CASE WHEN rk <= $MixBudget - sq THEN 1 ELSE 0 END AS BIGINT) AS target_tokens,
            |       CAST(q + CASE WHEN rk <= $MixBudget - sq THEN 1 ELSE 0 END AS DOUBLE)
            |         / CAST(n_tokens AS DOUBLE) AS epochs
-           |FROM v""".stripMargin)
+           |FROM v""".stripMargin,
+      "mix_unimax" ->
+        s"""WITH s AS (
+           |  SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           |         CAST($UniMaxEpochCap * sum(n_chars) AS BIGINT) AS capacity
+           |  FROM documents GROUP BY lang),
+           |tot AS (SELECT CAST((3 * sum(n_chars)) // 2 AS BIGINT) AS b FROM s),
+           |o AS (SELECT s.*, b,
+           |        row_number() OVER (ORDER BY capacity, lang) AS i,
+           |        CAST(COALESCE(sum(capacity) OVER (ORDER BY capacity, lang
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix,
+           |        CAST(count(*) OVER () AS BIGINT) AS k
+           |      FROM s, tot),
+           |c AS (SELECT *, capacity * (k - i + 1) <= b - prefix AS capped FROM o),
+           |agg AS (SELECT CAST(COALESCE(sum(capacity) FILTER (WHERE capped), 0) AS BIGINT) AS s_capped,
+           |               CAST(count(*) FILTER (WHERE NOT capped) AS BIGINT) AS m
+           |        FROM c),
+           |r AS (SELECT c.*, s_capped, m,
+           |        row_number() OVER (PARTITION BY capped ORDER BY i) AS urk
+           |      FROM c, agg)
+           |SELECT lang, n_docs, n_chars, capacity,
+           |  CASE WHEN capped THEN capacity
+           |       ELSE (b - s_capped) // m
+           |            + CASE WHEN urk <= (b - s_capped) % m THEN 1 ELSE 0 END
+           |  END AS alloc_chars,
+           |  CAST(CASE WHEN capped THEN capacity
+           |       ELSE (b - s_capped) // m
+           |            + CASE WHEN urk <= (b - s_capped) % m THEN 1 ELSE 0 END
+           |  END AS DOUBLE) / CAST(n_chars AS DOUBLE) AS epochs
+           |FROM r""".stripMargin)
   }
 }

@@ -158,4 +158,37 @@ class LangModelSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     assert(uni(9L) == uni(1L))
   }
+
+  test("perplexity buckets: per-language terciles ordered by score, 1-token docs out") {
+    // two languages, 7 + 5 scoreable docs (plus one 1-token doc that must
+    // drop out); repeated common phrases give high scores, digit noise low.
+    val common = "the cat sat on the mat and the dog sat on the rug"
+    val rows = (1L to 5L).map(id => (id, common + s" extra $id", "en")) ++
+      Seq((6L, "zx qv jk wm pq rs tu", "en"), (7L, "09 83 61 47 25 13", "en"),
+        (8L, "solo", "en")) ++
+      (11L to 14L).map(id => (id, s"le chat dort sur le tapis $id", "fr")) ++
+      Seq((15L, "99 88 77 66 55", "fr"))
+    val docs = rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")))
+    val got = LangModel.perplexityBucketsQuery(docs)
+      .select("doc_id", "lang", "transition_score", "ppl_bucket")
+      .as[(Long, String, Double, String)].collect()
+    // the 1-token doc has no transitions and is absent
+    assert(!got.exists(_._1 == 8L))
+    for (l <- Seq("en", "fr")) {
+      val g = got.filter(_._2 == l)
+      val sizes = g.groupBy(_._4).view.mapValues(_.size).toMap
+      // ntile(3): bucket sizes differ by at most 1, head gets the extra
+      assert(sizes.values.max - sizes.values.min <= 1, s"$l: $sizes")
+      // bucket boundaries respect the score order: every head score >=
+      // every middle score >= every tail score
+      def scores(b: String) = g.filter(_._4 == b).map(_._3)
+      assert(scores("head").min >= scores("middle").max, l)
+      assert(scores("middle").min >= scores("tail").max, l)
+    }
+    // direction: digit noise lands in the tail of its language
+    assert(got.find(_._1 == 7L).get._4 == "tail")
+    assert(got.find(_._1 == 15L).get._4 == "tail")
+  }
 }

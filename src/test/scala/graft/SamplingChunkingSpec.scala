@@ -126,4 +126,72 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(byDoc(2L).head.getInt(2) === 0)
     assert(byDoc(2L).head.getString(3) === "")
   }
+
+  /** One doc per (lang, n_chars) pair — unimax only reads those columns. */
+  private def langDocs(chars: Map[String, Long]) =
+    chars.toSeq.zipWithIndex
+      .map { case ((l, c), i) => (i.toLong, "x", l, c) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+
+  /** Local greedy water-filling reference: smallest capacity first, each
+    * language takes min(capacity, what an equal split of the remaining
+    * budget would give), with the closed-form equal share spread by
+    * largest remainder over the uncapped suffix — byte-for-byte the
+    * semantics the query claims. */
+  private def unimaxGreedy(chars: Map[String, Long], budget: Long,
+      cap: Long = Sampling.UniMaxEpochCap): Map[String, Long] = {
+    val ordered = chars.toSeq.map { case (l, c) => (l, c * cap) }
+      .sortBy { case (l, cp) => (cp, l) }
+    var rem = budget
+    var k = ordered.size
+    val out = scala.collection.mutable.Map[String, Long]()
+    var i = 0
+    // capped prefix: capacity <= rem/k, as the exact test cap*k <= rem
+    while (i < ordered.size && ordered(i)._2 * k <= rem) {
+      out(ordered(i)._1) = ordered(i)._2
+      rem -= ordered(i)._2; k -= 1; i += 1
+    }
+    // uncapped suffix: equal split + first-(rem % k) get the extra char
+    if (i < ordered.size) {
+      val base = rem / k
+      val extra = rem % k
+      ordered.drop(i).zipWithIndex.foreach { case ((l, _), j) =>
+        out(l) = base + (if (j < extra) 1L else 0L)
+      }
+    }
+    out.toMap
+  }
+
+  test("unimax: hand golden — minority langs hit the epoch cap, majority absorbs the rest") {
+    // chars a=10, b=20, c=100 -> caps 20/40/200, budget = 3*130/2 = 195:
+    // a, b capped at 2.0 epochs; c gets the remaining 135 (1.35 epochs).
+    val got = Sampling.unimaxAllocationQuery(
+        langDocs(Map("a" -> 10L, "b" -> 20L, "c" -> 100L)))
+      .select("lang", "capacity", "alloc_chars", "epochs")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") === ((20L, 20L, 2.0)))
+    assert(got("b") === ((40L, 40L, 2.0)))
+    assert(got("c") === ((200L, 135L, 1.35)))
+  }
+
+  test("unimax invariants: random language sizes match the greedy water-filling exactly") {
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 8) {
+      val nLangs = 2 + rnd.nextInt(9)
+      val chars = (0 until nLangs)
+        .map(i => s"l$i" -> (1L + rnd.nextInt(10000))).toMap
+      val total = chars.values.sum
+      val budget = 3 * total / 2
+      val got = Sampling.unimaxAllocationQuery(langDocs(chars))
+        .select("lang", "alloc_chars").as[(String, Long)].collect().toMap
+      val want = unimaxGreedy(chars, budget)
+      assert(got === want, s"chars=$chars")
+      // allocation exhausts the budget exactly (B < total capacity by
+      // construction) and never exceeds any language's capacity
+      assert(got.values.sum === budget)
+      chars.foreach { case (l, c) =>
+        assert(got(l) <= c * Sampling.UniMaxEpochCap) }
+    }
+  }
 }
