@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -118,26 +118,34 @@ object TextEmbed {
       .agg(sum(when(col("pv") > 0, expr("CAST(shiftleft(1, p) AS BIGINT)"))
         .otherwise(0L)).as("bucket"))
       .transform(graft.CacheScope.persist)
-    val cand = buckets.as("x").join(buckets.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-    // verification: one row per candidate pair carrying the two sorted
-    // sparse vectors; a merge kernel computes dot + both norms in one
-    // pass of exact-int arithmetic (the jaccard family's per-pair-kernel
-    // spelling — the dim-exploded join form shipped ~40 rows per pair
-    // through a shuffle and measured 78 s vs ~8 s at the 10x probe).
-    val verified = cand
-      .join(repVecs.select(col("doc_id").as("id_a"), col("pv").as("pv_a")), "id_a")
-      .join(repVecs.select(col("doc_id").as("id_b"), col("pv").as("pv_b")), "id_b")
-      .filter(cosineGeUdf(threshold)(col("pv_a"), col("pv_b")))
-      .select(col("id_a"), col("id_b"))
-      .transform(graft.CacheScope.persist)
+    // verification, min-partner form: the final dup map only ever reads
+    // ONE fact per rep — its MINIMUM qualifying smaller-id co-bucket
+    // partner. (Proof over the old all-pairs spelling: a non-rep member
+    // always carries its own gid as an in-group candidate, and every
+    // cross-group candidate b of group a with b > a is dominated by that
+    // gid a; a rep's in-group row is filtered by cand < doc_id. So only
+    // min-partner rows survive the final min either way — results are
+    // bit-identical, the per-pair cosine being a pure function of the
+    // two vectors.) That licenses a per-bucket kernel over the id-sorted
+    // rep list with an ASCENDING EARLY-EXIT scan: the first qualifying
+    // smaller partner IS the min, so a planted k-member near-dup cluster
+    // costs O(k) kernel calls, not the k²/2 of the pair-join form — the
+    // 30x→100x probe measured exponent 1.43 on the join spelling (the
+    // generator grows cluster size with the factor, so true pair count
+    // grows quadratically) vs sub-linear on this one. It also ships each
+    // packed vector once per bucket instead of once per candidate pair.
+    // Worst case (a bucket of mutual non-duplicates) degrades to the
+    // same k²/2 merges the join form always paid — with k capped near
+    // 128 by the occupancy-targeted plane count.
+    val verified = buckets.join(repVecs, "doc_id")
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pv")))).as("rs"))
+      .select(explode(minPartnerUdf(threshold)(col("rs"))).as("p"))
+      .select(col("p._1").as("gid"), col("p._2").as("cand"))
     // member expansion (the shared algebra of MinHash.duplicateOfSigs /
     // Similarity.dedupFromRepPairs): in-group members attribute to their
     // gid; cross-group to the smallest verified partner gid below them.
-    val partners = verified.select(col("id_a").as("gid"), col("id_b").as("cand"))
-      .union(verified.select(col("id_b").as("gid"), col("id_a").as("cand")))
-    members.join(partners, "gid")
+    members.join(verified, "gid")
       .filter(col("cand") < col("doc_id"))
       .select(col("doc_id"), col("cand"))
       .union(members.filter(col("doc_id") =!= col("gid"))
@@ -146,6 +154,39 @@ object TextEmbed {
       .agg(min(col("cand")).as("original_id"))
   }
 
+  /** Per-bucket min-partner kernel: `rs` is the bucket's reps as
+    * (doc_id, packed vector) structs, PRE-SORTED ascending by doc_id
+    * (sort_array on the struct; doc_id is the leading field). For each
+    * rep, scan earlier reps in id order and emit (rep, partner) for the
+    * FIRST cosine-qualifying one — ascending first = minimum, which is
+    * the only row the dup-map algebra consumes. */
+  private def minPartnerUdf(threshold: Double) =
+    udf { rs: Seq[Row] =>
+      val n = rs.length
+      val ids = new Array[Long](n)
+      val vecs = new Array[Array[Long]](n)
+      var i = 0
+      while (i < n) {
+        ids(i) = rs(i).getLong(0)
+        vecs(i) = rs(i).getSeq[Long](1).toArray
+        i += 1
+      }
+      val out = Seq.newBuilder[(Long, Long)]
+      var b = 1
+      while (b < n) {
+        var a = 0
+        var found = false
+        while (a < b && !found) {
+          if (cosineGe(vecs(a), vecs(b), threshold)) {
+            out += ((ids(b), ids(a))); found = true
+          }
+          a += 1
+        }
+        b += 1
+      }
+      out.result()
+    }
+
   /** cosine(a, b) >= t over two dim-SORTED packed sparse vectors
     * (entry = dim << 32 | weight), by linear merge: dot over shared dims
     * and both norms accumulate as EXACT Longs in one pass; the final
@@ -153,27 +194,26 @@ object TextEmbed {
     * >= t` double sequence the oracle spells, so verdicts are
     * bit-identical. Packing keeps dim-order sorting (dim is the high
     * word) and weights positive 32-bit (counts). */
-  private def cosineGeUdf(threshold: Double) =
-    udf { (a: Array[Long], b: Array[Long]) =>
-      val M = 0xFFFFFFFFL
-      var i = 0
-      var j = 0
-      var dot = 0L
-      while (i < a.length && j < b.length) {
-        val da = a(i) >>> 32
-        val db = b(j) >>> 32
-        if (da == db) { dot += (a(i) & M) * (b(j) & M); i += 1; j += 1 }
-        else if (da < db) i += 1
-        else j += 1
-      }
-      var na = 0L
-      var nb = 0L
-      i = 0
-      while (i < a.length) { val w = a(i) & M; na += w * w; i += 1 }
-      j = 0
-      while (j < b.length) { val w = b(j) & M; nb += w * w; j += 1 }
-      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)) >= threshold
+  private def cosineGe(a: Array[Long], b: Array[Long], threshold: Double): Boolean = {
+    val M = 0xFFFFFFFFL
+    var i = 0
+    var j = 0
+    var dot = 0L
+    while (i < a.length && j < b.length) {
+      val da = a(i) >>> 32
+      val db = b(j) >>> 32
+      if (da == db) { dot += (a(i) & M) * (b(j) & M); i += 1; j += 1 }
+      else if (da < db) i += 1
+      else j += 1
     }
+    var na = 0L
+    var nb = 0L
+    i = 0
+    while (i < a.length) { val w = a(i) & M; na += w * w; i += 1 }
+    j = 0
+    while (j < b.length) { val w = b(j) & M; nb += w * w; j += 1 }
+    dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)) >= threshold
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_hash_embedding" -> ((s, d) => hashEmbeddingQuery(Tables.documents(s, d))),

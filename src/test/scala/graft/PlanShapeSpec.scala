@@ -56,7 +56,10 @@ class PlanShapeSpec extends SparkSpec {
     "sim_ivfpq_topk" -> ((2, 1, 2)),
     "quality_histogram" -> ((2, 0, 0)),
     "corpus_top_bigrams" -> ((2, 0, 0)),
-    "dedup_semantic_text" -> ((1, 1, 0)),
+    // round 7: verify stage is a per-bucket min-partner kernel (groupBy
+    // bucket = +1 shuffle, +1 broadcast) replacing the all-pairs join
+    // that shipped both vectors per candidate pair (30x->100x exp 1.43).
+    "dedup_semantic_text" -> ((2, 2, 0)),
     "doc_tfidf_keywords" -> ((4, 2, 2)),
     "mix_temperature" -> ((4, 3, 1)))
 
