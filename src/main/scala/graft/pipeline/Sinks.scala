@@ -128,6 +128,28 @@ object Sinks {
       }
   }
 
+  /** Bucketed-table sink — the 100 TB co-location layout. Writing the
+    * corpus `bucketBy(n, key)` (+ optional in-bucket sort) once means
+    * every DOWNSTREAM join or aggregation on that key plans with ZERO
+    * shuffle exchanges: both sides' scans report the same
+    * HashPartitioning, so the sort-merge join reads co-located buckets
+    * (and a sorted bucket skips its sort too). At 100 TB that converts
+    * the dominant repeated cost — re-shuffling the corpus for every
+    * id-keyed join in every pipeline run — into a one-time write-side
+    * exchange; the per-key pipelines (dedup maps joined back to docs,
+    * token tables joined to metadata) become scan-local. Bucket count is
+    * the caller's contract: match it across tables that join (same n ⇒
+    * same murmur3 placement) and size it so a bucket ≈ one task's
+    * memory. Requires `saveAsTable` (bucket metadata lives in the
+    * catalog — plain `.parquet(path)` cannot carry it); Spark's built-in
+    * catalog suffices, no Hive needed. */
+  def writeBucketedTable(df: DataFrame, table: String, buckets: Int,
+      key: String, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** A6: attach named observed metrics to a stage. The returned
     * Observation yields rows/bytes counters after the next action, without
     * a second pass over the data (vs the reference's per-stage timers,

@@ -142,6 +142,49 @@ class SinksSpec extends SparkSpec {
       assert(rebuilt(id) == Seq(id.toInt, (id % 7).toInt)) }
   }
 
+  test("bucketed tables: co-bucketed join and bucket-key aggregation plan with zero shuffles") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    def shuffles(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      var s = 0; var b = 0
+      plan.foreach {
+        case _: ShuffleExchangeLike => s += 1
+        case _: BroadcastExchangeLike => b += 1
+        case _: SparkPlan => ()
+      }
+      (s, b)
+    }
+    val left = (1L to 500L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val right = (1L to 500L).map(i => (i, i % 7)).toDF("doc_id", "meta")
+    try {
+      Sinks.writeBucketedTable(left, "b_docs", 4, "doc_id", Seq("doc_id"))
+      Sinks.writeBucketedTable(right, "b_meta", 4, "doc_id", Seq("doc_id"))
+      // force the non-broadcast plan: co-location is what's under test
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_docs").join(spark.table("b_meta"), "doc_id")
+      val (js, jb) = shuffles(joined)
+      assert((js, jb) === ((0, 0)),
+        s"co-bucketed join should be exchange-free, got shuffles=$js broadcasts=$jb")
+      assert(joined.count() === 500L)
+      // aggregation on the bucket key reuses the write-side partitioning too
+      val agg = spark.table("b_docs").groupBy("doc_id").count()
+      assert(shuffles(agg)._1 === 0, "bucket-key aggregation should not exchange")
+      // a NON-bucketed spelling of the same join must shuffle — the
+      // exchange really was paid at write time, not optimized away
+      val (ps, _) = shuffles(left.join(right, "doc_id"))
+      assert(ps > 0, "plain join should shuffle; bucketing is the difference")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_meta")
+    }
+  }
+
   test("observed stage metrics report rows and bytes after one action") {
     val (observed, obs) = Sinks.observeStage(docs, "clean_stage_test")
     observed.write.format("noop").mode("overwrite").save()
