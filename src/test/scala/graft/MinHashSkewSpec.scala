@@ -50,8 +50,11 @@ class MinHashSkewSpec extends SparkSpec {
     // signature hashing over ~5k rows, not an 800M-pair bucket join.
     val maxTask = taskTimes.synchronized(taskTimes.max)
     info(f"wall $wallSeconds%.1f s, ${taskTimes.size} tasks, max task ${maxTask / 1000.0}%.1f s")
-    assert(wallSeconds < 60.0, f"band join too slow: $wallSeconds%.1f s (quadratic blowup?)")
-    assert(maxTask < 20000L, s"straggler task of ${maxTask} ms dominates the join")
+    // Caps sized for the failure mode they pin (an 800M-pair blowup ran
+    // >540 s), with headroom for a fully-loaded parallel `sbt test` —
+    // seconds-scale contention noise must not flake the suite.
+    assert(wallSeconds < 180.0, f"band join too slow: $wallSeconds%.1f s (quadratic blowup?)")
+    assert(maxTask < 60000L, s"straggler task of ${maxTask} ms dominates the join")
   }
 
   test("simhash and jaccard also collapse the 10k-copy cluster") {
@@ -69,7 +72,7 @@ class MinHashSkewSpec extends SparkSpec {
       info(f"$name: ${dup.length} dups in $wallSeconds%.1f s")
       assert(dup.length == 9999, s"$name: expected 9999 duplicates, got ${dup.length}")
       assert(dup.forall(_._2 == 1L), s"$name: all copies must attribute to the min id")
-      assert(wallSeconds < 60.0, f"$name too slow: $wallSeconds%.1f s (quadratic blowup?)")
+      assert(wallSeconds < 180.0, f"$name too slow: $wallSeconds%.1f s (quadratic blowup?)")
     }
   }
 
