@@ -176,6 +176,79 @@ object Analytics {
         countDistinct(col("word")).as("n_distinct_words"))
   }
 
+  /** Unicode script ranges for [[scriptStatsQuery]], spelled with
+    * `\x{hhhh}` code-point escapes — the one hex-escape syntax Java
+    * regex and RE2 share, so engine and oracle compile the IDENTICAL
+    * character classes. BMP block ranges (not full `\p{Script=...}`
+    * properties, which the two engines bound differently). */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> """[A-Za-z\x{00C0}-\x{024F}]""",
+    "cyrillic" -> """[\x{0400}-\x{04FF}]""",
+    "greek" -> """[\x{0370}-\x{03FF}]""",
+    "arabic" -> """[\x{0600}-\x{06FF}]""",
+    "devanagari" -> """[\x{0900}-\x{097F}]""",
+    "hangul" -> """[\x{AC00}-\x{D7AF}]""",
+    "cjk" -> """[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]""",
+    "digit" -> "[0-9]")
+
+  /** Per-doc character counts by Unicode script block — the
+    * writing-system profile a multilingual pipeline checks BEFORE
+    * trusting any statistical language-ID (mixed-script spam, wrong-
+    * script transliterations, and mislabeled CJK/Cyrillic crawls all
+    * show up here first; cf. CCNet's per-language corpus audits).
+    * `latin_frac` is the headline signal: the share of Latin letters
+    * among all characters. Scan-local projection (one codegen'd
+    * regexp_count per script), zero shuffles at any corpus size. */
+  def scriptStatsQuery(docs: DataFrame): DataFrame = {
+    val counted = ScriptRanges.foldLeft(
+        docs.select(col("doc_id"), col("lang"), col("text"),
+          length(col("text")).cast("long").as("n_chars_text"))) {
+      case (d, (name, re)) =>
+        d.withColumn(s"n_$name", regexp_count(col("text"), lit(re)).cast("long"))
+    }
+    counted.select(
+      col("doc_id") +: col("lang") +: col("n_chars_text").as("n_chars") +:
+        ScriptRanges.map { case (name, _) => col(s"n_$name") } :+
+        when(col("n_chars_text") > 0,
+          col("n_latin").cast("double") / col("n_chars_text").cast("double"))
+          .otherwise(lit(null).cast("double")).as("latin_frac"): _*)
+  }
+
+  /** Pairwise vocabulary Jaccard between sources — the redundancy
+    * matrix behind mixture design (two sources that share most of their
+    * vocabulary contribute less diversity than their token counts
+    * suggest; cf. the Pile's inter-subset overlap analyses). Pairs with
+    * an empty intersection are absent (inner-join semantics).
+    *
+    * Scale shape: the distinct (source, word) projection is one hash
+    * shuffle bounded by vocabulary x sources (NOT corpus tokens — the
+    * distinct collapses occurrences map-side); the self-join fans out at
+    * most #sources rows per word per side, so no key explodes; and
+    * everything downstream runs on a #source-pairs-row frame. The
+    * per-source size dim is tiny and broadcasts into the final joins. */
+  def sourceOverlapQuery(docs: DataFrame): DataFrame = {
+    val sw = docs
+      .select(col("source"),
+        explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("word"))
+      .distinct()
+      .transform(graft.CacheScope.persist) // feeds the sizes agg AND both join sides
+    val sizes = sw.groupBy(col("source")).agg(count(lit(1)).as("vocab"))
+    val pairs = sw.select(col("source").as("source_a"), col("word"))
+      .join(sw.select(col("source").as("source_b"), col("word")), "word")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("vocab").as("vocab_a"))),
+        "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("vocab").as("vocab_b"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("vocab_a"), col("vocab_b"),
+        col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("vocab_a") + col("vocab_b") - col("n_shared")).cast("double")).as("jaccard"))
+  }
+
   /** Keywords kept per doc. */
   val TfidfTopK = 3
 
@@ -211,6 +284,8 @@ object Analytics {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_tfidf_keywords" -> ((s, d) => tfidfKeywordsQuery(Tables.documents(s, d))),
+    "lang_script_stats" -> ((s, d) => scriptStatsQuery(Tables.documents(s, d))),
+    "corpus_source_overlap" -> ((s, d) => sourceOverlapQuery(Tables.documents(s, d))),
     "doc_readability" -> ((s, d) => readabilityQuery(Tables.documents(s, d))),
     "tok_seq_length_histogram" -> ((s, d) => seqLengthHistogramQuery(Tables.documents(s, d))),
     "corpus_vocab_per_source" -> ((s, d) => vocabPerSourceQuery(Tables.documents(s, d))),
@@ -222,6 +297,36 @@ object Analytics {
     "events_props_extract" -> ((s, d) => eventsPropsQuery(Tables.events(s, d))))
 
   def oracles: Map[String, String] = Map(
+    "lang_script_stats" -> {
+      val counts = ScriptRanges.map { case (name, re) =>
+        s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$name"
+      }.mkString(",\n         ")
+      s"""WITH m AS (
+         |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+         |         $counts
+         |  FROM documents)
+         |SELECT *, CASE WHEN n_chars > 0
+         |               THEN CAST(n_latin AS DOUBLE) / CAST(n_chars AS DOUBLE)
+         |               ELSE NULL END AS latin_frac
+         |FROM m""".stripMargin
+    },
+    "corpus_source_overlap" ->
+      """WITH sw AS (
+        |  SELECT DISTINCT source, word FROM (
+        |    SELECT source,
+        |           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                              x -> x <> '')) AS word
+        |    FROM documents)),
+        |sz AS (SELECT source, count(*) AS vocab FROM sw GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |      FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT source_a, source_b, sa.vocab AS vocab_a, sb.vocab AS vocab_b, n_shared,
+        |       CAST(n_shared AS DOUBLE)
+        |         / CAST(sa.vocab + sb.vocab - n_shared AS DOUBLE) AS jaccard
+        |FROM p
+        |JOIN sz sa ON p.source_a = sa.source
+        |JOIN sz sb ON p.source_b = sb.source""".stripMargin,
     "doc_tfidf_keywords" ->
       s"""WITH tf AS (
          |  SELECT doc_id, word, count(*) AS tf FROM (

@@ -105,6 +105,48 @@ object Clean {
   }
 
   // ---------------------------------------------------------------------
+  // C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
+  // Limits of Transfer Learning with a Unified Text-to-Text
+  // Transformer", §2.2) — the web-corpus heuristic the reference's
+  // doc-level cleaner (cleaner.py) has no analogue for: rules apply to
+  // individual LINES, and the page is then judged on what survived.
+  //   - keep a line only if it ends in terminal punctuation,
+  //   - has at least [[C4MinLineWords]] words,
+  //   - and does not mention "javascript" (boilerplate marker);
+  //   - the page survives only with >= [[C4MinKeptLines]] kept lines and
+  //     no "lorem ipsum" / "{" anywhere (template/code page markers).
+  // ---------------------------------------------------------------------
+
+  /** C4's "line ends in terminal punctuation" — trailing spaces allowed. */
+  val C4TerminalRe = """[.!?"][ \t]*$"""
+  val C4MinLineWords = 5
+  val C4MinKeptLines = 3
+
+  /** Scale shape: one narrow projection per doc — the line split, the
+    * per-line filter, and the rejoin are all built-in higher-order
+    * functions over the in-row line array (no explode, no shuffle), so
+    * the whole pass pipelines inside the scan's codegen stage at any
+    * corpus size. Kept lines are evaluated ONCE (Stage.once barriers the
+    * filtered array against CollapseProject re-inlining it per use). */
+  def c4LinesQuery(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"), col("text"),
+        Stage.once(expr(
+          s"""filter(split(text, '\\n'),
+             |  l -> l rlike '${C4TerminalRe.replace("\\", "\\\\")}'
+             |       AND size(filter(split(l, '[ \\t]+'), w -> w != '')) >= $C4MinLineWords
+             |       AND NOT contains(lower(l), 'javascript'))""".stripMargin))
+          .as("kept"))
+      .select(
+        col("doc_id"),
+        expr("size(split(text, '\\n'))").as("n_lines"),
+        expr("size(kept)").as("n_lines_kept"),
+        array_join(col("kept"), "\n").as("text_c4"),
+        (expr(s"size(kept) >= $C4MinKeptLines") &&
+          !expr("contains(lower(text), 'lorem ipsum')") &&
+          !expr("contains(text, '{')")).as("c4_keep"))
+
+  // ---------------------------------------------------------------------
   // Registered queries
   // ---------------------------------------------------------------------
 
@@ -162,6 +204,7 @@ object Clean {
     "clean_regex" -> ((s, d) => cleanRegexQuery(Tables.documents(s, d))),
     "clean_minlen_filter" -> ((s, d) => minLenFilterQuery(Tables.documents(s, d))),
     "clean_corpus_stats" -> ((s, d) => corpusStatsQuery(Tables.documents(s, d))),
+    "clean_c4_lines" -> ((s, d) => c4LinesQuery(Tables.documents(s, d))),
     "clean_pii" -> ((s, d) => piiScrubQuery(Tables.documents(s, d))))
 
   /** Escape a regex for embedding in a single-quoted SQL literal. */
@@ -212,6 +255,23 @@ object Clean {
            |    + len(regexp_extract_all(text, '${q(PhoneRe)}'))
            |    + len(regexp_extract_all(text, '${q(SsnRe)}'))
            |    + len(regexp_extract_all(text, '${q(Ipv4Re)}')) > 0""".stripMargin,
+      "clean_c4_lines" ->
+        s"""WITH k AS (
+           |  SELECT doc_id, text,
+           |         list_filter(string_split(text, chr(10)),
+           |           l -> regexp_matches(l, '[.!?"][ \\t]*$$')
+           |                AND len(list_filter(regexp_split_to_array(l, '[ \\t]+'),
+           |                                    w -> w <> '')) >= $C4MinLineWords
+           |                AND NOT contains(lower(l), 'javascript')) AS kept
+           |  FROM documents)
+           |SELECT doc_id,
+           |  len(string_split(text, chr(10))) AS n_lines,
+           |  len(kept) AS n_lines_kept,
+           |  COALESCE(array_to_string(kept, chr(10)), '') AS text_c4,
+           |  len(kept) >= $C4MinKeptLines
+           |    AND NOT contains(lower(text), 'lorem ipsum')
+           |    AND NOT contains(text, '{') AS c4_keep
+           |FROM k""".stripMargin,
       "clean_corpus_stats" ->
         // CAST ... AS BIGINT: DuckDB sum(BIGINT) returns HUGEINT, which
         // pandas renders as float64 and the driver's value hash then

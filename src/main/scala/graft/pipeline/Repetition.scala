@@ -80,6 +80,52 @@ object Repetition {
         .as("top_bigram_char_frac"))
   }
 
+  /** Gopher's duplicate-LINE pair of signals (Rae et al. 2021, Table A1:
+    * "duplicate line fraction" and "duplicate line character fraction")
+    * — the boilerplate detector that catches nav-bars, cookie banners,
+    * and template footers repeated inside one page, which the word-level
+    * signals above dilute. A doc fails Gopher's filter when either
+    * fraction is high; this query emits both so the cutoff stays a user
+    * knob.
+    *
+    * Scale shape: identical to [[repetitionQuery]] — per-row HOF folds
+    * over the in-row line array (sort + run-length for the duplicated-
+    * char sum), zero shuffles, pipelines inside the scan at any corpus
+    * size. */
+  def gopherLinesQuery(docs: DataFrame): DataFrame = {
+    val s1 = docs.select(
+      col("doc_id"),
+      Stage.once(expr("split(text, '\\n')")).as("lines"))
+    val s2 = s1.select(
+      col("doc_id"),
+      expr("size(lines)").cast("long").as("n_lines"),
+      expr("size(array_distinct(lines))").cast("long").as("n_distinct_lines"),
+      // chars in lines occurring 2+ times: run-length fold over the
+      // sorted array; on entering a run's 2nd member both members'
+      // chars are charged, later members charge only themselves.
+      expr(
+        """aggregate(array_sort(lines),
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0,
+          |               'dup', CAST(0 AS BIGINT)),
+          |  (a, x) -> named_struct(
+          |    'prev', x,
+          |    'run', IF(a.prev <=> x, a.run + 1, 1),
+          |    'dup', a.dup + IF(a.prev <=> x,
+          |                      IF(a.run = 1, length(a.prev) + length(x), length(x)),
+          |                      0)),
+          |  a -> a.dup)""".stripMargin).as("dup_line_chars"),
+      expr("aggregate(lines, CAST(0 AS BIGINT), (s, x) -> s + length(x))")
+        .as("total_line_chars"))
+    s2.select(
+      col("doc_id"), col("n_lines"), col("n_distinct_lines"),
+      (lit(1.0) - col("n_distinct_lines").cast("double") / col("n_lines").cast("double"))
+        .as("dup_line_frac"),
+      col("dup_line_chars"), col("total_line_chars"),
+      when(col("total_line_chars") > 0,
+        col("dup_line_chars").cast("double") / col("total_line_chars").cast("double"))
+        .otherwise(lit(null).cast("double")).as("dup_line_char_frac"))
+  }
+
   /** Corpus-wide top-20 word bigrams — the classic n-gram frequency
     * report. Scale shape: per-row bigram explode → hash-partitioned
     * count (map-side partial agg absorbs the heavy hitters) → global
@@ -134,6 +180,7 @@ object Repetition {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_repetition" -> ((s, d) => repetitionQuery(Tables.documents(s, d))),
+    "quality_gopher_lines" -> ((s, d) => gopherLinesQuery(Tables.documents(s, d))),
     "corpus_top_bigrams" -> ((s, d) => topBigramsQuery(Tables.documents(s, d))),
     "doc_commonness" -> ((s, d) => commonnessQuery(Tables.documents(s, d))))
 
@@ -141,6 +188,24 @@ object Repetition {
     * rank) — an independent derivation, which is the point: two different
     * computations, one hash. */
   def oracles: Map[String, String] = Map(
+    "quality_gopher_lines" ->
+      """WITH l AS (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+        |g AS (SELECT doc_id, line, count(*) AS cnt FROM l GROUP BY doc_id, line),
+        |a AS (SELECT doc_id,
+        |        CAST(sum(cnt) AS BIGINT) AS n_lines,
+        |        CAST(count(*) AS BIGINT) AS n_distinct_lines,
+        |        CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) AS BIGINT)
+        |          AS dup_line_chars,
+        |        CAST(sum(cnt * length(line)) AS BIGINT) AS total_line_chars
+        |      FROM g GROUP BY doc_id)
+        |SELECT doc_id, n_lines, n_distinct_lines,
+        |  1.0 - CAST(n_distinct_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS dup_line_frac,
+        |  dup_line_chars, total_line_chars,
+        |  CASE WHEN total_line_chars > 0
+        |       THEN CAST(dup_line_chars AS DOUBLE) / CAST(total_line_chars AS DOUBLE)
+        |       ELSE NULL END AS dup_line_char_frac
+        |FROM a""".stripMargin,
     "doc_commonness" ->
       s"""WITH pdw AS (
          |  SELECT doc_id, word, count(*) AS n_occ

@@ -60,6 +60,66 @@ object Sampling {
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Midpoint of the saturating length prior used as the keep
+    * probability by [[qualityWeightedSampleQuery]] (a doc of this length
+    * keeps with p = 0.5) — the same prior Similarity.hybridTopK blends. */
+  val QwMidpoint = 300
+
+  /** Quality-WEIGHTED (soft/rejection) sampling: instead of a hard
+    * quality cutoff, each doc is kept with probability equal to its
+    * quality score — here the saturating length prior
+    * `n_chars / (n_chars + 300)`, the stand-in for any scalar score
+    * riding the corpus. Soft sampling preserves a calibrated share of
+    * every quality stratum (the practice FineWeb-style ablations use to
+    * avoid filter-induced domain shift), rather than a cliff.
+    *
+    * Determinism: the uniform draw is the first two hex chars of
+    * `md5(doc_id)` decoded to an integer 0..255 via position-in-alphabet
+    * arithmetic (both engines spell the identical decode — no RNG, no
+    * engine-specific hex parse), and the doc keeps iff
+    * `u < floor(256 * p)`. Same monotone-reproducible property as
+    * [[hashBucket]]: the same doc always draws the same u, so raising a
+    * score only ever ADDS docs. Scan-local, zero shuffles: at 100 TB
+    * this is a pushed-down filter over the scan. */
+  def qualityWeightedSampleQuery(docs: DataFrame): DataFrame = {
+    val hex = "0123456789abcdef"
+    val u = (expr(s"instr('$hex', substring(md5(cast(doc_id AS STRING)), 1, 1)) - 1") * 16 +
+      expr(s"instr('$hex', substring(md5(cast(doc_id AS STRING)), 2, 1)) - 1")).cast("int")
+    val p = col("n_chars").cast("double") /
+      (col("n_chars") + lit(QwMidpoint)).cast("double")
+    docs.select(col("doc_id"), col("source"), col("n_chars"),
+        u.as("u"), p.as("keep_prob"))
+      .filter(col("u") < floor(lit(256.0) * col("keep_prob")).cast("int"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("keep_prob"))
+  }
+
+  /** Split-leakage audit: exact-duplicate texts whose copies land in
+    * MORE THAN ONE of the train/val/test splits — the cross-split
+    * contamination the deterministic doc-id carve cannot see (the split
+    * key is the id, so byte-identical re-crawls with different ids can
+    * straddle the train/test boundary and leak evaluation data into
+    * training). Composition of the [[splitCountsQuery]] assignment rule
+    * with exact-dedup's content hash; run it BEFORE carving any eval
+    * set out of a deduplicated-by-id corpus.
+    *
+    * Scale shape: one hash-partitioned aggregation keyed on the 32-hex
+    * md5 of the text — uniform by construction (content hash), the same
+    * single-shuffle envelope as `dedup_exact`; the HAVING cut means only
+    * leaking groups (a vanishing fraction) survive the agg. */
+  def splitLeakageQuery(docs: DataFrame): DataFrame =
+    docs.select(
+        md5(col("text")).as("text_md5"),
+        when(hashBucket(col("doc_id")) <= "cc", "train")
+          .when(hashBucket(col("doc_id")) <= "e5", "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("text_md5"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        min(col("split")).as("first_split"),
+        max(col("split")).as("last_split"))
+      .filter(col("n_splits") > 1)
+
   /** Token budget apportioned across sources by `mix_allocation`. */
   val MixBudget = 1000000L
 
@@ -206,7 +266,9 @@ object Sampling {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> ((s, d) => stratifiedSampleQuery(Tables.documents(s, d))),
+    "sample_quality_weighted" -> ((s, d) => qualityWeightedSampleQuery(Tables.documents(s, d))),
     "split_counts" -> ((s, d) => splitCountsQuery(Tables.documents(s, d))),
+    "split_leakage" -> ((s, d) => splitLeakageQuery(Tables.documents(s, d))),
     "mix_allocation" -> ((s, d) => mixAllocationQuery(Tables.documents(s, d))),
     "mix_temperature" -> ((s, d) => mixTemperatureQuery(Tables.documents(s, d))),
     "mix_unimax" -> ((s, d) => unimaxAllocationQuery(Tables.documents(s, d))))
@@ -221,6 +283,29 @@ object Sampling {
            |FROM documents d LEFT JOIN rates r ON d.source = r.source
            |WHERE substr(md5(d.doc_id::VARCHAR), 1, 2)
            |        <= COALESCE(r.thr, '$defaultThreshold')""".stripMargin,
+      "sample_quality_weighted" ->
+        s"""WITH draws AS (
+           |  SELECT doc_id, source, n_chars,
+           |         (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
+           |           + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1) AS u,
+           |         CAST(n_chars AS DOUBLE) / CAST(n_chars + $QwMidpoint AS DOUBLE) AS keep_prob
+           |  FROM documents)
+           |SELECT doc_id, source, n_chars, keep_prob
+           |FROM draws WHERE u < CAST(floor(256.0 * keep_prob) AS INT)""".stripMargin,
+      "split_leakage" ->
+        """WITH s AS (
+          |  SELECT md5(text) AS text_md5,
+          |         CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= 'cc' THEN 'train'
+          |              WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= 'e5' THEN 'val'
+          |              ELSE 'test' END AS split
+          |  FROM documents)
+          |SELECT text_md5,
+          |       count(*) AS n_docs,
+          |       CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+          |       min(split) AS first_split,
+          |       max(split) AS last_split
+          |FROM s GROUP BY text_md5
+          |HAVING count(DISTINCT split) > 1""".stripMargin,
       "split_counts" ->
         """SELECT source,
           |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) <= 'cc' THEN 'train'

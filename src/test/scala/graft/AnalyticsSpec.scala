@@ -18,6 +18,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getDouble(4) === 206.835 - 1.015 * 3.0 - 84.6 * 1.0)
   }
 
+  test("script stats: per-block counts and latin fraction on mixed-script docs") {
+    val d = Seq(
+      (1L, "en", "Hello World 123"),
+      (2L, "ru", "Привет мир abc"),
+      (3L, "ja", "こんにちは世界"),
+      (4L, "xx", "")).toDF("doc_id", "lang", "text")
+    val rows = Analytics.scriptStatsQuery(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: 10 latin letters, 3 digits, 15 chars
+    assert(rows(1L).getLong(2) === 15L)
+    assert(rows(1L).getAs[Long]("n_latin") === 10L)
+    assert(rows(1L).getAs[Long]("n_digit") === 3L)
+    assert(rows(1L).getAs[Long]("n_cyrillic") === 0L)
+    assert(rows(1L).getAs[Double]("latin_frac") === 10.0 / 15.0)
+    // doc 2: cyrillic 9 (Привет=6, мир=3), latin 3
+    assert(rows(2L).getAs[Long]("n_cyrillic") === 9L)
+    assert(rows(2L).getAs[Long]("n_latin") === 3L)
+    // doc 3: kana こんにちは = 5, ideographs 世界 = 2 — both in the cjk class
+    assert(rows(3L).getAs[Long]("n_cjk") === 7L)
+    assert(rows(3L).getAs[Long]("n_latin") === 0L)
+    // empty text: zero counts, NULL fraction
+    assert(rows(4L).getLong(2) === 0L)
+    assert(rows(4L).isNullAt(rows(4L).fieldIndex("latin_frac")))
+  }
+
+  test("source overlap: vocabulary jaccard over lowercased words, empty intersections absent") {
+    val d = Seq(
+      (1L, "A", "a b c"),
+      (2L, "A", "B c"), // 'B' lowercases into b — vocab(A) stays {a,b,c}
+      (3L, "B", "b c d"),
+      (4L, "C", "zz")).toDF("doc_id", "source", "text")
+    val rows = Analytics.sourceOverlapQuery(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(rows.keySet === Set(("A", "B")))
+    assert(rows(("A", "B")) === ((3L, 3L, 2L, 2.0 / 4.0)))
+  }
+
   test("flesch: ellipsis is ONE run; unterminated prose = 1 sentence; blank drops") {
     val d = docs(
       1L -> "wait... what?", // runs: '...' and '?' = 2 sentences

@@ -106,7 +106,13 @@ class BpeTrainScaleSpec extends AnyFunSuite {
     info(f"trained ${model.vocabSize} symbols over ${lex.size} words in $seconds%.1f cpu-s")
     assert(model.vocabSize == 32000)
     assert(model.merges.size > 31000)
-    assert(seconds < 300.0, f"training too slow: $seconds%.1f cpu-s")
+    // ~134 cpu-s standalone, but even per-thread CPU time inflates ~2.5x
+    // under the full 39-suite parallel run (GC + memory-bandwidth
+    // contention bill real cycles to this thread — 346 cpu-s observed).
+    // The pin exists to catch the O(vocab x lexicon) recount regression,
+    // which is HOURS here; 900 s keeps a >10x detection gap without
+    // flaking on a loaded machine.
+    assert(seconds < 900.0, f"training too slow: $seconds%.1f cpu-s")
   }
 
   test("vocab_size=32000 over a 100k-word lexicon trains in bounded time") {

@@ -66,6 +66,30 @@ class RepetitionSpec extends SparkSpec {
     assert(m(2L) === ((2L, 3L, 1.5)))
   }
 
+  test("gopher duplicate-line signals: run-length char sum matches hand count") {
+    // lines: nav, body one, nav, body two, nav -> 5 lines, 3 distinct
+    // dup chars: 'nav' x3 = 9; total = 3+8+3+8+3 = 25
+    val d = Seq(
+      (1L, "nav\nbody one\nnav\nbody two\nnav"),
+      (2L, "all\nunique\nlines"),
+      (3L, "")).toDF("doc_id", "text")
+    val m = Repetition.gopherLinesQuery(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = m(1L)
+    assert(r1.getLong(1) === 5L && r1.getLong(2) === 3L)
+    assert(r1.getAs[Double]("dup_line_frac") === (1.0 - 3.0 / 5.0))
+    assert(r1.getAs[Long]("dup_line_chars") === 9L)
+    assert(r1.getAs[Long]("total_line_chars") === 25L)
+    assert(r1.getAs[Double]("dup_line_char_frac") === 9.0 / 25.0)
+    val r2 = m(2L)
+    assert(r2.getAs[Long]("dup_line_chars") === 0L)
+    assert(r2.getAs[Double]("dup_line_frac") === 0.0)
+    // empty text: one empty line, zero chars -> NULL char fraction
+    val r3 = m(3L)
+    assert(r3.getLong(1) === 1L)
+    assert(r3.isNullAt(r3.fieldIndex("dup_line_char_frac")))
+  }
+
   test("strict-first tiebreak: later equal run never replaces the arg") {
     // bigrams sorted: "b c","b c","z z","z z" — equal maxima; first wins.
     // words: b c b c z z z? Construct: "z z z b c b c" ->

@@ -34,6 +34,44 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(counts("test") > 150 && counts("test") < 450, counts.toString)
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("quality-weighted sample matches a local brute-force recomputation and is non-trivial") {
+    val docs = (1L to 400L).map(i => (i, s"src${i % 5}", i * 3))
+      .toDF("doc_id", "source", "n_chars")
+    val kept = Sampling.qualityWeightedSampleQuery(docs)
+      .collect().map(_.getLong(0)).toSet
+    val expected = (1L to 400L).filter { i =>
+      val u = Integer.parseInt(md5hex(i.toString).substring(0, 2), 16)
+      val p = (i * 3).toDouble / (i * 3 + Sampling.QwMidpoint).toDouble
+      u < math.floor(256.0 * p).toInt
+    }.toSet
+    assert(kept === expected)
+    // soft sampling actually spans strata: some short docs in, some long docs out
+    assert(kept.nonEmpty && kept.size < 400)
+    assert((1L to 400L).toSet.diff(kept).exists(_ > 300L) || kept.exists(_ <= 100L))
+  }
+
+  test("split leakage: identical text straddling the train/test carve is reported") {
+    // pick ids on each side of the carve by the same md5 rule the query uses
+    val ids = (1L to 200L)
+    val trainId = ids.find(i => md5hex(i.toString).substring(0, 2) <= "cc").get
+    val testId = ids.find(i => md5hex(i.toString).substring(0, 2) > "e5").get
+    val d = Seq(
+      (trainId, "the leaked evaluation passage"),
+      (testId, "the leaked evaluation passage"),
+      (1000L, "an unrelated unique document"),
+      (1001L, "another unrelated unique document")).toDF("doc_id", "text")
+    val rows = Sampling.splitLeakageQuery(d).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(1) === 2L) // n_docs
+    assert(r.getLong(2) === 2L) // n_splits
+    assert((r.getString(3), r.getString(4)) === (("test", "train")))
+  }
+
   test("mix allocation: exact largest-remainder apportionment, targets sum to budget") {
     // weights: alpha -> 1 (no digits), b2 -> 3, c3 -> 4; W = 8, budget 10:
     // q = floor(10w/8) = (1, 3, 5); r = (2, 6, 0); sum q = 9 -> the one
