@@ -41,39 +41,54 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => }
     val only = args.toSet
+    // Median-of-N per query (round-8 verdict #3): with identical binaries
+    // the single-shot sweep moved 311.6 -> 254.7 s round-over-round and
+    // individual queries by 3-4x (cold-vs-warm memo ordering, GC debt
+    // carried across lexically adjacent dedup queries, block-manager
+    // state). Each query runs REPS times with the full cleanup barrier
+    // between reps; the reported mark is the (lower) median — the
+    // statistic least moved by one cold outlier while still penalizing a
+    // genuinely bimodal query. REPS=1 restores the old single-shot sweep.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // Release this query's persisted intermediates before the next one:
-      // operators persist multi-use subtrees (LSH signatures, gram
-      // indexes), and 46 queries' worth of leftover blocks evict each
-      // other mid-query — a full sweep measured jaccard at 85 s vs 18 s
-      // standalone before this. The explicit GC then collects the freed
-      // blocks NOW instead of mid-way through the next query's timed
-      // window (cross-query GC debt measured as 1.2 vs 4.2 s swings on
-      // the same query, same binary). Cleanup time is excluded from the
-      // mark, matching a per-job submission model. CacheScope.drain() is
-      // the engine's own lifecycle (unpersists operator-registered
-      // frames); clearCache() remains as a belt-and-braces sweep for
-      // anything cached outside the registry.
-      CacheScope.drain()
-      spark.catalog.clearCache()
-      System.gc()
-      name -> (if (ok) sec else -1.0)
+      val marks = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // Release this query's persisted intermediates before the next
+        // timed window: operators persist multi-use subtrees (LSH
+        // signatures, gram indexes), and 46 queries' worth of leftover
+        // blocks evict each other mid-query — a full sweep measured
+        // jaccard at 85 s vs 18 s standalone before this. The explicit GC
+        // then collects the freed blocks NOW instead of mid-way through
+        // the next timed window (cross-query GC debt measured as 1.2 vs
+        // 4.2 s swings on the same query, same binary). Cleanup time is
+        // excluded from the mark, matching a per-job submission model.
+        // CacheScope.drain() is the engine's own lifecycle (unpersists
+        // operator-registered frames); clearCache() remains as a belt-
+        // and-braces sweep for anything cached outside the registry.
+        CacheScope.drain()
+        spark.catalog.clearCache()
+        System.gc()
+        if (ok) sec else -1.0
+      }
+      val sec =
+        if (marks.exists(_ < 0)) -1.0
+        else marks.sorted.apply((reps - 1) / 2)
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val nFail = results.count(_._2 < 0)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"reps":$reps,"sf":"$sfDir"}"""
     println(json)
     // stdout goes through sbt's [info] prefix, which broke the driver's
     // parser in round 1 — also drop the raw line where it can be read back.

@@ -20,13 +20,25 @@ import org.apache.spark.sql.functions._
   * user_id: a hot user's partition is 10% of the corpus on one task
   * unless AQE skew handling (or salting) engages.
   *
-  * Usage: runMain graft.ScaleGen <sfDir> <outDir> [factor=10] [--skew-events]
+  * With `--skew-docs`, ONE language owns 90% of documents and ONE source
+  * owns 100% — the adversarial shape for anything keyed on a data VALUE
+  * whose cardinality doesn't grow with the corpus (per-language buckets/
+  * aggregations, per-source prefix sums and mixtures). A plan whose
+  * parallelism is bounded by language or source count serializes here;
+  * the round-8 de-funnels (quality_lm_buckets' distributed rank,
+  * pack_assignments' composite-key sharding) exist for exactly this
+  * dataset. Deterministic (keyed on doc_id), dedup structure preserved
+  * (lang/source are not dedup keys).
+  *
+  * Usage: runMain graft.ScaleGen <sfDir> <outDir> [factor=10]
+  *        [--skew-events] [--skew-docs]
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
     val skewEvents = args.contains("--skew-events")
+    val skewDocs = args.contains("--skew-docs")
     val factor = args.drop(2).filterNot(_.startsWith("--"))
       .headOption.map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -122,7 +134,14 @@ object ScaleGen {
         lit("boilerplate").as("source"))
       .withColumn("n_chars", length(col("text")))
       .select(docs.columns.toIndexedSeq.map(col): _*)
-    write(replicas.reduce(_ union _).union(boiler), "documents")
+    val docsOut = replicas.reduce(_ union _).union(boiler)
+    write(
+      if (!skewDocs) docsOut
+      else docsOut
+        .withColumn("lang",
+          when(pmod(col("doc_id"), lit(10)) =!= 0, lit("en")).otherwise(col("lang")))
+        .withColumn("source", lit("theonesource")),
+      "documents")
 
     println(s"wrote ${factor}x $sfDir -> $outDir")
     spark.stop()

@@ -225,11 +225,22 @@ object Analytics {
     * distinct collapses occurrences map-side); the self-join fans out at
     * most #sources rows per word per side, so no key explodes; and
     * everything downstream runs on a #source-pairs-row frame. The
-    * per-source size dim is tiny and broadcasts into the final joins. */
+    * per-source size dim is tiny and broadcasts into the final joins.
+    * The word never appears in the OUTPUT — only counts of it do — so
+    * both the distinct exchange and the self-join ship `xxhash64(word)`
+    * (8 bytes) instead of the raw string (round-8 verdict #4: the raw-
+    * string spelling shipped the corpus vocabulary through the exchange
+    * twice and was the sweep's most variance-prone query). Collision
+    * envelope: two DISTINCT words colliding within one source would
+    * merge a count — probability ~ vocab^2 / 2^65, vanishing at any real
+    * vocabulary size (same argument as the xxhash64 collapse keys in
+    * Dedup); the DuckDB oracle keeps counting raw words, so the gate
+    * itself arbitrates the envelope every round. */
   def sourceOverlapQuery(docs: DataFrame): DataFrame = {
     val sw = docs
       .select(col("source"),
         explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("word"))
+      .select(col("source"), xxhash64(col("word")).as("word"))
       .distinct()
       .transform(graft.CacheScope.persist) // feeds the sizes agg AND both join sides
     val sizes = sw.groupBy(col("source")).agg(count(lit(1)).as("vocab"))

@@ -77,22 +77,48 @@ object Chunking {
     * whose padding cost [[packPaddingStatsQuery]] only reports — the
     * deterministic map from corpus to training sequences.
     *
-    * Scale shape: one running-sum window per source — parallelism is
-    * the source count, and the window state is a single long. For a
-    * 100 TB single-source corpus the same computation shards by a
-    * (source, range-bucket) composite key with per-bucket offsets
-    * combined in a second tiny pass (the ScaleGen/zipWithIndex idiom);
-    * at the driver's source cardinality the direct window is the right
-    * plan. Pure integer arithmetic — hash-exact vs the oracle. */
-  def packAssignmentsQuery(docs: DataFrame, w: Int = PackWindow): DataFrame = {
+    * Scale shape (round-8 rewrite): the obvious spelling — one running-
+    * sum window per source — has parallelism equal to the SOURCE COUNT:
+    * a single-source 100 TB corpus runs on one task. The prefix sum is
+    * associative, so it shards instead by a (source, doc_id-range-bucket)
+    * composite key: `bkt = (doc_id - min_id) div bucket_width` is
+    * monotone in doc_id, the running sum runs within each (source, bkt)
+    * shard in parallel, and each shard's carried-in offset is the prefix
+    * sum of the per-shard totals — a second window over a frame of at
+    * most #sources x ([[PackBuckets]]+1) rows that broadcasts back.
+    * Identical output to the per-source window (associativity; the
+    * bucket split respects doc_id order within every source); pure
+    * integer arithmetic — hash-exact vs the oracle. */
+  val PackBuckets = 64
+
+  def packAssignmentsQuery(docs: DataFrame, w: Int = PackWindow,
+      buckets: Int = PackBuckets): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val win = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(
+    val n = docs.select(
         col("doc_id"), col("source"),
         expr("size(filter(split(text, '\\\\s+'), x -> x != ''))").as("n_words"))
-      .withColumn("start_offset",
-        (sum(col("n_words").cast("long")).over(win) - col("n_words")).cast("long"))
+    // 1-row id-range scalar -> broadcast: bucket width >= 1 by the +1.
+    val rng = n.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val nb = n.crossJoin(broadcast(rng))
+      .withColumn("bkt", expr(
+        s"CAST((doc_id - lo) div (greatest(hi - lo, 0L) div ${buckets}L + 1L) AS INT)"))
+      .drop("lo", "hi")
+      .transform(graft.CacheScope.persist) // feeds shard totals AND the sharded window
+    val winShard = Window.partitionBy(col("source"), col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = nb.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("n_words").cast("long")).as("tot"))
+    // Carry pass over the TINY totals frame (<= sources x (buckets+1)
+    // rows): per-source exclusive prefix of shard totals. This window IS
+    // partitioned by source alone — bounded by construction, not by data.
+    val winCarry = Window.partitionBy(col("source")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("off", coalesce(sum(col("tot")).over(winCarry), lit(0L)))
+      .select(col("source"), col("bkt"), col("off"))
+    nb.withColumn("run", sum(col("n_words").cast("long")).over(winShard))
+      .join(broadcast(offsets), Seq("source", "bkt"))
+      .withColumn("start_offset", (col("off") + col("run") - col("n_words")).cast("long"))
       .select(
         col("doc_id"), col("source"), col("n_words"), col("start_offset"),
         expr(s"start_offset div ${w}L").as("pack_window"))

@@ -196,23 +196,59 @@ object LangModel {
     * exactly this reason; here the in-corpus bigram score stands in for
     * the wiki-LM perplexity, higher = more fluent = head-ward).
     *
-    * Determinism: ntile runs over a TOTAL order (score desc, doc_id) so
-    * replicated docs with bit-identical rational scores land in the same
-    * bucket on both engines. Scale shape: the score query's frames plus
-    * one per-language window — language keys bound the partitions, and
-    * within a language the window is a sort, not a funnel (same envelope
-    * as the per-source windows in Sampling); docs with < 2 tokens have
-    * no score and stay out (inner semantics, as the score query). */
+    * Determinism: buckets are cut over a TOTAL order (score desc,
+    * doc_id) so replicated docs with bit-identical rational scores land
+    * in the same bucket on both engines.
+    *
+    * Scale shape (round-8 rewrite): the obvious spelling —
+    * `ntile(3) OVER (PARTITION BY lang ORDER BY ...)` — ships EVERY row
+    * of a language into ONE window task, and language is the canonical
+    * skewed key (English alone can be half a web corpus), so that plan
+    * serializes billions of rows through one task at 100 TB. Instead the
+    * per-language rank is computed fully distributed, the NearDup gram-
+    * dictionary idiom: one global range sort on (lang, score desc,
+    * doc_id) + `zipWithIndex` assigns dense global indexes with per-
+    * partition offsets (no row ever passes through a single partition),
+    * and rank-within-language = global index − the language's first
+    * index, recovered from a #languages-row aggregate that broadcasts.
+    * ntile(3)'s bucket arithmetic (the first n%3 buckets take one extra
+    * row) is then a per-row integer expression on (rank, n). Output is
+    * hash-identical to the window spelling — same total order, same
+    * bucket sizes; docs with < 2 tokens have no score and stay out
+    * (inner semantics, as the score query). */
   def perplexityBucketsQuery(docs: DataFrame): DataFrame =
     bucketsOf(transitionScoreQuery(docs), docs)
 
   private def bucketsOf(scored: DataFrame, docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("transition_score").desc, col("doc_id"))
-    scored
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val ss = scored.sparkSession
+    val joined = scored
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .withColumn("b", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("transition_score"))
+    // Global range sort + zipWithIndex: ranks are exact whatever range
+    // boundaries the sampler picks, because concatenating sorted range
+    // partitions IS the total order (same argument as NearDup's gram ids).
+    val pre = joined
+      .repartitionByRange(col("lang"), col("transition_score").desc, col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("transition_score").desc, col("doc_id"))
+    val ranked = ss.createDataFrame(
+        pre.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+        pre.schema.add("gidx", LongType, nullable = false))
+      .transform(graft.CacheScope.persist) // feeds the offset agg AND the join
+    val offs = ranked.groupBy(col("lang"))
+      .agg(min(col("gidx")).as("off"), count(lit(1)).as("n_lang"))
+    // ntile(k) semantics on rank rk in 1..n: q = n div k buckets of the
+    // base size, the first rem = n % k buckets take one extra row. The
+    // else-branch `div q` is unevaluated when q = 0 (then rem = n and the
+    // first branch covers every rank), so ANSI div-by-zero cannot fire.
+    ranked.join(broadcast(offs), Seq("lang"))
+      .withColumn("rk", col("gidx") - col("off") + lit(1L))
+      .withColumn("q", expr("n_lang div 3"))
+      .withColumn("rem", expr("n_lang % 3"))
+      .withColumn("b", expr(
+        "IF(rk <= (q + 1) * rem, (rk + q) div (q + 1)," +
+          " rem + (rk - rem * (q + 1) + q - 1) div q)"))
       .select(col("doc_id"), col("lang"), col("transition_score"),
         when(col("b") === 1, "head").when(col("b") === 2, "middle")
           .otherwise("tail").as("ppl_bucket"))

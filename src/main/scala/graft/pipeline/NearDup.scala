@@ -273,15 +273,23 @@ object NearDup {
             lit(JaccardDenom) * least(col("x.n"), col("y.n")) &&
           lit(JaccardDenom + JaccardNumer) * ubound >= lit(JaccardNumer) * sumN)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
     // exact verification: merge-count the two SORTED gid arrays per
     // candidate pair (per-pair set ops on ~60-element int arrays beat a
     // per-gram re-join + groupBy: the verify cost tracks the candidate
     // count, not gram rows; the merge kernel beats array_intersect's
     // per-row hash-set build and aborts early once the threshold is
     // decided either way).
-    // No distinct() on candidates: pairs colliding on several prefix grams
-    // are re-verified (map-side, ~1.4x rows) instead of paying a full
-    // candidate shuffle — the final groupBy(id_b).min(id_a) dedups anyway.
+    // distinct() on candidates BEFORE the verify joins (round-8 rework of
+    // round 7's no-distinct trade): a pair colliding on several prefix
+    // grams is emitted once per shared gram, and for NEAR-IDENTICAL docs
+    // that multiplier is the whole prefix (~n(1-t)+1, e.g. ~13 grams at
+    // 60-gram docs) — not the ~1.4x a natural corpus shows — so at scale,
+    // where duplicate mass dominates, the verify stage materialized each
+    // true pair's two gram arrays and ran the merge kernel up to 13x. The
+    // dedup is an Aggregate on (id_a, id_b): partial aggregation collapses
+    // repeats map-side, so the exchange ships ~unique pairs of 16 bytes —
+    // strictly less data than the repeats it deletes downstream.
     // gidArr is one skinny row per doc (id + int array) — a CORPUS-
     // cardinality frame, so the broadcast hint is SIZE-GATED: below
     // broadcastMaxReps representatives the two verify joins ride a

@@ -191,4 +191,59 @@ class LangModelSpec extends SparkSpec {
     assert(got.find(_._1 == 7L).get._4 == "tail")
     assert(got.find(_._1 == 15L).get._4 == "tail")
   }
+
+  test("perplexity buckets: distributed rank is row-identical to the " +
+      "ntile window spelling on a skewed-language fixture") {
+    // one language owns 90% of the docs — the shape the round-8 rewrite
+    // exists for (a PARTITION BY lang window serializes it onto one task).
+    // Scores collide freely (short texts from a tiny vocabulary) so the
+    // doc_id tiebreak is genuinely load-bearing.
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val rows = (1L to 300L).map { id =>
+      val lang = if (id <= 270) "en" else if (id <= 290) "fr" else "de"
+      val t = Seq.fill(2 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (id, t, lang)
+    }
+    val docs = rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")))
+    val scored = LangModel.transitionScoreQuery(docs)
+    // the pre-rewrite spelling, verbatim, as the semantic reference
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("transition_score").desc, col("doc_id"))
+    val want = scored
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("b", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("transition_score"),
+        when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .as[(Long, String, Double, String)].collect().sortBy(_._1)
+    val got = LangModel.perplexityBucketsQuery(docs)
+      .as[(Long, String, Double, String)].collect().sortBy(_._1)
+    assert(got.length == want.length && got.sameElements(want))
+    // every ntile group size pattern shows up: 270 = 3*90, 20 and 10 are
+    // not divisible by 3 (so the extra-row-to-early-buckets arithmetic is
+    // exercised, not just the even split)
+    assert(Set(270, 20, 10) ==
+      got.groupBy(_._2).view.mapValues(_.length).values.toSet)
+  }
+
+  test("perplexity buckets plan has NO window operator (the rank is " +
+      "distributed, not a per-language funnel)") {
+    val docs = docsDF(Seq(1L -> "a b a b", 2L -> "a b c", 3L -> "b a"))
+    val plan = LangModel.perplexityBucketsQuery(docs)
+      .queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    var windows = 0
+    unwrapped.foreach {
+      case _: org.apache.spark.sql.execution.window.WindowExec => windows += 1
+      case _ => ()
+    }
+    assert(windows == 0, s"expected a window-free plan, found $windows WindowExec nodes")
+  }
 }

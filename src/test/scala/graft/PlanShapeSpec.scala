@@ -46,7 +46,11 @@ class PlanShapeSpec extends SparkSpec {
   private val pins: Seq[(String, (Int, Int, Int))] = Seq(
     // round 7: gidArr persisted (verify-side groupBy computed once, was
     // inlined into both join sides) -> 4 fewer shuffle subtrees.
-    "dedup_jaccard_dupmap" -> ((5, 5, 4)),
+    // round 9: candidate-pair distinct() before the verify joins (the
+    // near-identical-doc prefix multiplier made re-verification ~13x at
+    // probe scale) -> +2 shuffle subtrees in the initial plan, paid once
+    // on ~16-byte rows.
+    "dedup_jaccard_dupmap" -> ((7, 5, 4)),
     "dedup_minhash" -> ((5, 7, 2)),
     "dedup_minhash_dupmap" -> ((3, 7, 0)),
     "dedup_minhash_stats" -> ((7, 8, 0)),

@@ -154,6 +154,51 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(m(4L) === ((0L, 0L)))
   }
 
+  test("pack assignment: SINGLE-source corpus matches a sequential prefix " +
+      "sum and runs the running sum sharded, not per-source") {
+    // the round-8 de-funnel exists for exactly this fixture: one source,
+    // so the old PARTITION BY source window had parallelism 1. Word
+    // counts vary and doc_ids are non-contiguous (stride 3) so bucket
+    // boundaries fall mid-stream.
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 500).map { i =>
+      val id = 1000L + i * 3
+      (id, "only", ("w " * (1 + rnd.nextInt(20))).trim)
+    }
+    val docs = rows.toDF("doc_id", "source", "text")
+    // sequential reference in driver code, independent of Spark windows
+    var acc = 0L
+    val want = rows.sortBy(_._1).map { case (id, _, t) =>
+      val n = t.split("\\s+").count(_.nonEmpty).toLong
+      val off = acc; acc += n
+      id -> ((off, off / Chunking.PackWindow))
+    }.toMap
+    val q = Chunking.packAssignmentsQuery(docs)
+    val got = q.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got === want)
+    // plan shape: the corpus-stream running sum is keyed by the
+    // (source, bkt) COMPOSITE — some window in the plan partitions on two
+    // expressions. (The tiny per-shard carry window is source-keyed by
+    // design; it runs over <= sources x (buckets+1) rows.)
+    val plan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    var partitionArities = List.empty[Int]
+    plan.foreach {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        partitionArities ::= w.partitionSpec.length
+      case _ => ()
+    }
+    assert(partitionArities.contains(2),
+      s"expected a (source, bkt)-sharded window, got arities $partitionArities")
+    // and the shards are real: this fixture spans multiple buckets
+    assert(rows.map(r => (r._1 - 1000L) /
+      ((1000L + 499 * 3 - 1000L) / Chunking.PackBuckets + 1)).distinct.size > 8)
+  }
+
   test("chunking edges: short doc and empty doc") {
     val docs = Seq((1L, "a b c"), (2L, "   ")).toDF("doc_id", "text")
     val byDoc = Chunking.chunkQuery(docs).collect()
