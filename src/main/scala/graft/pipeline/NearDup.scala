@@ -2,7 +2,7 @@ package graft.pipeline
 
 import java.util.Locale
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -160,17 +160,7 @@ object NearDup {
     * every trigram hot) never generate candidates. Exact: the prefix
     * lemma guarantees no false negatives, and the naive DuckDB oracle
     * arbitrates that — results are hash-identical to the unpruned join. */
-  /** Upper bound on representative-doc rows the verify stage will
-    * broadcast (see [[jaccardDuplicateOf]]). At ~300 bytes per row
-    * (8-byte id + ~60-int sorted gram array) the default caps the
-    * broadcast near 300 MB — comfortably inside executor/driver memory
-    * on any sane cluster; past it the corpus-cardinality frame must NOT
-    * ride the driver, and the verify joins degrade to ordinary shuffled
-    * joins on id instead. */
-  val JaccardBroadcastMaxReps: Long = 1L << 20
-
-  def jaccardDuplicateOf(docs: DataFrame,
-      broadcastMaxReps: Long = JaccardBroadcastMaxReps): DataFrame = {
+  def jaccardDuplicateOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Explicit partition counts on the reused frames, each keyed by the
     // column its consumers join/group on, serve two purposes: (a) the
@@ -254,73 +244,107 @@ object NearDup {
       .select(col("doc_id"), col("gid"), col("n"), col("rk"))
       .repartition(numParts, col("gid"))
       .transform(graft.CacheScope.persist)
-    // Candidate join with two further LOSSLESS prunes evaluated inside the
-    // join condition, before the pair ever materializes (PPJoin, Xiao et
-    // al.): with t = N/D and jaccard(a,b) >= t  ⟺  (D+N)·inter >= N·(n_a+n_b),
-    //  - length filter: inter <= min(n_x, n_y), so N·max(n_x,n_y) <= D·min
-    //    is necessary (docs whose sizes differ >t-fold can never match);
-    //  - positional filter: both prefix lists share the one global
-    //    (df, g) order, so a match at positions (rk_x, rk_y) bounds the
-    //    total intersection by 1 + min(n_x - rk_x, n_y - rk_y).
-    // Both matter when the corpus vocabulary is small (every trigram hot):
-    // the prefix filter alone left an ~87 s candidate blowup at the
-    // 50k-doc scale probe.
-    val sumN = col("x.n") + col("y.n")
-    val ubound = lit(1) + least(col("x.n") - col("x.rk"), col("y.n") - col("y.rk"))
-    val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id") &&
-          lit(JaccardNumer) * greatest(col("x.n"), col("y.n")) <=
-            lit(JaccardDenom) * least(col("x.n"), col("y.n")) &&
-          lit(JaccardDenom + JaccardNumer) * ubound >= lit(JaccardNumer) * sumN)
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    // exact verification: merge-count the two SORTED gid arrays per
-    // candidate pair (per-pair set ops on ~60-element int arrays beat a
-    // per-gram re-join + groupBy: the verify cost tracks the candidate
-    // count, not gram rows; the merge kernel beats array_intersect's
-    // per-row hash-set build and aborts early once the threshold is
-    // decided either way).
-    // distinct() on candidates BEFORE the verify joins (round-8 rework of
-    // round 7's no-distinct trade): a pair colliding on several prefix
-    // grams is emitted once per shared gram, and for NEAR-IDENTICAL docs
-    // that multiplier is the whole prefix (~n(1-t)+1, e.g. ~13 grams at
-    // 60-gram docs) — not the ~1.4x a natural corpus shows — so at scale,
-    // where duplicate mass dominates, the verify stage materialized each
-    // true pair's two gram arrays and ran the merge kernel up to 13x. The
-    // dedup is an Aggregate on (id_a, id_b): partial aggregation collapses
-    // repeats map-side, so the exchange ships ~unique pairs of 16 bytes —
-    // strictly less data than the repeats it deletes downstream.
-    // gidArr is one skinny row per doc (id + int array) — a CORPUS-
-    // cardinality frame, so the broadcast hint is SIZE-GATED: below
-    // broadcastMaxReps representatives the two verify joins ride a
-    // broadcast and stay shuffle-free; above it the hint is dropped and
-    // they become ordinary shuffled joins on id (a corpus-sized driver
-    // collect is the one plan shape that cannot survive a 100x scale-up).
-    // The rep count is read off the already-persisted withG frame — one
-    // cheap count job at plan-build time, not a second corpus pass.
-    val nReps = withG.filter(col("doc_id") === col("gid")).count()
+    // Candidate generation + verification, MIN-PARTNER KERNEL form
+    // (round 9; the TextEmbed.minPartnerUdf idiom ported to set
+    // similarity). The dup map only ever consumes ONE fact per
+    // representative — its MINIMUM verified smaller-id partner: a rep's
+    // own members carry the rep id as an in-group candidate that beats
+    // any partner above the rep, and the rep's own row filters to
+    // cand < rep — so of the old candidate-join/verify-join output, only
+    // the per-rep minimum survives the final min. That licenses
+    // replacing the prefix self-join (pair enumeration quadratic in
+    // posting-list length — 71.9 s / exp 0.86 at the 100x probe, where a
+    // planted cluster's pairs grow with factor²) with a per-prefix-gram
+    // kernel over the id-sorted posting list: for each doc, scan earlier
+    // docs ASCENDING and emit the first pair that passes the two PPJoin
+    // prunes (Xiao et al.; with t = N/D, jaccard >= t ⟺ (D+N)·inter >=
+    // N·(n_a+n_b)):
+    //  - length filter: inter <= min(n_x, n_y), so N·max <= D·min is
+    //    necessary (sizes differing >t-fold can never match);
+    //  - positional filter: a first shared gram at prefix positions
+    //    (rk_x, rk_y) bounds the intersection by 1 + min(n_x - rk_x,
+    //    n_y - rk_y) — valid at the pair's FIRST shared gram, which is
+    //    the only place the pair MUST be found (prefix lemma);
+    // and then the exact merge verification. First verified ascending =
+    // that gram's minimum; the cross-gram groupBy(min) recovers the true
+    // minimum partner: every verified doc is a true partner, so nothing
+    // below the true minimum can verify, and the minimum's own first
+    // shared gram accepts it. LOSSLESS, arbitrated by the unpruned
+    // DuckDB oracle as before.
+    // Cost: a k-member near-dup cluster costs O(k) early-exit scans per
+    // shared prefix gram, not k²/2 enumerated pairs; each gram array
+    // ships once per prefix gram (~n(1-t)+1 copies) instead of twice per
+    // candidate pair, and the old corpus-cardinality verify broadcast
+    // (size-gated at 1M reps) disappears entirely — the kernel holds one
+    // POSTING LIST at a time, the same frame the join enumerated
+    // quadratically. Worst case (a posting list of mutual
+    // non-duplicates) pays the join's k²/2 cheap-filter evaluations
+    // in-kernel, without the exchange.
     val gidArr = gramsG.groupBy("doc_id")
       .agg(sort_array(collect_list(col("gid"))).as("ga"))
       .transform(graft.CacheScope.persist)
-    def verifySide(df: DataFrame): DataFrame =
-      if (nReps <= broadcastMaxReps) broadcast(df) else df
-    val repPairs = cand
-      .join(verifySide(gidArr.select(col("doc_id").as("id_a"), col("ga").as("ga_a"))), "id_a")
-      .join(verifySide(gidArr.select(col("doc_id").as("id_b"), col("ga").as("ga_b"))), "id_b")
-      .filter(jaccardGeUdf(col("ga_a"), col("ga_b")))
-      .select(col("id_a").as("pa"), col("id_b").as("pb"))
-    // expand rep-level pairs back to members (see MinHash.duplicateOf for
-    // the equivalence argument).
-    val partners = repPairs.select(col("pa").as("gid"), col("pb").as("cand"))
-      .union(repPairs.select(col("pb").as("gid"), col("pa").as("cand")))
+    val verified = prefix.join(gidArr, "doc_id")
+      .groupBy(col("gid"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("n"), col("rk"), col("ga")))).as("ps"))
+      .select(explode(jaccardMinPartnerUdf(col("ps"))).as("p"))
+      .select(col("p._1").as("rep"), col("p._2").as("mp"))
+      .groupBy(col("rep"))
+      .agg(min(col("mp")).as("mp"))
+    // expand rep-level attributions back to members (the shared algebra
+    // of MinHash.duplicateOf / TextEmbed): in-group members attribute to
+    // their rep id; the rep (and transitively its members, mp < rep <=
+    // member) to the minimum verified partner.
     val members = withG.select(col("doc_id"), col("gid"))
-    members.join(partners, "gid")
-      .filter(col("cand") < col("doc_id"))
-      .select(col("doc_id"), col("cand"))
+    members.join(verified, members("gid") === verified("rep"))
+      .select(col("doc_id"), col("mp").as("cand"))
       .union(members.filter(col("doc_id") =!= col("gid"))
         .select(col("doc_id"), col("gid").as("cand")))
       .groupBy(col("doc_id").as("duplicate_id"))
       .agg(min(col("cand")).as("original_id"))
+  }
+
+  /** Per-prefix-gram min-partner kernel: `ps` is the gram's posting list
+    * as (doc_id, n, rk, ga) structs, PRE-SORTED ascending by doc_id
+    * (sort_array; doc_id is the leading struct field and unique within a
+    * posting). For each doc, scan earlier docs in id order under the
+    * PPJoin length + positional prunes and emit (doc, partner) for the
+    * FIRST merge-verified one — ascending first = this gram's minimum,
+    * which is the only row the dup-map algebra consumes. */
+  private val jaccardMinPartnerUdf = udf { ps: Seq[Row] =>
+    val L = ps.length
+    val ids = new Array[Long](L)
+    val ns = new Array[Int](L)
+    val rks = new Array[Int](L)
+    val gas = new Array[Array[Int]](L)
+    var i = 0
+    while (i < L) {
+      val r = ps(i)
+      ids(i) = r.getLong(0); ns(i) = r.getInt(1); rks(i) = r.getInt(2)
+      gas(i) = r.getSeq[Int](3).toArray
+      i += 1
+    }
+    val out = Seq.newBuilder[(Long, Long)]
+    var b = 1
+    while (b < L) {
+      val nb = ns(b); val slackB = nb - rks(b)
+      var a = 0
+      var found = false
+      while (a < b && !found) {
+        val na = ns(a)
+        val lenOk = JaccardNumer * math.max(na, nb) <= JaccardDenom * math.min(na, nb)
+        if (lenOk) {
+          val ubound = 1 + math.min(na - rks(a), slackB)
+          if ((JaccardDenom + JaccardNumer) * ubound >= JaccardNumer * (na + nb) &&
+              jaccardGE(gas(a), gas(b))) {
+            out += ((ids(b), ids(a))); found = true
+          }
+        }
+        a += 1
+      }
+      b += 1
+    }
+    out.result()
   }
 
   /** jaccard(a, b) >= JaccardNumer/JaccardDenom over two SORTED int
@@ -345,7 +369,6 @@ object NearDup {
     }
     inter >= need
   }
-  private val jaccardGeUdf = udf(jaccardGE _)
 
   // -----------------------------------------------------------------------
   // Winnowing fingerprints (rolling-hash document sketch)

@@ -38,14 +38,13 @@ class NearDupSpec extends SparkSpec {
     assert(dup == Set((2L, 1L)))
   }
 
-  test("trigram jaccard: gated (non-broadcast) verify path is result-identical") {
+  test("trigram jaccard: identical copies and near variants attribute to the cluster min") {
     val d = docs(1L -> longA, 2L -> longB, 3L -> other, 4L -> "two words",
       5L -> longA, 6L -> (longA + " extra trailing words here"))
-    val want = NearDup.jaccardDuplicateOf(d).as[(Long, Long)].collect().toSet
-    val got = NearDup.jaccardDuplicateOf(d, broadcastMaxReps = 0)
-      .as[(Long, Long)].collect().toSet
-    assert(got == want)
-    assert(got.contains((5L, 1L))) // exact copy collapses pre-join either way
+    val got = NearDup.jaccardDuplicateOf(d).as[(Long, Long)].collect().toSet
+    assert(got.contains((5L, 1L))) // exact copy collapses pre-kernel
+    assert(got.contains((2L, 1L))) // near variant via the min-partner kernel
+    assert(!got.exists(_._1 == 3L) && !got.exists(_._1 == 4L))
   }
 
   test("containment: a doc quoted inside a much larger doc is flagged; doc-level jaccard misses it") {

@@ -44,13 +44,11 @@ class PlanShapeSpec extends SparkSpec {
 
   /** (query, (shuffle exchanges, broadcast exchanges, sorts)). */
   private val pins: Seq[(String, (Int, Int, Int))] = Seq(
-    // round 7: gidArr persisted (verify-side groupBy computed once, was
-    // inlined into both join sides) -> 4 fewer shuffle subtrees.
-    // round 9: candidate-pair distinct() before the verify joins (the
-    // near-identical-doc prefix multiplier made re-verification ~13x at
-    // probe scale) -> +2 shuffle subtrees in the initial plan, paid once
-    // on ~16-byte rows.
-    "dedup_jaccard_dupmap" -> ((7, 5, 4)),
+    // round 9: per-prefix-gram min-partner kernel replaces the candidate
+    // self-join + two verify joins (+ their size-gated corpus broadcast):
+    // 2 fewer shuffles, 4 fewer broadcasts, 2 fewer sorts than the
+    // join form, and no corpus-cardinality broadcast anywhere.
+    "dedup_jaccard_dupmap" -> ((5, 1, 2)),
     "dedup_minhash" -> ((5, 7, 2)),
     "dedup_minhash_dupmap" -> ((3, 7, 0)),
     "dedup_minhash_stats" -> ((7, 8, 0)),
@@ -74,20 +72,6 @@ class PlanShapeSpec extends SparkSpec {
       assert(got == want, s"$name plan shape drifted: got $got, pinned $want")
     }
 
-  test("jaccard verify broadcast is size-gated: above threshold the " +
-      "corpus-cardinality frame is NOT broadcast") {
-    val docs = Tables.documents(spark, sfDir)
-    val gated = shape(graft.pipeline.NearDup.jaccardDuplicateOf(docs, broadcastMaxReps = 0))
-    val hinted = shape(graft.pipeline.NearDup.jaccardDuplicateOf(docs))
-    info(s"gated -> shuffles=${gated._1} broadcasts=${gated._2} sorts=${gated._3}")
-    // both verify-side broadcasts must disappear; their joins degrade to
-    // shuffled joins on id (more shuffles, never more broadcasts). Other
-    // stats-planned joins may also flip at this tiny scale, so the pin is
-    // an upper bound, not an exact delta.
-    assert(gated._2 <= hinted._2 - 2,
-      s"expected at least 2 fewer broadcasts when gated: got $gated vs $hinted")
-    assert(gated._1 > hinted._1, s"degraded plan should shuffle the verify joins: $gated")
-  }
 
   test("plan shape pinned: minhash cluster edge list (CC per-round input)") {
     val edges = graft.pipeline.MinHash.clusterEdges(Tables.documents(spark, sfDir))
