@@ -283,7 +283,13 @@ object NearDup {
     val gidArr = gramsG.groupBy("doc_id")
       .agg(sort_array(collect_list(col("gid"))).as("ga"))
       .transform(graft.CacheScope.persist)
+    // The explicit repartition pins the kernel's exchange: postings are
+    // small in BYTES (AQE's coalescing currency) but the kernel is
+    // CPU-dense — the round-2 probe showed byte-based coalescing
+    // collapsing exactly this shape to one partition. groupBy(gid) then
+    // runs exchange-free on top of the pinned layout.
     val verified = prefix.join(gidArr, "doc_id")
+      .repartition(numParts, col("gid"))
       .groupBy(col("gid"))
       .agg(sort_array(collect_list(
         struct(col("doc_id"), col("n"), col("rk"), col("ga")))).as("ps"))

@@ -264,7 +264,47 @@ object Sampling {
         (col("alloc_chars").cast("double") / col("n_chars").cast("double")).as("epochs"))
   }
 
+  /** Per-source kept-doc budget for [[sourceCapSampleQuery]]. Sized to
+    * bite at every gate scale (each sf's sources hold >20 docs). */
+  val SourceCap = 20
+
+  /** Per-source/domain document cap — the domain-balancing step of the
+    * C4 / RefinedWeb / Dolma lineage: no single domain may contribute
+    * more than `cap` documents, and WHICH docs survive is a uniform
+    * deterministic draw (md5 of the doc id — the same unit-interval
+    * device as the stratified/quality-weighted samplers), not head-of-
+    * file order, so the kept subset is unbiased w.r.t. crawl order.
+    *
+    * Scale shape: the naive spelling is `row_number() OVER (PARTITION BY
+    * source ORDER BY h)` — a per-source funnel, the exact shape the
+    * round-9 de-funnels removed elsewhere (a hot domain = one task).
+    * Instead, two-phase top-k (the tok_vocab idiom): phase 1 takes each
+    * (source, input-partition)'s local top-`cap` by (h, doc_id) —
+    * parallelism = the corpus partition count; phase 2 ranks the
+    * survivors exactly — its per-source window reads ≤ cap × partitions
+    * rows by construction, bounded whatever the corpus size. The final
+    * rank is over the total order (h, doc_id), so the result is
+    * deterministic and partition-layout-independent (any doc in the
+    * global per-source top-cap is in its partition's local top-cap). */
+  def sourceCapSampleQuery(docs: DataFrame, cap: Int = SourceCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("source"),
+      md5(col("doc_id").cast("string")).as("h"))
+    val local = base
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rk1", row_number().over(
+        Window.partitionBy(col("source"), col("pid")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("rk1") <= cap)
+      .drop("pid", "rk1")
+    local
+      .withColumn("cap_rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))).cast("long"))
+      .filter(col("cap_rank") <= cap)
+      .select(col("doc_id"), col("source"), col("cap_rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_source_cap" -> ((s, d) => sourceCapSampleQuery(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => stratifiedSampleQuery(Tables.documents(s, d))),
     "sample_quality_weighted" -> ((s, d) => qualityWeightedSampleQuery(Tables.documents(s, d))),
     "split_counts" -> ((s, d) => splitCountsQuery(Tables.documents(s, d))),
@@ -277,6 +317,13 @@ object Sampling {
     val rateRows = tierOf.toSeq.sortBy(_._1)
       .map { case (s, t) => s"('$s', '$t')" }.mkString(", ")
     Map(
+      "sample_source_cap" ->
+        s"""SELECT doc_id, source, cap_rank FROM (
+           |  SELECT doc_id, source,
+           |         row_number() OVER (PARTITION BY source
+           |                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS cap_rank
+           |  FROM documents)
+           |WHERE cap_rank <= $SourceCap""".stripMargin,
       "sample_stratified" ->
         s"""WITH rates(source, thr) AS (VALUES $rateRows)
            |SELECT d.doc_id, d.source

@@ -54,6 +54,24 @@ class SamplingChunkingSpec extends SparkSpec {
     assert((1L to 400L).toSet.diff(kept).exists(_ > 300L) || kept.exists(_ <= 100L))
   }
 
+  test("source cap: matches a local md5-rank recomputation across partitions " +
+      "and the cap bites") {
+    // 3 sources x 200 docs, repartitioned so every (source, partition)
+    // holds a slice — phase 1 must not lose any global top-cap doc.
+    val rows = (1L to 600L).map(i => (i, s"src${i % 3}", "x"))
+    val docs = rows.toDF("doc_id", "source", "text").repartition(7)
+    val got = Sampling.sourceCapSampleQuery(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (src, rs) =>
+      rs.map(_._1).sortBy(id => (md5hex(id.toString), id))
+        .take(Sampling.SourceCap).zipWithIndex
+        .map { case (id, i) => (id, src, (i + 1).toLong) }
+    }
+    assert(got.toSet === want.toSet)
+    // every source contributes exactly cap rows (200 candidates each)
+    assert(got.groupBy(_._2).forall(_._2.length == Sampling.SourceCap))
+  }
+
   test("split leakage: identical text straddling the train/test carve is reported") {
     // pick ids on each side of the carve by the same md5 rule the query uses
     val ids = (1L to 200L)
