@@ -13,7 +13,10 @@ object PipelineOps {
   /** P4 (src/main.py:250-256): keep original documents whose id survived
     * dedup — an explicit left-semi join (ships only ids, never payloads). */
   def uniqueDocs(docs: DataFrame): DataFrame =
-    docs.join(MinHash.dedup(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+    uniqueDocsFrom(docs, MinHash.dedup(docs))
+
+  private def uniqueDocsFrom(docs: DataFrame, surviving: DataFrame): DataFrame =
+    docs.join(surviving.select("doc_id"), Seq("doc_id"), "left_semi")
       .select("doc_id", "lang", "source")
 
   /** S9/A1-A6 (src/main.py:407-420, utils/metrics.py:89-170): one-row
@@ -51,7 +54,15 @@ object PipelineOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_unique_docs" -> ((s, d) => uniqueDocs(Tables.documents(s, d))),
+    // rides MinHash.dupsFor: the dedup is over the UNCLEANED documents
+    // table (reference parity), the same memoized dupmap the
+    // dedup_minhash family consumes.
+    "pipeline_unique_docs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      uniqueDocsFrom(docs,
+        docs.join(MinHash.dupsFor(s, d),
+          docs("doc_id") === col("duplicate_id"), "left_anti"))
+    }),
     "pipeline_summary" -> ((s, d) => summaryQuery(Tables.documents(s, d))))
 
   def oracles: Map[String, String] = Map(

@@ -49,9 +49,13 @@ class PlanShapeSpec extends SparkSpec {
     // 2 fewer shuffles, 4 fewer broadcasts, 2 fewer sorts than the
     // join form, and no corpus-cardinality broadcast anywhere.
     "dedup_jaccard_dupmap" -> ((5, 1, 2)),
-    "dedup_minhash" -> ((5, 7, 2)),
-    "dedup_minhash_dupmap" -> ((3, 7, 0)),
-    "dedup_minhash_stats" -> ((7, 8, 0)),
+    // round 9: the minhash family rides the memoized localCheckpoint
+    // dupmap (MinHash.dupsFor) — the signature/band/verify subtree runs
+    // once per (session, dir), so the per-query plans are a checkpoint
+    // scan plus the query's own join/aggregate.
+    "dedup_minhash" -> ((3, 0, 2)),
+    "dedup_minhash_dupmap" -> ((0, 0, 0)),
+    "dedup_minhash_stats" -> ((4, 1, 0)),
     "dedup_exact" -> ((2, 0, 2)),
     "r_q1_pricing_summary" -> ((2, 0, 0)),
     "r_hourly_event_stats" -> ((2, 0, 0)),
