@@ -84,13 +84,76 @@ object Contamination {
           >= OverlapThreshold).as("substantial"))
   }
 
+  /** Trigram-Jaccard similarity at or above this flags a training doc
+    * as a fuzzy near-match of a benchmark doc. Calibration: a word-level
+    * paraphrase dense enough to defeat the exact 5-gram tier (an edit at
+    * least every 5th word) still retains ~0.15–0.25 trigram Jaccard,
+    * while unrelated prose sits near 0 — so the fuzzy tier is a
+    * quarantine net, deliberately far below the ~0.7–0.8 near-dup
+    * dedup thresholds. */
+  val FuzzyThreshold = 0.15
+
+  /** FUZZY decontamination: per training doc, the MAXIMUM trigram-
+    * Jaccard similarity against any benchmark doc (emitted only when
+    * ≥ 1 trigram is shared), flagged at [[FuzzyThreshold]]. Exact
+    * n-gram overlap ([[contaminationQuery]]) misses paraphrased or
+    * lightly-edited eval leakage — a doc can share zero 5-grams with a
+    * benchmark item yet be a near-copy of it; whole-doc set similarity
+    * is the fuzzy tier the Llama-lineage decontamination appendices
+    * describe on top of the exact tier.
+    *
+    * Scale shape: the benchmark side is EVAL-SET-sized by construction,
+    * so its (id, trigram-array) rows broadcast and the join is a
+    * broadcast nested-loop with an `arrays_overlap` predicate — the
+    * training side never shuffles; per row it pays |bench| codegen'd
+    * set probes, i.e. O(corpus × |bench|) scan-shaped work with |bench|
+    * fixed (eval suites do not grow with the corpus) — the same
+    * absorbed-by-executors class as the ADC scans. The max and the
+    * verdict are one IEEE division per pair and an order-independent
+    * max, hash-identical to the oracle's unpruned pair join. */
+  def fuzzyContaminationQuery(docs: DataFrame): DataFrame = {
+    val tri = docs.select(col("doc_id"), graft.functions.Trigrams(col("text")).as("ga"))
+      .filter(size(col("ga")) > 0)
+    val bench = tri.filter(col("doc_id") < BenchmarkDocs)
+      .select(col("doc_id").as("bench_id"), col("ga").as("bga"))
+    tri.filter(col("doc_id") >= BenchmarkDocs)
+      .join(broadcast(bench), arrays_overlap(col("ga"), col("bga")))
+      .select(col("doc_id"),
+        size(array_intersect(col("ga"), col("bga"))).cast("double").as("inter"),
+        (size(col("ga")) + size(col("bga"))).cast("double").as("sz"))
+      .select(col("doc_id"), (col("inter") / (col("sz") - col("inter"))).as("jac"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("jac")).as("max_jaccard"))
+      .select(col("doc_id"), col("max_jaccard"),
+        (col("max_jaccard") >= FuzzyThreshold).as("contaminated"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate_flags" -> ((s, d) => contaminationQuery(Tables.documents(s, d))),
-    "decontaminate_overlap" -> ((s, d) => overlapQuery(Tables.documents(s, d))))
+    "decontaminate_overlap" -> ((s, d) => overlapQuery(Tables.documents(s, d))),
+    "decontaminate_fuzzy" -> ((s, d) => fuzzyContaminationQuery(Tables.documents(s, d))))
 
   def oracles: Map[String, String] = {
     val parts = (0 until GramN).map(k => s"w[i + $k]").mkString(" || ' ' || ")
     Map(
+      "decontaminate_fuzzy" ->
+        s"""WITH grams AS (SELECT doc_id, unnest(${NearDup.TrigramsD}) AS g FROM documents),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+           |inter AS (
+           |  SELECT t.doc_id, b.doc_id AS bench_id, count(*) AS inter
+           |  FROM grams t JOIN grams b ON t.g = b.g
+           |  WHERE t.doc_id >= $BenchmarkDocs AND b.doc_id < $BenchmarkDocs
+           |  GROUP BY 1, 2),
+           |jac AS (
+           |  SELECT i.doc_id,
+           |         CAST(inter AS DOUBLE)
+           |           / (CAST(st.n + sb.n AS DOUBLE) - CAST(inter AS DOUBLE)) AS jac
+           |  FROM inter i
+           |  JOIN sizes st ON st.doc_id = i.doc_id
+           |  JOIN sizes sb ON sb.doc_id = i.bench_id)
+           |SELECT doc_id, max(jac) AS max_jaccard,
+           |       max(jac) >= $FuzzyThreshold AS contaminated
+           |FROM jac GROUP BY doc_id""".stripMargin,
       "decontaminate_flags" ->
         s"""WITH b AS (
            |  SELECT doc_id,

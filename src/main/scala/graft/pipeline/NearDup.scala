@@ -500,18 +500,22 @@ object NearDup {
     "doc_fingerprints" -> ((s, d) => fingerprintQuery(Tables.documents(s, d))),
     "dedup_containment" -> ((s, d) => containmentQuery(Tables.documents(s, d))))
 
+  /** The DuckDB spelling of [[trigrams]] (distinct word trigrams of the
+    * lowercased text), shared with [[Contamination]]'s fuzzy oracle. */
+  private[pipeline] val TrigramsD: String =
+    """list_distinct(CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')) >= 3
+      |  THEN list_transform(range(1, len(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')) - 1),
+      |    i -> concat(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')[i], ' ',
+      |                list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')[i + 1], ' ',
+      |                list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')[i + 2]))
+      |  ELSE [] END)""".stripMargin
+
   def oracles: Map[String, String] = {
     val simBitsSql = (0 until SimBits).map { b =>
       val src = if (b < 31) s"(h >> $b)" else s"((($A2 * h + $B2) % ${MinHash.P}) >> ${b - 31})"
       s"(CASE WHEN list_sum(list_transform(hashes, h -> CASE WHEN ($src & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)"
     }.mkString(" + ")
-    val gramsD =
-      """list_distinct(CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')) >= 3
-        |  THEN list_transform(range(1, len(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')) - 1),
-        |    i -> concat(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')[i], ' ',
-        |                list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')[i + 1], ' ',
-        |                list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')[i + 2]))
-        |  ELSE [] END)""".stripMargin
+    val gramsD = TrigramsD
     Map(
       "dedup_simhash_dupmap" ->
         s"""WITH ${MinHash.shingleCtesD},
