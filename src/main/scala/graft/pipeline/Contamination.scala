@@ -93,31 +93,52 @@ object Contamination {
     * dedup thresholds. */
   val FuzzyThreshold = 0.15
 
+  /** Stop-trigram document-frequency cap for fuzzy candidate
+    * generation (the MOSS/[[NearDup.FpDfCap]] idiom): a trigram found
+    * in more than this many documents corpus-wide (`" th"`-class
+    * boilerplate) identifies nothing — pairing on it would regenerate
+    * the all-pairs scan this index exists to avoid — so it cannot
+    * nominate a candidate pair. It still participates in the EXACT
+    * Jaccard computed for nominated candidates. */
+  val FuzzyDfCap = 50
+
   /** FUZZY decontamination: per training doc, the MAXIMUM trigram-
-    * Jaccard similarity against any benchmark doc (emitted only when
-    * ≥ 1 trigram is shared), flagged at [[FuzzyThreshold]]. Exact
-    * n-gram overlap ([[contaminationQuery]]) misses paraphrased or
-    * lightly-edited eval leakage — a doc can share zero 5-grams with a
-    * benchmark item yet be a near-copy of it; whole-doc set similarity
-    * is the fuzzy tier the Llama-lineage decontamination appendices
-    * describe on top of the exact tier.
+    * Jaccard similarity against any benchmark doc sharing at least one
+    * RARE trigram with it (corpus df ≤ [[FuzzyDfCap]]), flagged at
+    * [[FuzzyThreshold]]. Exact n-gram overlap ([[contaminationQuery]])
+    * misses paraphrased or lightly-edited eval leakage — a doc can
+    * share zero 5-grams with a benchmark item yet be a near-copy of it;
+    * whole-doc set similarity is the fuzzy tier the Llama-lineage
+    * decontamination appendices describe on top of the exact tier. A
+    * genuine paraphrase at J ≥ 0.15 shares MANY trigrams, nearly all of
+    * them rare (they quote the benchmark item's specific phrasing), so
+    * the rare-gram gate loses nothing real; pairs sharing ONLY
+    * ubiquitous trigrams sit near J = 0 and are exactly the pairs the
+    * old `arrays_overlap` broadcast nested-loop wasted |bench| full
+    * `array_intersect`s per training doc on.
     *
-    * Scale shape: the benchmark side is EVAL-SET-sized by construction,
-    * so its (id, trigram-array) rows broadcast and the join is a
-    * broadcast nested-loop with an `arrays_overlap` predicate — the
-    * training side never shuffles; per row it pays |bench| codegen'd
-    * set probes, i.e. O(corpus × |bench|) scan-shaped work with |bench|
-    * fixed (eval suites do not grow with the corpus) — the same
-    * absorbed-by-executors class as the ADC scans. The max and the
-    * verdict are one IEEE division per pair and an order-independent
-    * max, hash-identical to the oracle's unpruned pair join. */
-  def fuzzyContaminationQuery(docs: DataFrame): DataFrame = {
-    val tri = docs.select(col("doc_id"), graft.functions.Trigrams(col("text")).as("ga"))
+    * Scale shape — an inverted df-capped trigram index, NOT an
+    * all-pairs scan, and no corpus-scale shuffle anywhere: candidates
+    * must share a BENCH gram, so the df aggregation first drops every
+    * posting not in the broadcast bench-gram set (map-side semi-join;
+    * partial aggregation collapses each partition to ≤ |bench grams|
+    * rows before the exchange). The surviving rare-gram index is
+    * eval-set-sized, broadcasts, and each training posting probes it
+    * map-side; only nominated (doc, bench) pairs — bounded by
+    * [[FuzzyDfCap]] × |bench postings|, not corpus × |bench| — reach
+    * the distinct + exact-Jaccard stage, where the bench trigram
+    * arrays broadcast and AQE broadcast-joins the candidate list back
+    * to the (persisted) training arrays. */
+  def fuzzyContaminationQuery(docs: DataFrame,
+      benchDocs: Int = BenchmarkDocs): DataFrame = {
+    val tri = docs.select(col("doc_id"), Stage.once(graft.functions.Trigrams(col("text"))).as("ga"))
       .filter(size(col("ga")) > 0)
-    val bench = tri.filter(col("doc_id") < BenchmarkDocs)
+      .transform(graft.CacheScope.persist) // reused: bench index, train postings, verify arrays
+    val cand = fuzzyCandidates(tri, benchDocs)
+    val bench = tri.filter(col("doc_id") < benchDocs)
       .select(col("doc_id").as("bench_id"), col("ga").as("bga"))
-    tri.filter(col("doc_id") >= BenchmarkDocs)
-      .join(broadcast(bench), arrays_overlap(col("ga"), col("bga")))
+    cand.join(tri, "doc_id")
+      .join(broadcast(bench), "bench_id")
       .select(col("doc_id"),
         size(array_intersect(col("ga"), col("bga"))).cast("double").as("inter"),
         (size(col("ga")) + size(col("bga"))).cast("double").as("sz"))
@@ -126,6 +147,31 @@ object Contamination {
       .agg(max(col("jac")).as("max_jaccard"))
       .select(col("doc_id"), col("max_jaccard"),
         (col("max_jaccard") >= FuzzyThreshold).as("contaminated"))
+  }
+
+  /** Candidate (train doc, bench doc) pairs for the fuzzy tier: pairs
+    * sharing ≥ 1 trigram whose corpus-wide document frequency is
+    * ≤ [[FuzzyDfCap]]. `tri` is the (doc_id, ga) distinct-trigram
+    * frame. Exposed for the scale spec, which asserts |cand| ≪
+    * |corpus| × |bench| on a corpus where every pair shares a stop
+    * trigram. */
+  private[graft] def fuzzyCandidates(tri: DataFrame, benchDocs: Int): DataFrame = {
+    val posts = tri.select(col("doc_id"), explode(col("ga")).as("g"))
+    val benchPosts = posts.filter(col("doc_id") < benchDocs)
+      .select(col("g"), col("doc_id").as("bench_id"))
+      .transform(graft.CacheScope.persist) // eval-set-sized
+    val benchGrams = benchPosts.select(col("g")).distinct()
+    // corpus-wide df, computed only for grams that occur in the bench
+    // (a candidate pair must share one): keep ⊆ bench grams, so it
+    // broadcasts right back.
+    val keep = posts.join(broadcast(benchGrams), "g")
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= FuzzyDfCap)
+      .select(col("g"))
+    val rareIndex = benchPosts.join(broadcast(keep), "g")
+    posts.filter(col("doc_id") >= benchDocs)
+      .join(broadcast(rareIndex), "g")
+      .select(col("doc_id"), col("bench_id")).distinct()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -139,18 +185,25 @@ object Contamination {
       "decontaminate_fuzzy" ->
         s"""WITH grams AS (SELECT doc_id, unnest(${NearDup.TrigramsD}) AS g FROM documents),
            |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+           |keep AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= $FuzzyDfCap),
+           |rare AS (SELECT doc_id, grams.g FROM grams JOIN keep USING (g)),
+           |cand AS (
+           |  SELECT DISTINCT t.doc_id, b.doc_id AS bench_id
+           |  FROM rare t JOIN rare b ON t.g = b.g
+           |  WHERE t.doc_id >= $BenchmarkDocs AND b.doc_id < $BenchmarkDocs),
            |inter AS (
            |  SELECT t.doc_id, b.doc_id AS bench_id, count(*) AS inter
            |  FROM grams t JOIN grams b ON t.g = b.g
            |  WHERE t.doc_id >= $BenchmarkDocs AND b.doc_id < $BenchmarkDocs
            |  GROUP BY 1, 2),
            |jac AS (
-           |  SELECT i.doc_id,
+           |  SELECT c.doc_id,
            |         CAST(inter AS DOUBLE)
            |           / (CAST(st.n + sb.n AS DOUBLE) - CAST(inter AS DOUBLE)) AS jac
-           |  FROM inter i
-           |  JOIN sizes st ON st.doc_id = i.doc_id
-           |  JOIN sizes sb ON sb.doc_id = i.bench_id)
+           |  FROM cand c
+           |  JOIN inter i ON i.doc_id = c.doc_id AND i.bench_id = c.bench_id
+           |  JOIN sizes st ON st.doc_id = c.doc_id
+           |  JOIN sizes sb ON sb.doc_id = c.bench_id)
            |SELECT doc_id, max(jac) AS max_jaccard,
            |       max(jac) >= $FuzzyThreshold AS contaminated
            |FROM jac GROUP BY doc_id""".stripMargin,

@@ -57,6 +57,56 @@ class ContaminationSpec extends SparkSpec {
     assert(!fuzzy(21L)._2, s"one stray phrase should not: ${fuzzy(21L)._1}")
   }
 
+  test("fuzzy tier: a pair sharing ONLY a stop trigram (df > FuzzyDfCap) " +
+      "is never a candidate; a rare shared trigram still nominates, and " +
+      "the stop trigram then counts in the exact jaccard") {
+    // "common phrase here" appears in 61 docs -> df 61 > FuzzyDfCap(50):
+    // the 59 train docs sharing nothing else with the bench produce NO
+    // candidate pair (the old arrays_overlap plan paid an
+    // array_intersect for every one of them).
+    val bench = "common phrase here zeta quartz potion"
+    val stopOnly = (20L until 79L).map(i =>
+      i -> s"common phrase here unique$i word$i tail$i")
+    // doc 80 additionally shares the rare "zeta quartz potion" chain.
+    val rare = 80L -> "common phrase here zeta quartz potion trailing extra words"
+    val docs = ((1L -> bench) +: stopOnly :+ rare).toDF("doc_id", "text")
+    val out = Contamination.fuzzyContaminationQuery(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet === Set(80L))
+    // exact jaccard includes the stop trigram in the intersection
+    def tris(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val (x, y) = (tris(bench), tris(rare._2))
+    assert(out(80L) === (x & y).size.toDouble / (x | y).size.toDouble)
+  }
+
+  test("fuzzy tier scale probe: 1k-doc bench, candidates << corpus x bench " +
+      "when every pair shares a stop trigram") {
+    import org.apache.spark.sql.functions.col
+    val nBench = 1000
+    val nTrain = 2000
+    // every doc opens with the same boilerplate (df = 3000 > cap); each
+    // train doc i shares one unique phrase with bench doc (i % nBench).
+    val benchDocs = (0L until nBench).map(i =>
+      i -> s"shared boiler plate opening pair$i token$i link$i")
+    val trainDocs = (0L until nTrain).map { j =>
+      val b = j % nBench
+      (nBench + j) -> s"shared boiler plate opening pair$b token$b link$b own$j word$j"
+    }
+    val docs = (benchDocs ++ trainDocs).toDF("doc_id", "text")
+    val tri = docs.select(col("doc_id"),
+        graft.functions.Trigrams(col("text")).as("ga"))
+    val cand = Contamination.fuzzyCandidates(tri, nBench).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exactly one bench partner per train doc: the df-capped index
+    // nominated 2k pairs, not the 2M (train x bench) the stop trigrams
+    // would have produced.
+    assert(cand.length === nTrain)
+    assert(cand.toMap.forall { case (d, b) => b === (d - nBench) % nBench })
+    val out = Contamination.fuzzyContaminationQuery(docs, benchDocs = nBench)
+    assert(out.count() === nTrain.toLong)
+  }
+
   test("repeated grams inside one doc count once (distinct per doc)") {
     val g = "a b c d e"
     val docs = Seq(1L -> g, 30L -> (g + " " + g)).toDF("doc_id", "text")
