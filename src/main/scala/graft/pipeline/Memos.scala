@@ -1,0 +1,29 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+/** Force-build every cross-query [[QueryMemo]] for a table directory.
+  *
+  * The localCheckpoint memos (MinHash rep graph + dup map, Cluster CC
+  * labels, LangModel transition scores) deliberately survive the bench
+  * harness's per-rep `CacheScope.drain()`/`clearCache()` barrier — they
+  * are the "build the dedup index once, query it many times" model a
+  * production pipeline amortizes the same way. That made median-of-N
+  * timing dishonest: the one cold rep that actually built a memo was
+  * discarded by the median, so the signature/band/verify cost appeared
+  * in NO reported mark. [[graft.Bench]] calls this ONCE, timed, and
+  * reports it as the `memo_build_shared` entry included in the total;
+  * every query median then measures warm steady-state.
+  */
+object Memos {
+  def build(s: SparkSession, d: String): Unit = {
+    // rep graph: eager checkpoints inside the memo build.
+    MinHash.repGraphFor(s, d)
+    // dup map: lazily checkpointed — force materialization.
+    MinHash.dupsFor(s, d).write.format("noop").mode("overwrite").save()
+    // CC labels: the CC loop materializes each round eagerly at call time.
+    Cluster.clustersFor(s, d)
+    // LM scores: lazily checkpointed — force materialization.
+    LangModel.scoresFor(s, d).write.format("noop").mode("overwrite").save()
+  }
+}

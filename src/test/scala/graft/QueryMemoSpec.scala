@@ -1,0 +1,50 @@
+package graft
+
+import graft.pipeline.{MinHash, QueryMemo}
+
+/** The shared per-directory memo: rep-graph sharing across the minhash
+  * family and data-fingerprint invalidation on in-place regeneration. */
+class QueryMemoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(dir: String, rows: Seq[(Long, String)]): Unit =
+    rows.toDF("doc_id", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  test("repGraphFor is memoized: second call returns the same frames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo-a").toString
+    writeDocs(dir, Seq(0L -> "alpha beta gamma delta epsilon zeta eta theta",
+      1L -> "alpha beta gamma delta epsilon zeta eta theta"))
+    val first = MinHash.repGraphFor(spark, dir)
+    val second = MinHash.repGraphFor(spark, dir)
+    assert(first._1 eq second._1)
+    assert(first._2 eq second._2)
+  }
+
+  test("dupsFor is invalidated when the table directory is regenerated " +
+      "in place (data fingerprint in the memo key)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo-b").toString
+    val dupText = "the quick brown fox jumps over the lazy dog again and again today"
+    writeDocs(dir, Seq(0L -> dupText, 1L -> dupText))
+    assert(MinHash.dupsFor(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 0L)))
+    // regenerate IN PLACE with a duplicate-free corpus; mtime/len change
+    writeDocs(dir, Seq(
+      0L -> "completely different first document with its own words here",
+      1L -> "and a second one that shares essentially nothing at all with it"))
+    assert(MinHash.dupsFor(spark, dir).count() === 0L,
+      "stale memo served: dupmap reflects the overwritten corpus")
+  }
+
+  test("fingerprint is deterministic and sensitive to content changes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo-c").toString
+    writeDocs(dir, Seq(0L -> "one two three four five"))
+    val f1 = QueryMemo.fingerprint(spark, dir)
+    assert(f1 === QueryMemo.fingerprint(spark, dir))
+    Thread.sleep(1100) // parquet mtime granularity can be 1 s
+    writeDocs(dir, Seq(0L -> "six seven eight nine ten eleven"))
+    assert(f1 !== QueryMemo.fingerprint(spark, dir))
+  }
+}
