@@ -89,6 +89,43 @@ object Trigrams {
     GraftSqlBridge.column(TrigramsExpression(GraftSqlBridge.expression(c)))
 }
 
+/** Content-defined substring-dedup windows → array<string>.
+  * Kernel: [[graft.pipeline.Dedup.cdcWindows]]. */
+case class CdcWindowsExpression(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "graft_cdc_windows"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcWindowsExpression.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CdcWindowsExpression.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcWindowsExpression =
+    copy(child = newChild)
+}
+
+object CdcWindowsExpression {
+  def compute(s: UTF8String): ArrayData = {
+    val ws = graft.pipeline.Dedup.cdcWindows(s.toString)
+    val out = new Array[Any](ws.length)
+    var i = 0
+    while (i < ws.length) { out(i) = UTF8String.fromString(ws(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+object CdcWindows {
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(CdcWindowsExpression(GraftSqlBridge.expression(c)))
+}
+
 /** Per-language distinct-trigram profile hit counts over the language-
   * detection window → array<int> in [[graft.pipeline.LangProfiles.profiles]]
   * order. Kernel: [[graft.pipeline.LangProfiles.hitCounts]] (bit-equal to

@@ -126,23 +126,63 @@ object Dedup {
   def paragraphDedupQuery(docs: DataFrame): DataFrame =
     lineDedupQuery(docs, "\n\n")
 
-  /** Substring-span window length / stride (chars). 100/50 gives every
-    * char membership in ~2 windows, the usual overlap for span dedup. */
+  /** Substring-span window length (chars), anchor gram length, and
+    * anchor density: a window STARTS at position i iff the poly hash of
+    * the [[AnchorGram]] codepoints at i is ≡ 0 mod [[AnchorMod]] —
+    * expected spacing = [[AnchorMod]] chars, the same window density as
+    * the old fixed stride-50 enumeration. */
   val SpanLen = 100
-  val SpanStride = 50
+  val AnchorGram = 8
+  val AnchorMod = 50L
 
-  /** Character windows of [[SpanLen]] at stride [[SpanStride]] — the unit
-    * of SUBSTRING-level dedup (Lee et al. 2021, "Deduplicating Training
-    * Data Makes Language Models Better": duplicated >=50-token spans are
-    * removed even when the containing documents differ). A full distributed
-    * suffix array is the exact tool; fixed-stride window hashing is the
-    * standard approximation (same recall for spans >= 2*len) and is
-    * embarrassingly parallel: explode is narrow, nothing shuffles here. */
+  /** CONTENT-DEFINED [[SpanLen]]-char windows — the unit of
+    * SUBSTRING-level dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better": duplicated >= 50-token spans
+    * are removed even when the containing documents differ). A full
+    * distributed suffix array is the exact tool; window hashing is the
+    * standard approximation — but FIXED-STRIDE windows (the pre-round-10
+    * spelling) are alignment-dependent: a span shared at offsets
+    * differing by a non-multiple of the stride produces disjoint windows
+    * in the two documents and is invisible. Content-defined anchors
+    * (the winnowing/CDC trick [[NearDup]] already uses for containment)
+    * fix that: whether position i starts a window depends only on the
+    * [[AnchorGram]] characters AT i, so a shared span anchors its
+    * windows at the same in-span offsets in every document containing
+    * it — any duplicated span comfortably longer than [[SpanLen]] +
+    * [[AnchorMod]] yields at least one identical window pair regardless
+    * of where it sits. Docs whose content happens to produce no anchor
+    * emit no windows (no forced position-0 anchor: that would be
+    * alignment-dependent again).
+    *
+    * Kernel: [[cdcWindows]], one linear per-doc pass (8 mul-mod per
+    * position) as a native codegen'd expression; embarrassingly
+    * parallel, nothing shuffles here. */
   def substringSpans(docs: DataFrame): DataFrame =
-    docs.filter(length(col("text")) >= SpanLen)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (SpanLen - 1), lit(SpanStride))).as("o"))
-      .select(col("doc_id"), col("text").substr(col("o"), lit(SpanLen)).as("w"))
+    docs.select(col("doc_id"),
+      explode(graft.functions.CdcWindows(col("text"))).as("w"))
+
+  /** The content-defined window kernel (shared with the native
+    * expression and, by spelling, the DuckDB oracle): emit
+    * codepoints[i, i+SpanLen) for every 0-based i <= n-SpanLen whose
+    * AnchorGram-codepoint poly hash (H = reduce h*131+c mod P, the
+    * corpus-wide shingle-hash family) is divisible by AnchorMod. */
+  def cdcWindows(text: String): Array[String] = {
+    val cps = text.codePoints.toArray
+    val n = cps.length
+    if (n < SpanLen) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val lastStart = n - SpanLen
+    var i = 0
+    while (i <= lastStart) {
+      var h = cps(i).toLong
+      var j = i + 1
+      val e = i + AnchorGram
+      while (j < e) { h = (h * MinHash.HashMult + cps(j)) % MinHash.P; j += 1 }
+      if (h % AnchorMod == 0L) out += new String(cps, i, SpanLen)
+      i += 1
+    }
+    out.toArray
+  }
 
   /** Per-doc duplicated-span report: how many of a doc's windows occur at
     * >= 2 positions corpus-wide (within- or cross-document — a window
@@ -240,12 +280,7 @@ object Dedup {
          |FROM lines JOIN df USING (line)
          |GROUP BY doc_id""".stripMargin,
     "dedup_substring_spans" ->
-      s"""WITH pos AS (
-         |  SELECT doc_id, text,
-         |         unnest(generate_series(1, length(text) - ${SpanLen - 1}, $SpanStride)) AS o
-         |  FROM documents WHERE length(text) >= $SpanLen),
-         |spans AS (
-         |  SELECT doc_id, substr(text, CAST(o AS INTEGER), $SpanLen) AS w FROM pos),
+      s"""WITH $spanCtesD,
          |cnt AS (
          |  SELECT doc_id, count(*) OVER (PARTITION BY w) AS c FROM spans)
          |SELECT doc_id,
@@ -254,16 +289,27 @@ object Dedup {
          |FROM cnt GROUP BY doc_id
          |HAVING sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) > 0""".stripMargin,
     "dedup_substring_stats" ->
-      s"""WITH pos AS (
-         |  SELECT doc_id, text,
-         |         unnest(generate_series(1, length(text) - ${SpanLen - 1}, $SpanStride)) AS o
-         |  FROM documents WHERE length(text) >= $SpanLen),
-         |spans AS (
-         |  SELECT doc_id, substr(text, CAST(o AS INTEGER), $SpanLen) AS w FROM pos),
+      s"""WITH $spanCtesD,
          |g AS (SELECT w, count(*) AS c FROM spans GROUP BY w)
          |SELECT CAST(sum(c) AS BIGINT) AS total_spans,
          |       count(*) AS distinct_spans,
          |       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
          |       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occurrences
          |FROM g""".stripMargin)
+
+  /** DuckDB spelling of [[cdcWindows]]: anchor positions by the same
+    * AnchorGram-codepoint poly hash, full-length windows only. */
+  private def spanCtesD: String =
+    s"""pos AS (
+       |  SELECT doc_id, text,
+       |         unnest(range(1, length(text) - ${SpanLen - 2})) AS i
+       |  FROM documents WHERE length(text) >= $SpanLen),
+       |anch AS (
+       |  SELECT doc_id, text, i FROM pos
+       |  WHERE list_reduce(
+       |          list_transform(range(i, i + $AnchorGram),
+       |                         j -> CAST(ord(substr(text, CAST(j AS INTEGER), 1)) AS BIGINT)),
+       |          (h, c) -> (h * ${MinHash.HashMult} + c) % ${MinHash.P}) % $AnchorMod = 0),
+       |spans AS (
+       |  SELECT doc_id, substr(text, CAST(i AS INTEGER), $SpanLen) AS w FROM anch)""".stripMargin
 }

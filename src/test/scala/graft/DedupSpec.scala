@@ -91,30 +91,53 @@ class DedupSpec extends SparkSpec {
     assert(m(3L) === ((1L, 1L, "standalone doc")))
   }
 
-  test("substring dedup flags cross-doc AND within-doc repeated windows") {
-    // docs 1 and 2 share their first 100 chars (one shared window each);
-    // doc 4 is one char repeated -> every window duplicates every other;
-    // doc 3 is too short to window; doc 5 is unique -> absent from output.
-    val d = docs(
-      1L -> ("A" * 100 + "1" * 50),
-      2L -> ("A" * 100 + "2" * 50),
-      3L -> ("z" * 99),
-      4L -> ("B" * 300),
-      5L -> ("uvwxy" * 20))
+  /** A 220-char passage planted whole in two docs at offsets 0 and 37 —
+    * 37 is not a multiple of the old SpanStride (50), so the retired
+    * fixed-stride enumeration provably produced ZERO shared windows for
+    * this pair (asserted below); the content-defined anchors recover it. */
+  private val passage =
+    "kemubc rdlsbqgbcnnchcrnb sdhuusbssmbhbrejnerdsjr vfdssugldrwcsbtgpvrnykosolj" +
+    "hzfwyhcsjqpkxojtcdqnfykepnbvcyrsz kkwltpszoc cipwvcbxwjusv ojwmvlaolftdpbgyj" +
+    "exhmmpcfomrie nriwnlvmhecfehvhap sfijaenrltskewqtuvxboyvzrmmmmdpumbg"
+  private val shiftedA = passage + "cgofdktbdaserdltacgtmeuiltlpddpoppjcedxk"
+  private val shiftedB = "xip wfqagqlewrayqjucwiqlflyhrryqkuhtz" + passage +
+    "zygzh mxzhgqplxaazipigwtlozxllchdhpgkgptt apulzuc vdmzw"
+
+  /** Independent local spelling of the content-defined windows (plain
+    * substring + fold, not the codepoint kernel) for expectations. */
+  private def naiveCdc(t: String): Seq[String] =
+    (0 to t.length - Dedup.SpanLen).filter { i =>
+      val h = t.substring(i + 1, i + Dedup.AnchorGram)
+        .foldLeft(t.charAt(i).toLong)((h, c) => (h * 131L + c.toLong) % 2147483647L)
+      h % Dedup.AnchorMod == 0L
+    }.map(i => t.substring(i, i + Dedup.SpanLen))
+
+  test("substring dedup: a span duplicated at a NON-stride-aligned offset " +
+      "is caught (the fixed-stride enumeration provably missed it)") {
+    // old stride-50 windows share nothing between the two docs:
+    def strideWindows(t: String) =
+      (0 to t.length - Dedup.SpanLen by 50).map(i => t.substring(i, i + Dedup.SpanLen)).toSet
+    assert((strideWindows(shiftedA) & strideWindows(shiftedB)).isEmpty,
+      "fixture invalid: stride windows collide, the miss is not demonstrated")
+    // content-defined windows DO share (same in-span anchors at both offsets):
+    val shared = naiveCdc(shiftedA).toSet & naiveCdc(shiftedB).toSet
+    assert(shared.nonEmpty, "fixture invalid: no shared content-defined window")
+    val d = docs(1L -> shiftedA, 2L -> shiftedB, 3L -> ("z" * 99))
     val m = Dedup.substringDupQuery(d).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    assert(m === Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 4L -> ((5L, 5L))))
+    assert(m.keySet === Set(1L, 2L))
+    assert(m(1L) === ((naiveCdc(shiftedA).size.toLong, shared.size.toLong)))
+    assert(m(2L) === ((naiveCdc(shiftedB).size.toLong, shared.size.toLong)))
   }
 
   test("substring corpus stats count windows and duplication clusters") {
-    val d = docs(
-      1L -> ("A" * 100 + "1" * 50),
-      2L -> ("A" * 100 + "2" * 50),
-      4L -> ("B" * 300),
-      5L -> ("uvwxy" * 20))
+    val d = docs(1L -> shiftedA, 2L -> shiftedB, 3L -> ("z" * 99))
+    val all = naiveCdc(shiftedA) ++ naiveCdc(shiftedB) // doc 3 too short
+    val byW = all.groupBy(identity).view.mapValues(_.size).toMap
     val r = Dedup.substringStatsQuery(d).collect().head
-    // spans: d1 {A100, A50+1s}, d2 {A100, A50+2s}, d4 {B100 x5}, d5 {u100}
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
-      ((10L, 5L, 2L, 7L)))
+      ((all.size.toLong, byW.size.toLong,
+        byW.count(_._2 > 1).toLong,
+        byW.values.filter(_ > 1).sum.toLong)))
   }
 }

@@ -87,10 +87,17 @@ class NearDupPropertySpec extends SparkSpec {
   }
 
   private def naiveSubstringDups(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+    // independent spelling of the content-defined windows (plain
+    // substring + fold over chars, not the codepoint kernel)
     val spans = docs.flatMap { case (id, t) =>
       if (t.length < Dedup.SpanLen) Nil
-      else (1 to t.length - (Dedup.SpanLen - 1) by Dedup.SpanStride)
-        .map(o => (id, t.substring(o - 1, o - 1 + Dedup.SpanLen)))
+      else (0 to t.length - Dedup.SpanLen)
+        .filter { i =>
+          val h = t.substring(i + 1, i + Dedup.AnchorGram)
+            .foldLeft(t.charAt(i).toLong)((h, c) => (h * 131L + c.toLong) % 2147483647L)
+          h % Dedup.AnchorMod == 0L
+        }
+        .map(i => (id, t.substring(i, i + Dedup.SpanLen)))
     }
     val counts = spans.groupBy(_._2).view.mapValues(_.size).toMap
     spans.groupBy(_._1)
