@@ -160,7 +160,23 @@ object NearDup {
     * every trigram hot) never generate candidates. Exact: the prefix
     * lemma guarantees no false negatives, and the naive DuckDB oracle
     * arbitrates that — results are hash-identical to the unpruned join. */
-  def jaccardDuplicateOf(docs: DataFrame): DataFrame = {
+  /** Posting-list chunk bound for the min-partner kernel: a gram whose
+    * posting list exceeds this many docs is split into doc_id-ordered
+    * chunks of at most this size and scanned per chunk PAIR instead of
+    * as one row. Caps the bytes a single row can reach (a hot gram's
+    * list materializes O(k·|ga|) into one collect_list row — 2 GB row
+    * limit / executor OOM at corpus scale) and spreads the worst-case
+    * O(k²) filter scan over C(C+1)/2 bounded tasks instead of one.
+    * 4096 × a ~1 KB gram struct ≈ 4 MB per row — comfortably under any
+    * limit while keeping every gate/bench corpus on the single-row
+    * fast path (prefix grams are each doc's RAREST grams; a >4096-doc
+    * posting list means a >4096-member near-dup cluster). */
+  val PostingChunkLen = 4096
+
+  def jaccardDuplicateOf(docs: DataFrame): DataFrame =
+    jaccardDuplicateOf(docs, PostingChunkLen)
+
+  private[graft] def jaccardDuplicateOf(docs: DataFrame, chunkLen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Explicit partition counts on the reused frames, each keyed by the
     // column its consumers join/group on, serve two purposes: (a) the
@@ -286,14 +302,41 @@ object NearDup {
     // The explicit repartition pins the kernel's exchange: postings are
     // small in BYTES (AQE's coalescing currency) but the kernel is
     // CPU-dense — the round-2 probe showed byte-based coalescing
-    // collapsing exactly this shape to one partition. groupBy(gid) then
-    // runs exchange-free on top of the pinned layout.
-    val verified = prefix.join(gidArr, "doc_id")
+    // collapsing exactly this shape to one partition. The windows
+    // (per-gram posting position + posting length, one sort) split the
+    // lists into the bounded-single-row fast path vs the chunk-pair
+    // path; both groupBys run exchange-free on top of the pinned
+    // layout.
+    val posted = prefix.join(gidArr, "doc_id")
       .repartition(numParts, col("gid"))
+      .withColumn("pp", row_number().over(
+        Window.partitionBy(col("gid")).orderBy(col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("gid"))))
+      .transform(graft.CacheScope.persist)
+    val small = posted.filter(col("cnt") <= chunkLen)
       .groupBy(col("gid"))
       .agg(sort_array(collect_list(
         struct(col("doc_id"), col("n"), col("rk"), col("ga")))).as("ps"))
       .select(explode(jaccardMinPartnerUdf(col("ps"))).as("p"))
+    // Oversized posting lists (ADVICE r9: a hot gram or giant cluster
+    // put O(k·|ga|) bytes in ONE row and serialized the O(k²) scan on
+    // one task): doc_id-ordered chunks of <= chunkLen members, scanned
+    // per chunk pair (ci <= cj; every doc in chunk i precedes every doc
+    // in chunk j, so cross-chunk scans need no id guard). LOSSLESS
+    // under the dup-map algebra: per doc b, its first verified partner
+    // within the whole list lives in SOME chunk <= b's, that pair-row
+    // emits it, and the cross-gram groupBy(min) below absorbs the
+    // per-pair-row candidates exactly as it absorbs per-gram ones.
+    val chunks = posted.filter(col("cnt") > chunkLen)
+      .withColumn("ci", ((col("pp") - 1) / chunkLen).cast("int"))
+      .groupBy(col("gid"), col("ci"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("n"), col("rk"), col("ga")))).as("ps"))
+    val large = chunks.as("l").join(chunks.as("r"),
+        col("l.gid") === col("r.gid") && col("l.ci") <= col("r.ci"))
+      .select(explode(jaccardChunkPairUdf(
+        col("l.ps"), col("r.ps"), col("l.ci") === col("r.ci"))).as("p"))
+    val verified = small.union(large)
       .select(col("p._1").as("rep"), col("p._2").as("mp"))
       .groupBy(col("rep"))
       .agg(min(col("mp")).as("mp"))
@@ -317,7 +360,9 @@ object NearDup {
     * PPJoin length + positional prunes and emit (doc, partner) for the
     * FIRST merge-verified one — ascending first = this gram's minimum,
     * which is the only row the dup-map algebra consumes. */
-  private val jaccardMinPartnerUdf = udf { ps: Seq[Row] =>
+  /** Decoded posting list: (doc_ids, sizes, prefix-ranks, gram arrays). */
+  private type Posting = (Array[Long], Array[Int], Array[Int], Array[Array[Int]])
+  private def decodePosting(ps: Seq[Row]): Posting = {
     val L = ps.length
     val ids = new Array[Long](L)
     val ns = new Array[Int](L)
@@ -330,20 +375,33 @@ object NearDup {
       gas(i) = r.getSeq[Int](3).toArray
       i += 1
     }
+    (ids, ns, rks, gas)
+  }
+
+  /** The shared scan core: for each doc b on the RIGHT, scan LEFT docs
+    * ascending under the PPJoin length + positional prunes and emit
+    * (b, partner) for the FIRST merge-verified one. `same` = the two
+    * sides are the same chunk, so only left indices < b's own index are
+    * candidates; across chunks every left doc precedes every right doc
+    * (chunks are doc_id-ordered) and the whole left side scans. */
+  private def scanMinPartners(l: Posting, r: Posting, same: Boolean): Seq[(Long, Long)] = {
+    val (lids, lns, lrks, lgas) = l
+    val (rids, rns, rrks, rgas) = r
     val out = Seq.newBuilder[(Long, Long)]
-    var b = 1
-    while (b < L) {
-      val nb = ns(b); val slackB = nb - rks(b)
+    var b = if (same) 1 else 0
+    while (b < rids.length) {
+      val nb = rns(b); val slackB = nb - rrks(b)
+      val aEnd = if (same) b else lids.length
       var a = 0
       var found = false
-      while (a < b && !found) {
-        val na = ns(a)
+      while (a < aEnd && !found) {
+        val na = lns(a)
         val lenOk = JaccardNumer * math.max(na, nb) <= JaccardDenom * math.min(na, nb)
         if (lenOk) {
-          val ubound = 1 + math.min(na - rks(a), slackB)
+          val ubound = 1 + math.min(na - lrks(a), slackB)
           if ((JaccardDenom + JaccardNumer) * ubound >= JaccardNumer * (na + nb) &&
-              jaccardGE(gas(a), gas(b))) {
-            out += ((ids(b), ids(a))); found = true
+              jaccardGE(lgas(a), rgas(b))) {
+            out += ((rids(b), lids(a))); found = true
           }
         }
         a += 1
@@ -351,6 +409,17 @@ object NearDup {
       b += 1
     }
     out.result()
+  }
+
+  private val jaccardMinPartnerUdf = udf { ps: Seq[Row] =>
+    val d = decodePosting(ps)
+    scanMinPartners(d, d, same = true)
+  }
+
+  /** Chunk-pair form for oversized posting lists ([[PostingChunkLen]]). */
+  private val jaccardChunkPairUdf = udf { (lps: Seq[Row], rps: Seq[Row], same: Boolean) =>
+    if (same) { val d = decodePosting(lps); scanMinPartners(d, d, same = true) }
+    else scanMinPartners(decodePosting(lps), decodePosting(rps), same = false)
   }
 
   /** jaccard(a, b) >= JaccardNumer/JaccardDenom over two SORTED int

@@ -62,6 +62,18 @@ class NearDupPropertySpec extends SparkSpec {
       assert(got == naiveJaccardDups(docs))
     }
 
+    test(s"chunk-pair posting kernel (forced chunkLen=2) equals the " +
+        s"single-row kernel and the naive join (seed $seed)") {
+      // the small-vocab corpus makes every gram hot, so a tiny chunkLen
+      // forces EVERY posting list through the chunk-pair path — the
+      // bounded-row fallback for oversized lists must be lossless.
+      val docs = corpus(seed, 60)
+      val df = docs.toDF("doc_id", "text")
+      val got = NearDup.jaccardDuplicateOf(df, chunkLen = 2)
+        .as[(Long, Long)].collect().toMap
+      assert(got == naiveJaccardDups(docs))
+    }
+
     test(s"bucket-enumerated simhash join equals all-pairs hamming (seed $seed)") {
       val docs = corpus(seed, 60)
       val df = docs.toDF("doc_id", "text")
