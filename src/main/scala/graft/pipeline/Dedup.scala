@@ -126,6 +126,33 @@ object Dedup {
   def paragraphDedupQuery(docs: DataFrame): DataFrame =
     lineDedupQuery(docs, "\n\n")
 
+  /** IN-DOCUMENT repetition REMOVAL: drop repeated lines WITHIN each
+    * doc, keeping the first occurrence — the standard companion to the
+    * cross-doc [[lineDedupQuery]] (C4's repeated-content rules /
+    * Gopher's within-doc repetition signals flag it; this op actually
+    * trims it). Where `quality_repetition` only SCORES a doc's
+    * self-repetition, this rebuilds the doc without it.
+    *
+    * Scale shape: pure higher-order functions over each row — the
+    * index-lambda filter keeps line i iff it does not occur among the
+    * first i-1 lines (O(k²) string compares per doc, k = line count —
+    * trivial next to any hash) — so the operator is embarrassingly
+    * parallel: NO shuffle, no explode, codegen keeps it in the scan
+    * stage. The one semantic to hold fixed cross-engine: first
+    * occurrence wins, later copies vanish, order otherwise preserved. */
+  def dedupLinesInDocQuery(docs: DataFrame, sep: String = "\n"): DataFrame =
+    docs.select(col("doc_id"),
+        split(col("text"), java.util.regex.Pattern.quote(sep)).as("ls"))
+      .select(col("doc_id"), size(col("ls")).cast("long").as("n_lines"),
+        expr("filter(ls, (x, i) -> array_position(slice(ls, 1, i), x) = 0)").as("kept"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), sep).as("text_kept"))
+
+  /** Paragraph flavor of [[dedupLinesInDocQuery]]. */
+  def dedupParagraphsInDocQuery(docs: DataFrame): DataFrame =
+    dedupLinesInDocQuery(docs, "\n\n")
+
   /** Substring-span window length (chars), anchor gram length, and
     * anchor density: a window STARTS at position i iff the poly hash of
     * the [[AnchorGram]] codepoints at i is ≡ 0 mod [[AnchorMod]] —
@@ -225,7 +252,9 @@ object Dedup {
     "dedup_lines" -> ((s, d) => lineDedupQuery(Tables.documents(s, d))),
     "dedup_substring_spans" -> ((s, d) => substringDupQuery(Tables.documents(s, d))),
     "dedup_substring_stats" -> ((s, d) => substringStatsQuery(Tables.documents(s, d))),
-    "dedup_paragraphs" -> ((s, d) => paragraphDedupQuery(Tables.documents(s, d))))
+    "dedup_paragraphs" -> ((s, d) => paragraphDedupQuery(Tables.documents(s, d))),
+    "clean_dedup_lines" -> ((s, d) => dedupLinesInDocQuery(Tables.documents(s, d))),
+    "clean_dedup_paragraphs" -> ((s, d) => dedupParagraphsInDocQuery(Tables.documents(s, d))))
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -279,6 +308,8 @@ object Dedup {
          |    chr(10) || chr(10)), '') AS text_kept
          |FROM lines JOIN df USING (line)
          |GROUP BY doc_id""".stripMargin,
+    "clean_dedup_lines" -> inDocDedupOracle("chr(10)"),
+    "clean_dedup_paragraphs" -> inDocDedupOracle("chr(10) || chr(10)"),
     "dedup_substring_spans" ->
       s"""WITH $spanCtesD,
          |cnt AS (
@@ -296,6 +327,19 @@ object Dedup {
          |       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
          |       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occurrences
          |FROM g""".stripMargin)
+
+  /** DuckDB spelling of [[dedupLinesInDocQuery]]: keep element i iff it
+    * is absent from the first i-1 (DuckDB lambdas index 1-based, Spark
+    * 0-based — both slices read "everything before me"). */
+  private def inDocDedupOracle(sepSql: String): String =
+    s"""SELECT doc_id,
+       |       CAST(len(ls) AS BIGINT) AS n_lines,
+       |       CAST(len(kept) AS BIGINT) AS n_kept,
+       |       array_to_string(kept, $sepSql) AS text_kept
+       |FROM (SELECT doc_id, ls,
+       |        list_filter(ls, (x, i) -> NOT list_contains(ls[1:i-1], x)) AS kept
+       |      FROM (SELECT doc_id, string_split(text, $sepSql) AS ls
+       |            FROM documents))""".stripMargin
 
   /** DuckDB spelling of [[cdcWindows]]: anchor positions by the same
     * AnchorGram-codepoint poly hash, full-length windows only. */

@@ -91,6 +91,31 @@ class DedupSpec extends SparkSpec {
     assert(m(3L) === ((1L, 1L, "standalone doc")))
   }
 
+  test("in-doc line dedup keeps the first occurrence, preserves order, " +
+      "and leaves unique lines alone") {
+    val d = docs(
+      1L -> "a\nb\na\nc\nb\nd",
+      2L -> "x\nx\nx",
+      3L -> "only one line")
+    val m = Dedup.dedupLinesInDocQuery(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(m(1L) === ((6L, 4L, "a\nb\nc\nd")))
+    assert(m(2L) === ((3L, 1L, "x")))
+    assert(m(3L) === ((1L, 1L, "only one line")))
+  }
+
+  test("in-doc paragraph dedup collapses repeated paragraphs but not " +
+      "repeated lines inside distinct paragraphs") {
+    val p = "same para"
+    val d = docs(1L -> s"$p\n\nother\n$p\n\n$p")
+    val m = Dedup.dedupParagraphsInDocQuery(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // paragraphs: ["same para", "other\nsame para", "same para"] -> first
+    // and second kept (the line repeat inside para 2 is not a paragraph
+    // repeat), third dropped.
+    assert(m(1L) === ((3L, 2L, s"$p\n\nother\n$p")))
+  }
+
   /** A 220-char passage planted whole in two docs at offsets 0 and 37 —
     * 37 is not a multiple of the old SpanStride (50), so the retired
     * fixed-stride enumeration provably produced ZERO shared windows for
