@@ -77,18 +77,25 @@ object Chunking {
     * whose padding cost [[packPaddingStatsQuery]] only reports — the
     * deterministic map from corpus to training sequences.
     *
-    * Scale shape (round-8 rewrite): the obvious spelling — one running-
-    * sum window per source — has parallelism equal to the SOURCE COUNT:
-    * a single-source 100 TB corpus runs on one task. The prefix sum is
-    * associative, so it shards instead by a (source, doc_id-range-bucket)
-    * composite key: `bkt = (doc_id - min_id) div bucket_width` is
-    * monotone in doc_id, the running sum runs within each (source, bkt)
-    * shard in parallel, and each shard's carried-in offset is the prefix
-    * sum of the per-shard totals — a second window over a frame of at
-    * most #sources x ([[PackBuckets]]+1) rows that broadcasts back.
-    * Identical output to the per-source window (associativity; the
-    * bucket split respects doc_id order within every source); pure
-    * integer arithmetic — hash-exact vs the oracle. */
+    * Scale shape (round-8 rewrite, resharded round 10): the obvious
+    * spelling — one running-sum window per source — has parallelism
+    * equal to the SOURCE COUNT: a single-source 100 TB corpus runs on
+    * one task. The prefix sum is associative, so it shards instead by a
+    * (source, bucket) composite key where the bucket is the RANGE
+    * PARTITION id of a `repartitionByRange(buckets, doc_id)` exchange:
+    * sampled-quantile boundaries balance shards by ROW COUNT whatever
+    * the id distribution (ADVICE r9: the previous `(doc_id - lo) div
+    * width` VALUE bucketing put nearly all rows in one shard when ids
+    * cluster in a narrow band with far outliers), and partition ids are
+    * monotone in doc_id by the range partitioner's contract — the only
+    * property correctness needs. The running sum runs within each
+    * (source, bkt) shard in parallel; each shard's carried-in offset is
+    * the prefix sum of the per-shard totals — a second window over a
+    * frame of at most #sources x ([[PackBuckets]]+1) rows that
+    * broadcasts back. Identical output to the per-source window for ANY
+    * monotone bucketing (associativity — boundary placement, sampled or
+    * not, cannot leak into the result); pure integer arithmetic —
+    * hash-exact vs the oracle. */
   val PackBuckets = 64
 
   def packAssignmentsQuery(docs: DataFrame, w: Int = PackWindow,
@@ -97,13 +104,11 @@ object Chunking {
     val n = docs.select(
         col("doc_id"), col("source"),
         expr("size(filter(split(text, '\\\\s+'), x -> x != ''))").as("n_words"))
-    // 1-row id-range scalar -> broadcast: bucket width >= 1 by the +1.
-    val rng = n.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
-    val nb = n.crossJoin(broadcast(rng))
-      .withColumn("bkt", expr(
-        s"CAST((doc_id - lo) div (greatest(hi - lo, 0L) div ${buckets}L + 1L) AS INT)"))
-      .drop("lo", "hi")
+    val nb = n.repartitionByRange(buckets, col("doc_id"))
+      .withColumn("bkt", spark_partition_id())
       .transform(graft.CacheScope.persist) // feeds shard totals AND the sharded window
+      // (persist also pins bkt: partition ids are stable under cached
+      // blocks and, on recompute, under the same deterministic lineage)
     val winShard = Window.partitionBy(col("source"), col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = nb.groupBy(col("source"), col("bkt"))

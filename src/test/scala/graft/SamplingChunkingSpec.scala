@@ -212,9 +212,46 @@ class SamplingChunkingSpec extends SparkSpec {
     }
     assert(partitionArities.contains(2),
       s"expected a (source, bkt)-sharded window, got arities $partitionArities")
-    // and the shards are real: this fixture spans multiple buckets
-    assert(rows.map(r => (r._1 - 1000L) /
-      ((1000L + 499 * 3 - 1000L) / Chunking.PackBuckets + 1)).distinct.size > 8)
+    // and the shards are real: the stream is split by a RANGE exchange
+    // on doc_id (sampled-quantile boundaries -> row-balanced shards).
+    // The exchange lives inside the persisted frame's InMemoryRelation,
+    // so the probe descends into cached plans.
+    var hasRange = false
+    def scan(p: org.apache.spark.sql.execution.SparkPlan): Unit = p.foreach {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scan(a.initialPlan)
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        scan(s.relation.cachedPlan)
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] =>
+        hasRange = true
+      case _ => ()
+    }
+    scan(plan)
+    assert(hasRange, "expected a RangePartitioning exchange sharding the stream")
+  }
+
+  test("pack assignment: CLUSTERED doc_id distribution (narrow band + far " +
+      "outliers, the value-range-bucket pathology) still matches the " +
+      "sequential prefix sum") {
+    // under the old (doc_id - lo) div width bucketing, 500 of these 503
+    // ids land in bucket 0 and the shard window re-serializes; range
+    // partitioning samples quantiles, so shards stay row-balanced.
+    val rnd = new scala.util.Random(11)
+    val rows = ((0 until 500).map(i => 5000L + i) ++
+        Seq(2000000000L, 3000000000L, 4000000000L))
+      .map(id => (id, "only", ("w " * (1 + rnd.nextInt(9))).trim))
+    val docs = rows.toDF("doc_id", "source", "text")
+    var acc = 0L
+    val want = rows.sortBy(_._1).map { case (id, _, t) =>
+      val n = t.split("\\s+").count(_.nonEmpty).toLong
+      val off = acc; acc += n
+      id -> ((off, off / Chunking.PackWindow))
+    }.toMap
+    val got = Chunking.packAssignmentsQuery(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got === want)
   }
 
   test("chunking edges: short doc and empty doc") {
