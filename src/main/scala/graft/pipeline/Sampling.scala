@@ -152,7 +152,10 @@ object Sampling {
       .withColumn("q", expr(s"(${budget}L * weight) div tw"))
       .withColumn("r", expr(s"(${budget}L * weight) % tw"))
     val sq = u.agg(sum(col("q")).as("sq"))
-    val rankW = Window.orderBy(col("r").desc, col("source"))
+    // constant partition key: the frame is #sources rows, bounded by
+    // construction — keeps the bounded window off the frameless path
+    // (and its WARN) without changing the single-task execution.
+    val rankW = Window.partitionBy(lit(0)).orderBy(col("r").desc, col("source"))
     u.crossJoin(broadcast(sq))
       .withColumn("rk", row_number().over(rankW))
       .withColumn("target_tokens",
@@ -195,7 +198,10 @@ object Sampling {
       .withColumn("q", floor(col("exact")).cast("long"))
       .withColumn("r", col("exact") - col("q").cast("double"))
     val sq = u.agg(sum(col("q")).as("sq"))
-    val rankW = Window.orderBy(col("r").desc, col("source"))
+    // constant partition key: the frame is #sources rows, bounded by
+    // construction — keeps the bounded window off the frameless path
+    // (and its WARN) without changing the single-task execution.
+    val rankW = Window.partitionBy(lit(0)).orderBy(col("r").desc, col("source"))
     u.crossJoin(broadcast(sq))
       .withColumn("rk", row_number().over(rankW))
       .withColumn("target_tokens",
@@ -239,7 +245,8 @@ object Sampling {
       .withColumn("capacity", col("n_chars") * lit(UniMaxEpochCap))
       .transform(graft.CacheScope.persist)
     val tot = byLang.agg(expr("(3 * sum(n_chars)) div 2").as("b"))
-    val ord = Window.orderBy(col("capacity"), col("lang"))
+    // constant partition key: #languages rows, bounded by construction.
+    val ord = Window.partitionBy(lit(0)).orderBy(col("capacity"), col("lang"))
     val c = byLang.crossJoin(broadcast(tot))
       .withColumn("i", row_number().over(ord))
       .withColumn("prefix", coalesce(
@@ -303,7 +310,58 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("cap_rank"))
   }
 
+  /** The selected share of the corpus token mass: budget = total div 2. */
+  val BudgetDenom = 2
+  /** Range shards for the budget prefix sum (the pack_assignments
+    * sharding, here over a single global stream). */
+  val BudgetShards = 64
+
+  /** TOKEN-BUDGET SELECTION (the DataComp / quality-threshold shape):
+    * rank the corpus by a quality prior — longest documents first, the
+    * same n_chars prior [[qualityWeightedSampleQuery]]'s keep
+    * probability is monotone in, tie-broken by doc_id into a total
+    * order — and keep documents greedily while the running token count
+    * stays within a budget of total-corpus-words div [[BudgetDenom]].
+    * Emits the kept docs with their inclusive running total (the
+    * training-set manifest + the budget audit trail in one relation).
+    *
+    * Scale shape: a running sum over ONE global order is the
+    * single-task window pathology, so it shards exactly like
+    * `pack_assignments`: `repartitionByRange` on the order key gives
+    * row-balanced, order-monotone shards (sampled quantiles), each
+    * shard prefix-sums in parallel, and a carry pass over the ≤
+    * [[BudgetShards]]-row totals frame broadcasts per-shard offsets
+    * back (associativity makes any monotone sharding output-identical).
+    * The budget scalar is a 1-row broadcast cross join. */
+  def tokenBudgetQuery(docs: DataFrame, shards: Int = BudgetShards): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.select(col("doc_id"), col("n_chars"),
+      expr("size(filter(split(text, '\\\\s+'), x -> x != ''))").cast("long").as("n_words"))
+    val budget = n.agg(expr(s"sum(n_words) div ${BudgetDenom}L").as("budget"))
+    val nb = n.repartitionByRange(shards, col("n_chars").desc, col("doc_id"))
+      .withColumn("bkt", spark_partition_id())
+      .transform(graft.CacheScope.persist) // feeds shard totals AND the sharded window
+    val winShard = Window.partitionBy(col("bkt"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry pass over the <= shards-row totals frame; the constant
+    // partition key keeps the (bounded-by-construction) window off the
+    // frameless-window path.
+    val winCarry = Window.partitionBy(lit(0)).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = nb.groupBy(col("bkt")).agg(sum(col("n_words")).as("tot"))
+      .withColumn("off", coalesce(sum(col("tot")).over(winCarry), lit(0L)))
+      .select(col("bkt"), col("off"))
+    nb.withColumn("run", sum(col("n_words")).over(winShard))
+      .join(broadcast(offsets), "bkt")
+      .withColumn("cum_words", (col("off") + col("run")).cast("long"))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_words") <= col("budget"))
+      .select(col("doc_id"), col("n_words"), col("cum_words"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "select_token_budget" -> ((s, d) => tokenBudgetQuery(Tables.documents(s, d))),
     "sample_source_cap" -> ((s, d) => sourceCapSampleQuery(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => stratifiedSampleQuery(Tables.documents(s, d))),
     "sample_quality_weighted" -> ((s, d) => qualityWeightedSampleQuery(Tables.documents(s, d))),
@@ -317,6 +375,20 @@ object Sampling {
     val rateRows = tierOf.toSeq.sortBy(_._1)
       .map { case (s, t) => s"('$s', '$t')" }.mkString(", ")
     Map(
+      "select_token_budget" ->
+        s"""WITH n AS (
+           |  SELECT doc_id, n_chars,
+           |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_words
+           |  FROM documents),
+           |b AS (SELECT CAST(sum(n_words) // $BudgetDenom AS BIGINT) AS budget FROM n),
+           |c AS (
+           |  SELECT doc_id, n_words,
+           |         CAST(sum(n_words) OVER (ORDER BY n_chars DESC, doc_id
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |           AS cum_words
+           |  FROM n)
+           |SELECT doc_id, n_words, cum_words FROM c, b
+           |WHERE cum_words <= budget""".stripMargin,
       "sample_source_cap" ->
         s"""SELECT doc_id, source, cap_rank FROM (
            |  SELECT doc_id, source,

@@ -254,6 +254,28 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("token-budget selection: greedy by the n_chars prior under half " +
+      "the corpus words, equal to a sequential reference") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 400).map { i =>
+      val t = ("w " * (1 + rnd.nextInt(30))).trim
+      (i.toLong, t, (100 + rnd.nextInt(900)).toLong) // n_chars independent of words
+    }
+    val docs = rows.toDF("doc_id", "text", "n_chars")
+    val withWords = rows.map { case (id, t, nc) =>
+      (id, nc, t.split("\\s+").count(_.nonEmpty).toLong) }
+    val budget = withWords.map(_._3).sum / graft.pipeline.Sampling.BudgetDenom
+    var acc = 0L
+    val want = withWords.sortBy { case (id, nc, _) => (-nc, id) }
+      .flatMap { case (id, _, w) =>
+        acc += w; if (acc <= budget) Some(id -> ((w, acc))) else None
+      }.toMap
+    val got = graft.pipeline.Sampling.tokenBudgetQuery(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+    assert(got.nonEmpty && got.size < rows.size) // the budget actually bites
+  }
+
   test("chunking edges: short doc and empty doc") {
     val docs = Seq((1L, "a b c"), (2L, "   ")).toDF("doc_id", "text")
     val byDoc = Chunking.chunkQuery(docs).collect()
