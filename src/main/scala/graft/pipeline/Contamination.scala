@@ -95,12 +95,25 @@ object Contamination {
 
   /** Stop-trigram document-frequency cap for fuzzy candidate
     * generation (the MOSS/[[NearDup.FpDfCap]] idiom): a trigram found
-    * in more than this many documents corpus-wide (`" th"`-class
-    * boilerplate) identifies nothing — pairing on it would regenerate
-    * the all-pairs scan this index exists to avoid — so it cannot
-    * nominate a candidate pair. It still participates in the EXACT
-    * Jaccard computed for nominated candidates. */
+    * in more than [[fuzzyDfCap]] documents corpus-wide (boilerplate)
+    * identifies nothing — pairing on it would regenerate the all-pairs
+    * scan this index exists to avoid — so it cannot nominate a
+    * candidate pair. It still participates in the EXACT Jaccard
+    * computed for nominated candidates.
+    *
+    * The cap is RELATIVE above a floor: `max(FuzzyDfCap,
+    * corpusDocs / FuzzyDfCapRatio)` — "in more than 0.1 % of documents
+    * (min 50)". A fixed absolute cap silently declared EVERY trigram a
+    * stop-gram on a corpus whose documents are heavily replicated
+    * (the 100× probe corpus: all dfs ≥ 100 → empty output), i.e. the
+    * more widely an eval item leaked, the more invisible it became;
+    * scaling with corpus size keeps "rare" meaning rare-per-corpus.
+    * At the gate scales (≤ 5 k docs) the floor is binding, so oracle
+    * results there are unchanged. */
   val FuzzyDfCap = 50
+  val FuzzyDfCapRatio = 1000
+  def fuzzyDfCap(corpusDocs: Long): Long =
+    math.max(FuzzyDfCap.toLong, corpusDocs / FuzzyDfCapRatio)
 
   /** FUZZY decontamination: per training doc, the MAXIMUM trigram-
     * Jaccard similarity against any benchmark doc sharing at least one
@@ -197,13 +210,14 @@ object Contamination {
       .join(broadcast(benchGramsDf), "g")
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
       .as[(String, Long)].collect().toMap
+    val cap = fuzzyDfCap(tri.count())
     val posts = Array.fill(nGrams)(List.empty[Int])
     bench.indices.foreach { b =>
       benchGramIds(b).foreach { gid => posts(gid) = b :: posts(gid) }
     }
     val rare = new Array[Array[Int]](nGrams)
     gramId.forEach { (g, gid) =>
-      if (dfMap.getOrElse(g, 0L) <= FuzzyDfCap) rare(gid) = posts(gid).toArray
+      if (dfMap.getOrElse(g, 0L) <= cap) rare(gid) = posts(gid).toArray
     }
     FuzzyIndex(gramId, nGrams, bench.map(_._1), benchGramIds, rare)
   }
@@ -310,7 +324,9 @@ object Contamination {
       "decontaminate_fuzzy" ->
         s"""WITH grams AS (SELECT doc_id, unnest(${NearDup.TrigramsD}) AS g FROM documents),
            |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-           |keep AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= $FuzzyDfCap),
+           |keep AS (SELECT g FROM grams GROUP BY g
+           |         HAVING count(*) <= greatest($FuzzyDfCap,
+           |           (SELECT count(DISTINCT doc_id) FROM grams) // $FuzzyDfCapRatio)),
            |rare AS (SELECT doc_id, grams.g FROM grams JOIN keep USING (g)),
            |cand AS (
            |  SELECT DISTINCT t.doc_id, b.doc_id AS bench_id

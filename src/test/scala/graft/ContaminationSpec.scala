@@ -107,6 +107,14 @@ class ContaminationSpec extends SparkSpec {
     assert(out.count() === nTrain.toLong)
   }
 
+  test("fuzzy df cap: floor of 50 below 50k docs, 0.1% of the corpus above " +
+      "(a fixed cap declared every trigram a stop-gram on replicated corpora)") {
+    assert(Contamination.fuzzyDfCap(5000L) === 50L)
+    assert(Contamination.fuzzyDfCap(49999L) === 50L)
+    assert(Contamination.fuzzyDfCap(510000L) === 510L)
+    assert(Contamination.fuzzyDfCap(10000000L) === 10000L)
+  }
+
   test("repeated grams inside one doc count once (distinct per doc)") {
     val g = "a b c d e"
     val docs = Seq(1L -> g, 30L -> (g + " " + g)).toDF("doc_id", "text")
