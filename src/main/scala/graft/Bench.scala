@@ -55,7 +55,8 @@ object Bench {
     val memoConsumers = Set("dedup_minhash", "dedup_minhash_dupmap",
       "dedup_minhash_stats", "pipeline_unique_docs", "dedup_minhash_clusters",
       "dedup_minhash_cluster_stats", "dedup_keep_best",
-      "quality_lm_transition", "quality_lm_buckets")
+      "quality_lm_transition", "quality_lm_buckets",
+      "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivfpq_rerank")
     val memoMark: Seq[(String, Double)] =
       if (only.nonEmpty && only.intersect(memoConsumers).isEmpty) Nil
       else {

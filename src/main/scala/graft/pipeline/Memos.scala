@@ -25,5 +25,8 @@ object Memos {
     Cluster.clustersFor(s, d)
     // LM scores: lazily checkpointed — force materialization.
     LangModel.scoresFor(s, d).write.format("noop").mode("overwrite").save()
+    // IVF/PQ index: the eager localCheckpoint inside the memo build
+    // materializes the encoded corpus frame for the three sim_ivf* queries.
+    graft.relational.Similarity.ivfIndexFor(s, d)
   }
 }

@@ -289,12 +289,13 @@ object Similarity {
       scored.sortBy(identity).take(probes).map(_._2)
     }
 
-  def ivfTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
-    val cents = codebook(emb, cellsFor(emb.count()))
-    def nearestCells(probes: Int) = nearestCellsUdf(cents, probes)
-    val cells = emb.withColumn("cell", explode(nearestCells(1)(col("embedding"))))
-    val q = queriesDf(emb)
-      .withColumn("q_cell", explode(nearestCells(NProbe)(col("q_emb"))))
+  def ivfTopK(emb: DataFrame, k: Int = TopK): DataFrame =
+    ivfTopKIx(buildIvfIndex(emb), k)
+
+  private def ivfTopKIx(ix: IvfIndex, k: Int): DataFrame = {
+    val cells = ix.coded.drop("codes")
+    val q = queriesDf(ix.coded)
+      .withColumn("q_cell", explode(nearestCellsUdf(ix.cents, NProbe)(col("q_emb"))))
     val scored = cells.join(broadcast(q),
         col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .withColumn("dot", expr(dotS("embedding", "q_emb")))
@@ -356,6 +357,42 @@ object Similarity {
       }
     }
 
+  /** The IVF/PQ *index*: the coarse codebook, the per-subspace PQ
+    * codebooks, and the fully encoded corpus frame
+    * `(vec_id, label, cell, codes, embedding)` — one row per vector.
+    * This is the "build the index once, serve many queries" object every
+    * production ANN deployment amortizes (FAISS persists exactly this);
+    * before round 10 each of `sim_ivf_topk` / `sim_ivfpq_topk` /
+    * `sim_ivfpq_rerank` re-ran the O(corpus × cells × dim) cell-assign +
+    * PQ-encode scan independently — the whole family's 100× cost was
+    * three copies of the same index build. */
+  private[graft] final case class IvfIndex(
+      cents: Array[(Long, Array[Double])],
+      cb: Array[Array[Array[Double]]],
+      coded: DataFrame)
+
+  private[graft] def buildIvfIndex(emb: DataFrame): IvfIndex = {
+    val cells = cellsFor(emb.count())
+    val cents = codebook(emb, cells)
+    val cb = pqCodebook(emb, cells)
+    val coded = emb
+      .withColumn("cell", explode(nearestCellsUdf(cents, 1)(col("embedding"))))
+      .withColumn("codes", pqEncodeUdf(cb)(col("embedding")))
+      .select(col("vec_id"), col("label"), col("cell"), col("codes"),
+        col("embedding"))
+    IvfIndex(cents, cb, coded)
+  }
+
+  /** Cross-query memo of the built index (same localCheckpoint + LRU +
+    * data-fingerprint story as MinHash.repGraphFor): the encoded frame is
+    * checkpointed once and all three IVF consumers read its blocks. */
+  private val ivfMemo = new graft.pipeline.QueryMemo[IvfIndex]()
+  private[graft] def ivfIndexFor(s: SparkSession, d: String): IvfIndex =
+    ivfMemo.getOrElseUpdate(s, d) {
+      val ix = buildIvfIndex(Tables.embeddings(s, d))
+      ix.copy(coded = ix.coded.localCheckpoint(true))
+    }
+
   /** IVF-PQ top-k (FAISS's workhorse layout): the coarse quantizer cuts
     * the scan to the query's [[NProbe]] cells, and inside a cell the
     * asymmetric-distance computation (ADC) ranks by table lookups over
@@ -365,17 +402,16 @@ object Similarity {
     * computed once on the driver from the bounded query set and ride the
     * UDF closure. Approximation error vs `sim_ivf_topk` is the PQ
     * reconstruction error — diff the two queries to see it. */
-  def ivfPqTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
-    val cells = cellsFor(emb.count())
-    val cents = codebook(emb, cells)
-    val cb = pqCodebook(emb, cells)
-    val coded = emb
-      .withColumn("cell", explode(nearestCellsUdf(cents, 1)(col("embedding"))))
-      .withColumn("codes", pqEncodeUdf(cb)(col("embedding")))
-      .select(col("vec_id"), col("label"), col("cell"), col("codes"))
+  def ivfPqTopK(emb: DataFrame, k: Int = TopK): DataFrame =
+    ivfPqTopKIx(buildIvfIndex(emb), k)
+
+  private def ivfPqTopKIx(ix: IvfIndex, k: Int): DataFrame = {
+    val cents = ix.cents
+    val cb = ix.cb
+    val coded = ix.coded.drop("embedding")
     // Bounded collect: the NumQueries query vectors (driver-side tables
     // and probe cells replicate the UDF loops exactly — same arithmetic).
-    val qRows = emb.filter(col("vec_id") < NumQueries)
+    val qRows = ix.coded.filter(col("vec_id") < NumQueries)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
     val qTab: Map[Long, Array[Array[Double]]] = qRows.map { case (qid, q) =>
@@ -389,7 +425,7 @@ object Similarity {
         (s, cid)
       }.sortBy(identity).take(NProbe).map { case (_, cell) => (qid, cell) }
     }
-    val ss = emb.sparkSession
+    val ss = ix.coded.sparkSession
     import ss.implicits._
     val qDf = qCells.toSeq.toDF("q_id", "q_cell")
     val adcUdf = udf { (qId: Long, codes: Seq[Int]) =>
@@ -423,11 +459,14 @@ object Similarity {
     * stage). Candidate set and final order are both deterministic
     * (adc/sim with vec_id tie-breaks), so the oracle reproduces the
     * two-stage pipeline bit-exactly. */
-  def ivfPqRerank(emb: DataFrame, k: Int = TopK, depth: Int = RerankDepth): DataFrame = {
-    val cand = ivfPqTopK(emb, depth).select(col("q_id"), col("vec_id"))
+  def ivfPqRerank(emb: DataFrame, k: Int = TopK, depth: Int = RerankDepth): DataFrame =
+    ivfPqRerankIx(buildIvfIndex(emb), k, depth)
+
+  private def ivfPqRerankIx(ix: IvfIndex, k: Int, depth: Int): DataFrame = {
+    val cand = ivfPqTopKIx(ix, depth).select(col("q_id"), col("vec_id"))
     val scored = cand
-      .join(emb.select(col("vec_id"), col("embedding"), col("label")), "vec_id")
-      .join(broadcast(queriesDf(emb)), "q_id")
+      .join(ix.coded.select(col("vec_id"), col("embedding"), col("label")), "vec_id")
+      .join(broadcast(queriesDf(ix.coded)), "q_id")
       .withColumn("dot", expr(dotS("embedding", "q_emb")))
       .withColumn("na", expr(dotS("embedding", "embedding")))
       .withColumn("nb", expr(dotS("q_emb", "q_emb")))
@@ -588,14 +627,14 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> ((s, d) => topK(Tables.embeddings(s, d))),
-    "sim_ivfpq_topk" -> ((s, d) => ivfPqTopK(Tables.embeddings(s, d))),
-    "sim_ivfpq_rerank" -> ((s, d) => ivfPqRerank(Tables.embeddings(s, d))),
+    "sim_ivfpq_topk" -> ((s, d) => ivfPqTopKIx(ivfIndexFor(s, d), TopK)),
+    "sim_ivfpq_rerank" -> ((s, d) => ivfPqRerankIx(ivfIndexFor(s, d), TopK, RerankDepth)),
     "sim_hybrid_topk" -> ((s, d) =>
       hybridTopK(Tables.embeddings(s, d), Tables.documents(s, d))),
     "sim_semdedup" -> ((s, d) => semDedup(Tables.embeddings(s, d))),
     "sim_embed_dedup_mp" -> ((s, d) => embedDedupMultiProbe(Tables.embeddings(s, d))),
     "sim_ann_lsh" -> ((s, d) => annTopK(Tables.embeddings(s, d))),
-    "sim_ivf_topk" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
+    "sim_ivf_topk" -> ((s, d) => ivfTopKIx(ivfIndexFor(s, d), TopK)),
     "sim_embed_dedup" -> ((s, d) => embedDedup(Tables.embeddings(s, d))))
 
   // -----------------------------------------------------------------------

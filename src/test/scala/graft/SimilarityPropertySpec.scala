@@ -34,6 +34,29 @@ class SimilarityPropertySpec extends SparkSpec {
     "embedDedupMultiProbe" -> (df => Similarity.embedDedupMultiProbe(df)),
     "semDedup" -> (df => Similarity.semDedup(df)))
 
+  test("memoized IVF index serves the same rows as an ad-hoc per-query build") {
+    // The three sim_ivf* registered queries read the shared ivfIndexFor
+    // memo (one cell-assign + PQ-encode scan, localCheckpointed) while
+    // the public emb-based entry points build a fresh index per call.
+    // Same arithmetic, same rows — this pins the memo path against the
+    // ad-hoc path so a stale/mis-keyed memo would fail loudly.
+    val d = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, d)
+    val served = Seq(
+      Similarity.queries("sim_ivf_topk")(spark, d),
+      Similarity.queries("sim_ivfpq_topk")(spark, d),
+      Similarity.queries("sim_ivfpq_rerank")(spark, d))
+    val adHoc = Seq(
+      Similarity.ivfTopK(emb),
+      Similarity.ivfPqTopK(emb),
+      Similarity.ivfPqRerank(emb))
+    for (((s, a), i) <- served.zip(adHoc).zipWithIndex) {
+      val sr = s.collect().map(_.toSeq).sortBy(_.toString)
+      val ar = a.collect().map(_.toSeq).sortBy(_.toString)
+      assert(sr.toSeq == ar.toSeq, s"memoized vs ad-hoc mismatch for query #$i")
+    }
+  }
+
   for (seed <- Seq(5, 31)) {
     test(s"embedding dedup family: sound pairs, identical vectors always collapse (seed $seed)") {
       val rnd = new scala.util.Random(seed)
