@@ -145,6 +145,43 @@ object Analytics {
           lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")))
   }
 
+  /** Per-doc character-collision probability (the Rényi-2 / Simpson
+    * diversity index over code points): Σ n_c² / N², with
+    * `effective_alphabet` = its inverse — the "how many distinct
+    * characters is this doc REALLY using" signal behind gibberish /
+    * low-diversity filters (a keyboard-mash or repeated-char doc shows a
+    * tiny effective alphabet at any length; cf. the entropy filters in
+    * public web-corpus pipelines). Spelled RATIONALLY per the house rule
+    * (LangModel.scala): Shannon entropy's Σ p log p is an order-dependent
+    * libm float sum that can never hash-match across engines, while the
+    * collision sum is exact-integer (sorted run-length fold, the
+    * [[Quality]] m_maxrep idiom) with the two floats each born in one
+    * final IEEE expression. Scan-local projection, zero shuffles; the
+    * O(L log L) per-row sort is the only cost. */
+  def charDiversityQuery(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), expr("array_sort(split(text, ''))").as("cs"))
+      .select(
+        col("doc_id"),
+        expr("size(cs)").cast("long").as("n_chars_counted"),
+        expr("size(array_distinct(cs))").cast("long").as("n_distinct_chars"),
+        expr(
+          """aggregate(cs,
+            |  named_struct('prev', CAST(NULL AS STRING),
+            |               'run', CAST(0 AS BIGINT), 'acc', CAST(0 AS BIGINT)),
+            |  (a, x) -> named_struct(
+            |    'prev', x,
+            |    'run', IF(a.prev <=> x, a.run + 1, CAST(1 AS BIGINT)),
+            |    'acc', IF(a.prev <=> x, a.acc, a.acc + a.run * a.run)),
+            |  a -> a.acc + a.run * a.run)""".stripMargin).as("char_sq_sum"))
+      .withColumn("collision_prob",
+        col("char_sq_sum").cast("double") /
+          (col("n_chars_counted").cast("double") * col("n_chars_counted").cast("double")))
+      .withColumn("effective_alphabet",
+        (col("n_chars_counted").cast("double") * col("n_chars_counted").cast("double")) /
+          col("char_sq_sum").cast("double"))
+
   /** Sequence-length histogram in 16-token buckets — the distribution a
     * pipeline inspects before choosing its packing window (compare with
     * `pack_padding_stats` at candidate windows). Scan-local bucketing +
@@ -298,6 +335,7 @@ object Analytics {
     "lang_script_stats" -> ((s, d) => scriptStatsQuery(Tables.documents(s, d))),
     "corpus_source_overlap" -> ((s, d) => sourceOverlapQuery(Tables.documents(s, d))),
     "doc_readability" -> ((s, d) => readabilityQuery(Tables.documents(s, d))),
+    "doc_char_diversity" -> ((s, d) => charDiversityQuery(Tables.documents(s, d))),
     "tok_seq_length_histogram" -> ((s, d) => seqLengthHistogramQuery(Tables.documents(s, d))),
     "corpus_vocab_per_source" -> ((s, d) => vocabPerSourceQuery(Tables.documents(s, d))),
     "events_value_corr" -> ((s, d) => valueCorrQuery(Tables.events(s, d))),
@@ -308,6 +346,32 @@ object Analytics {
     "events_props_extract" -> ((s, d) => eventsPropsQuery(Tables.events(s, d))))
 
   def oracles: Map[String, String] = Map(
+    // Same integers by a different route: the engine's sorted run-length
+    // fold and this O(L·distinct) count-per-distinct-char spelling both
+    // compute Σ n_c² exactly (integer sums are order-independent); the
+    // two floats are then the identical one-expression IEEE divisions.
+    "doc_char_diversity" ->
+      """WITH b AS (
+        |  SELECT doc_id, string_split(text, '') AS cs
+        |  FROM documents WHERE length(text) > 0),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(cs) AS BIGINT) AS n_chars_counted,
+        |    CAST(len(list_distinct(cs)) AS BIGINT) AS n_distinct_chars,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        list_transform(list_distinct(cs),
+        |                       c -> CAST(len(list_filter(cs, x -> x = c)) AS BIGINT)),
+        |        n -> n * n)),
+        |      (s, v) -> s + v) AS char_sq_sum
+        |  FROM b)
+        |SELECT doc_id, n_chars_counted, n_distinct_chars, char_sq_sum,
+        |  CAST(char_sq_sum AS DOUBLE)
+        |    / (CAST(n_chars_counted AS DOUBLE) * CAST(n_chars_counted AS DOUBLE))
+        |    AS collision_prob,
+        |  (CAST(n_chars_counted AS DOUBLE) * CAST(n_chars_counted AS DOUBLE))
+        |    / CAST(char_sq_sum AS DOUBLE) AS effective_alphabet
+        |FROM m""".stripMargin,
     "lang_script_stats" -> {
       val counts = ScriptRanges.map { case (name, re) =>
         s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$name"

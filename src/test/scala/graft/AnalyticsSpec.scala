@@ -18,6 +18,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getDouble(4) === 206.835 - 1.015 * 3.0 - 84.6 * 1.0)
   }
 
+  test("char diversity: hand-computed collision sums; empty docs drop; non-BMP counts as one") {
+    val d = docs(
+      1L -> "aaab",      // runs a:3 b:1 → sq 9+1=10, N=4, distinct 2
+      2L -> "xxxx",      // degenerate: collision 1, effective alphabet 1
+      3L -> "",          // filtered out
+      4L -> "a😀😀")     // code points: a,😀,😀 → N=3, sq 1+4=5
+    val rows = Analytics.charDiversityQuery(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!rows.contains(3L))
+    assert((rows(1L).getLong(1), rows(1L).getLong(2), rows(1L).getLong(3)) === ((4L, 2L, 10L)))
+    assert(rows(1L).getAs[Double]("collision_prob") === 10.0 / 16.0)
+    assert(rows(1L).getAs[Double]("effective_alphabet") === 16.0 / 10.0)
+    assert(rows(2L).getAs[Double]("collision_prob") === 1.0)
+    assert(rows(2L).getAs[Double]("effective_alphabet") === 1.0)
+    assert((rows(4L).getLong(1), rows(4L).getLong(2), rows(4L).getLong(3)) === ((3L, 2L, 5L)))
+  }
+
   test("script stats: per-block counts and latin fraction on mixed-script docs") {
     val d = Seq(
       (1L, "en", "Hello World 123"),
