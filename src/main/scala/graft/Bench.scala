@@ -54,7 +54,7 @@ object Bench {
     // Skipped when a query filter is given and no memo consumer is in it.
     val memoConsumers = Set("dedup_minhash", "dedup_minhash_dupmap",
       "dedup_minhash_stats", "pipeline_unique_docs", "dedup_minhash_clusters",
-      "dedup_minhash_cluster_stats", "dedup_keep_best",
+      "dedup_minhash_cluster_stats", "dedup_cluster_histogram", "dedup_keep_best",
       "quality_lm_transition", "quality_lm_buckets",
       "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivfpq_rerank")
     val memoMark: Seq[(String, Double)] =

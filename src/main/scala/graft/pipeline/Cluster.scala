@@ -153,6 +153,20 @@ object Cluster {
         sum(col("sz")).as("clustered_docs"),
         max(col("sz")).as("largest_cluster"))
 
+  /** Cluster-size DISTRIBUTION (the power-law audit behind the scalar
+    * [[statsOf]] rollup): how many near-dup clusters exist at each size
+    * and how many docs they absorb. Web corpora show heavy-tailed dup
+    * clusters (boilerplate, mirrors); this is the report that decides
+    * cap thresholds. Two tiny-key aggregations over the memoized CC
+    * labels — the first keyed on corpus-cardinality cluster_id (partial
+    * map-side counts), the second on the ~log-many distinct sizes. */
+  private[graft] def clusterHistogramOf(clusters: DataFrame): DataFrame =
+    clusters
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
   /** One CC evaluation per table directory, shared by `_clusters`,
     * `_cluster_stats`, and `dedup_keep_best`: the stats query is a
     * 3-scalar rollup OF the cluster assignment — recomputing the
@@ -203,6 +217,7 @@ object Cluster {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_clusters" -> ((s, d) => clustersFor(s, d)),
     "dedup_minhash_cluster_stats" -> ((s, d) => statsOf(clustersFor(s, d))),
+    "dedup_cluster_histogram" -> ((s, d) => clusterHistogramOf(clustersFor(s, d))),
     "dedup_keep_best" -> ((s, d) =>
       keepBestOf(clustersFor(s, d), Tables.documents(s, d))))
 
@@ -246,5 +261,12 @@ object Cluster {
          |SELECT CAST(count(*) AS BIGINT) AS n_clusters,
          |       CAST(sum(sz) AS BIGINT) AS clustered_docs,
          |       CAST(max(sz) AS BIGINT) AS largest_cluster
-         |FROM csz""".stripMargin)
+         |FROM csz""".stripMargin,
+    "dedup_cluster_histogram" ->
+      s"""$clusterCtes,
+         |csz AS (SELECT cluster_id, count(*) AS sz FROM clus GROUP BY cluster_id)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |       CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(sz * count(*) AS BIGINT) AS n_docs
+         |FROM csz GROUP BY sz""".stripMargin)
 }

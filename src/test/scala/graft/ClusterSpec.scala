@@ -43,6 +43,16 @@ class ClusterSpec extends SparkSpec {
     assert(removals == Set((1L, 2L), (3L, 2L), (11L, 10L)))
   }
 
+  test("cluster histogram: size distribution with doc totals") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L),  // size 3
+      (10L, 10L), (11L, 10L),                         // size 2
+      (20L, 20L), (21L, 20L))                         // size 2
+      .toDF("doc_id", "cluster_id")
+    val hist = Cluster.clusterHistogramOf(clusters)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hist == Set((3L, 1L, 3L), (2L, 2L, 4L)))
+  }
+
   test("reliable checkpoint() path produces identical labels") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
     spark.sparkContext.setCheckpointDir(dir.toString)
