@@ -210,7 +210,32 @@ object Quality {
       .groupBy(col("lang").as("labeled_lang"), col("m_langdet").as("detected_language"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Per-doc language-ID CONFIDENCE: the best and runner-up trigram-
+    * profile hit counts and their margin. CCNet-style pipelines threshold
+    * on detector confidence, not just the argmax label — a doc whose top
+    * two profiles nearly tie (code, tables, mixed-language boilerplate)
+    * is exactly the doc whose label should not be trusted. All-integer
+    * arithmetic on the staged hit array (one native-kernel pass, shared
+    * with the cascade), so the oracle is exact; zero shuffles. */
+  def langMarginQuery(docs: DataFrame): DataFrame = {
+    // Stage ONLY the hit array (not the full withMetrics projection):
+    // the other metrics would be pruned anyway, and this keeps the
+    // query's plan a single kernel pass + integer reads.
+    val hitCols = Profiles.zipWithIndex.map { case ((l, _), i) =>
+      expr(s"m_langhits[$i]").as(s"m_hits_$l")
+    }
+    docs
+      .select(col("doc_id"), graft.functions.LangHits(col("text")).as("m_langhits"))
+      .select(Seq(col("doc_id"), col("m_langhits")) ++ hitCols: _*)
+      .select(col("doc_id"),
+        expr(langCaseOverCols).as("detected_language"),
+        expr("element_at(array_sort(m_langhits), -1)").cast("long").as("top_hits"),
+        expr("element_at(array_sort(m_langhits), -2)").cast("long").as("second_hits"))
+      .withColumn("margin", col("top_hits") - col("second_hits"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_lang_margin" -> ((s, d) => langMarginQuery(Tables.documents(s, d))),
     "lang_distribution" -> ((s, d) => langDistributionQuery(Tables.documents(s, d))),
     "quality_cascade" -> ((s, d) => cascadeQuery(Tables.documents(s, d))),
     "quality_histogram" -> ((s, d) => histogramQuery(Tables.documents(s, d))),
@@ -288,6 +313,14 @@ object Quality {
     val cfg = Config()
     val qm = qmetricsD("documents")
     Map(
+      "quality_lang_margin" -> {
+        val hitsList = s"[${langHitCols.map(_._2).mkString(", ")}]"
+        s"""SELECT doc_id, $langD AS detected_language,
+           |       CAST(list_sort($hitsList)[-1] AS BIGINT) AS top_hits,
+           |       CAST(list_sort($hitsList)[-2] AS BIGINT) AS second_hits,
+           |       CAST(list_sort($hitsList)[-1] - list_sort($hitsList)[-2] AS BIGINT) AS margin
+           |FROM $qm""".stripMargin
+      },
       "lang_distribution" ->
         s"""SELECT lang AS labeled_lang, $langD AS detected_language,
            |       count(*) AS n_docs

@@ -23,6 +23,21 @@ class QualitySpec extends SparkSpec {
     assert(reasonOf(goodText) == "passed")
   }
 
+  test("lang margin: top/second hit counts agree with the hit array; empty text = zero margin") {
+    val df = Quality.langMarginQuery(
+      Seq((1L, goodText), (2L, "")).toDF("doc_id", "text"))
+    val rows = df.collect().map(r => r.getLong(0) -> r).toMap
+    val hits = graft.pipeline.LangProfiles.hitCounts(goodText).sorted
+    assert(rows(1L).getString(1) == "en")
+    assert(rows(1L).getLong(2) === hits.last.toLong)
+    assert(rows(1L).getLong(3) === hits(hits.length - 2).toLong)
+    assert(rows(1L).getAs[Long]("margin") ===
+      (hits.last - hits(hits.length - 2)).toLong)
+    assert(rows(1L).getAs[Long]("margin") > 0) // unambiguous English
+    assert(rows(2L).getString(1) == "unknown")
+    assert(rows(2L).getAs[Long]("margin") === 0L)
+  }
+
   test("too-short text fails with too_short") {
     assert(reasonOf("Too short.") == "too_short")
   }
