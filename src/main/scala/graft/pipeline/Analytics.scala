@@ -182,6 +182,38 @@ object Analytics {
         (col("n_chars_counted").cast("double") * col("n_chars_counted").cast("double")) /
           col("char_sq_sum").cast("double"))
 
+  /** Word-level sibling of [[charDiversityQuery]]: type-token ratio plus
+    * the Rényi-2 effective vocabulary. TTR is the classic lexical-
+    * diversity quality signal (template/boilerplate text repeats a tiny
+    * vocabulary at any length); the collision form adds the frequency-
+    * weighted view TTR misses (one word at 90% + many singletons has a
+    * high TTR but a tiny effective vocabulary). Same exact-integer
+    * run-length fold over the sorted word array, floats born in single
+    * IEEE expressions; scan-local, zero shuffles. */
+  def wordDiversityQuery(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("array_sort(filter(split(lower(text), '\\\\s+'), x -> x != ''))").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(
+        col("doc_id"),
+        expr("size(ws)").cast("long").as("n_words"),
+        expr("size(array_distinct(ws))").cast("long").as("n_distinct_words"),
+        expr(
+          """aggregate(ws,
+            |  named_struct('prev', CAST(NULL AS STRING),
+            |               'run', CAST(0 AS BIGINT), 'acc', CAST(0 AS BIGINT)),
+            |  (a, x) -> named_struct(
+            |    'prev', x,
+            |    'run', IF(a.prev <=> x, a.run + 1, CAST(1 AS BIGINT)),
+            |    'acc', IF(a.prev <=> x, a.acc, a.acc + a.run * a.run)),
+            |  a -> a.acc + a.run * a.run)""".stripMargin).as("word_sq_sum"))
+      .withColumn("ttr",
+        col("n_distinct_words").cast("double") / col("n_words").cast("double"))
+      .withColumn("effective_vocab",
+        (col("n_words").cast("double") * col("n_words").cast("double")) /
+          col("word_sq_sum").cast("double"))
+
   /** Sequence-length histogram in 16-token buckets — the distribution a
     * pipeline inspects before choosing its packing window (compare with
     * `pack_padding_stats` at candidate windows). Scan-local bucketing +
@@ -336,6 +368,7 @@ object Analytics {
     "corpus_source_overlap" -> ((s, d) => sourceOverlapQuery(Tables.documents(s, d))),
     "doc_readability" -> ((s, d) => readabilityQuery(Tables.documents(s, d))),
     "doc_char_diversity" -> ((s, d) => charDiversityQuery(Tables.documents(s, d))),
+    "doc_word_diversity" -> ((s, d) => wordDiversityQuery(Tables.documents(s, d))),
     "tok_seq_length_histogram" -> ((s, d) => seqLengthHistogramQuery(Tables.documents(s, d))),
     "corpus_vocab_per_source" -> ((s, d) => vocabPerSourceQuery(Tables.documents(s, d))),
     "events_value_corr" -> ((s, d) => valueCorrQuery(Tables.events(s, d))),
@@ -371,6 +404,28 @@ object Analytics {
         |    AS collision_prob,
         |  (CAST(n_chars_counted AS DOUBLE) * CAST(n_chars_counted AS DOUBLE))
         |    / CAST(char_sq_sum AS DOUBLE) AS effective_alphabet
+        |FROM m""".stripMargin,
+    "doc_word_diversity" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         list_sort(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                               x -> x <> '')) AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        list_transform(list_distinct(ws),
+        |                       w -> CAST(len(list_filter(ws, x -> x = w)) AS BIGINT)),
+        |        n -> n * n)),
+        |      (s, v) -> s + v) AS word_sq_sum
+        |  FROM b WHERE len(ws) > 0)
+        |SELECT doc_id, n_words, n_distinct_words, word_sq_sum,
+        |  CAST(n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr,
+        |  (CAST(n_words AS DOUBLE) * CAST(n_words AS DOUBLE))
+        |    / CAST(word_sq_sum AS DOUBLE) AS effective_vocab
         |FROM m""".stripMargin,
     "lang_script_stats" -> {
       val counts = ScriptRanges.map { case (name, re) =>

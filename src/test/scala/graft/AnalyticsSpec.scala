@@ -35,6 +35,18 @@ class AnalyticsSpec extends SparkSpec {
     assert((rows(4L).getLong(1), rows(4L).getLong(2), rows(4L).getLong(3)) === ((3L, 2L, 5L)))
   }
 
+  test("word diversity: ttr and effective vocab; lowercased; whitespace-only docs drop") {
+    val d = docs(
+      1L -> "The the THE cat",  // words: the x3, cat x1 → sq 9+1=10
+      2L -> "   \n\t ")         // no words → dropped
+    val rows = Analytics.wordDiversityQuery(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!rows.contains(2L))
+    assert((rows(1L).getLong(1), rows(1L).getLong(2), rows(1L).getLong(3)) === ((4L, 2L, 10L)))
+    assert(rows(1L).getAs[Double]("ttr") === 2.0 / 4.0)
+    assert(rows(1L).getAs[Double]("effective_vocab") === 16.0 / 10.0)
+  }
+
   test("script stats: per-block counts and latin fraction on mixed-script docs") {
     val d = Seq(
       (1L, "en", "Hello World 123"),
