@@ -174,6 +174,34 @@ object Contamination {
         (col("max_jaccard") >= thr).as("contaminated"))
   }
 
+  /** Attribution form of the fuzzy tier: WHICH benchmark item each
+    * matched training doc most resembles — the actionable report (drop
+    * the doc, then audit the eval item's leakage footprint). Same
+    * index + in-kernel probe as [[fuzzyContaminationQuery]]; the argmax
+    * bench doc rides out of the kernel beside the max Jaccard (ties on
+    * bit-equal Jaccard to the smallest bench id, mirrored by the
+    * oracle's window order). */
+  def fuzzyAttributionQuery(docs: DataFrame,
+      benchDocs: Int = BenchmarkDocs): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val tri = trigramFrame(docs)
+    val ix = ss.sparkContext.broadcast(buildFuzzyIndex(tri, benchDocs))
+    val thr = FuzzyThreshold
+    tri.filter(col("doc_id") >= benchDocs)
+      .select(col("doc_id"), col("ga")).as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val index = ix.value
+        val probe = new FuzzyProbe(index)
+        it.flatMap { case (id, ga) =>
+          probe.bestMatch(ga).map { case (b, j) => (id, b, j) }
+        }
+      }
+      .toDF("doc_id", "bench_id", "max_jaccard")
+      .select(col("doc_id"), col("bench_id"), col("max_jaccard"),
+        (col("max_jaccard") >= thr).as("contaminated"))
+  }
+
   private[graft] def trigramFrame(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), Stage.once(graft.functions.Trigrams(col("text"))).as("ga"))
       .filter(size(col("ga")) > 0)
@@ -231,7 +259,13 @@ object Contamination {
     private var stamp = 0
 
     /** max Jaccard vs bench docs sharing ≥ 1 rare gram; None if none. */
-    def maxJaccard(ga: Seq[String]): Option[Double] = {
+    def maxJaccard(ga: Seq[String]): Option[Double] =
+      bestMatch(ga).map(_._2)
+
+    /** (bench doc_id, Jaccard) of the BEST-matching candidate — ties on
+      * bit-equal Jaccard break to the smallest bench doc_id, the same
+      * total order as the oracle's `ORDER BY jac DESC, bench_id`. */
+    def bestMatch(ga: Seq[String]): Option[(Long, Double)] = {
       stamp += 1
       val na = ga.size
       var nCand = 0
@@ -255,6 +289,7 @@ object Contamination {
       if (nCand == 0) None
       else {
         var best = Double.NegativeInfinity
+        var bestId = Long.MaxValue
         var c = 0
         while (c < nCand) {
           val b = cands(c)
@@ -264,10 +299,11 @@ object Contamination {
           while (k < bg.length) { if (mark(bg(k)) == stamp) inter += 1; k += 1 }
           // same IEEE spelling as the oracle: inter / ((na+nb) - inter)
           val j = inter.toDouble / ((na + bg.length).toDouble - inter.toDouble)
-          if (j > best) best = j
+          val bid = ix.benchDocIds(b)
+          if (j > best || (j == best && bid < bestId)) { best = j; bestId = bid }
           c += 1
         }
-        Some(best)
+        Some((bestId, best))
       }
     }
 
@@ -316,38 +352,50 @@ object Contamination {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate_flags" -> ((s, d) => contaminationQuery(Tables.documents(s, d))),
     "decontaminate_overlap" -> ((s, d) => overlapQuery(Tables.documents(s, d))),
-    "decontaminate_fuzzy" -> ((s, d) => fuzzyContaminationQuery(Tables.documents(s, d))))
+    "decontaminate_fuzzy" -> ((s, d) => fuzzyContaminationQuery(Tables.documents(s, d))),
+    "decontaminate_attribution" -> ((s, d) => fuzzyAttributionQuery(Tables.documents(s, d))))
 
   def oracles: Map[String, String] = {
     val parts = (0 until GramN).map(k => s"w[i + $k]").mkString(" || ' ' || ")
+    val fuzzyCtes =
+      s"""WITH grams AS (SELECT doc_id, unnest(${NearDup.TrigramsD}) AS g FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |keep AS (SELECT g FROM grams GROUP BY g
+         |         HAVING count(*) <= greatest($FuzzyDfCap,
+         |           (SELECT count(DISTINCT doc_id) FROM grams) // $FuzzyDfCapRatio)),
+         |rare AS (SELECT doc_id, grams.g FROM grams JOIN keep USING (g)),
+         |cand AS (
+         |  SELECT DISTINCT t.doc_id, b.doc_id AS bench_id
+         |  FROM rare t JOIN rare b ON t.g = b.g
+         |  WHERE t.doc_id >= $BenchmarkDocs AND b.doc_id < $BenchmarkDocs),
+         |inter AS (
+         |  SELECT t.doc_id, b.doc_id AS bench_id, count(*) AS inter
+         |  FROM grams t JOIN grams b ON t.g = b.g
+         |  WHERE t.doc_id >= $BenchmarkDocs AND b.doc_id < $BenchmarkDocs
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT c.doc_id, c.bench_id,
+         |         CAST(inter AS DOUBLE)
+         |           / (CAST(st.n + sb.n AS DOUBLE) - CAST(inter AS DOUBLE)) AS jac
+         |  FROM cand c
+         |  JOIN inter i ON i.doc_id = c.doc_id AND i.bench_id = c.bench_id
+         |  JOIN sizes st ON st.doc_id = c.doc_id
+         |  JOIN sizes sb ON sb.doc_id = c.bench_id)""".stripMargin
     Map(
       "decontaminate_fuzzy" ->
-        s"""WITH grams AS (SELECT doc_id, unnest(${NearDup.TrigramsD}) AS g FROM documents),
-           |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-           |keep AS (SELECT g FROM grams GROUP BY g
-           |         HAVING count(*) <= greatest($FuzzyDfCap,
-           |           (SELECT count(DISTINCT doc_id) FROM grams) // $FuzzyDfCapRatio)),
-           |rare AS (SELECT doc_id, grams.g FROM grams JOIN keep USING (g)),
-           |cand AS (
-           |  SELECT DISTINCT t.doc_id, b.doc_id AS bench_id
-           |  FROM rare t JOIN rare b ON t.g = b.g
-           |  WHERE t.doc_id >= $BenchmarkDocs AND b.doc_id < $BenchmarkDocs),
-           |inter AS (
-           |  SELECT t.doc_id, b.doc_id AS bench_id, count(*) AS inter
-           |  FROM grams t JOIN grams b ON t.g = b.g
-           |  WHERE t.doc_id >= $BenchmarkDocs AND b.doc_id < $BenchmarkDocs
-           |  GROUP BY 1, 2),
-           |jac AS (
-           |  SELECT c.doc_id,
-           |         CAST(inter AS DOUBLE)
-           |           / (CAST(st.n + sb.n AS DOUBLE) - CAST(inter AS DOUBLE)) AS jac
-           |  FROM cand c
-           |  JOIN inter i ON i.doc_id = c.doc_id AND i.bench_id = c.bench_id
-           |  JOIN sizes st ON st.doc_id = c.doc_id
-           |  JOIN sizes sb ON sb.doc_id = c.bench_id)
+        s"""$fuzzyCtes
            |SELECT doc_id, max(jac) AS max_jaccard,
            |       max(jac) >= $FuzzyThreshold AS contaminated
            |FROM jac GROUP BY doc_id""".stripMargin,
+      "decontaminate_attribution" ->
+        s"""$fuzzyCtes
+           |SELECT doc_id, bench_id, jac AS max_jaccard,
+           |       jac >= $FuzzyThreshold AS contaminated
+           |FROM (SELECT doc_id, bench_id, jac,
+           |             row_number() OVER (PARTITION BY doc_id
+           |                                ORDER BY jac DESC, bench_id) AS rk
+           |      FROM jac)
+           |WHERE rk = 1""".stripMargin,
       "decontaminate_flags" ->
         s"""WITH b AS (
            |  SELECT doc_id,

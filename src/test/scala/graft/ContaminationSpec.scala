@@ -57,6 +57,31 @@ class ContaminationSpec extends SparkSpec {
     assert(!fuzzy(21L)._2, s"one stray phrase should not: ${fuzzy(21L)._1}")
   }
 
+  test("attribution: argmax bench doc; bit-equal ties break to the smaller bench id") {
+    val itemA = "the quick brown fox jumps over the lazy dog near a misty river bank today " +
+      "while seven wizards brew quartz potions under pale winter light"
+    val itemB = "completely different benchmark text about citrus orchards and long cold " +
+      "evenings in provincial towns with quiet rivers"
+    val docs = Seq(
+      1L -> itemA,
+      2L -> itemB,
+      3L -> itemA, // bit-identical bench duplicate of item 1 -> guaranteed tie
+      20L -> (itemA + " with a small appended remark"), // closer to A than B
+      21L -> itemB
+    ).toDF("doc_id", "text")
+    val att = Contamination.fuzzyAttributionQuery(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // doc 20's best match is item A; items 1 and 3 are identical so the
+    // Jaccard ties bit-for-bit and the smaller bench id must win.
+    assert(att(20L)._1 === 1L)
+    assert(att(20L)._3)
+    assert(att(21L)._1 === 2L)
+    // attribution agrees with the scalar fuzzy tier on (doc, max_jaccard)
+    val fuzzy = Contamination.fuzzyContaminationQuery(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(att.view.mapValues(_._2).toMap === fuzzy)
+  }
+
   test("fuzzy tier: a pair sharing ONLY a stop trigram (df > FuzzyDfCap) " +
       "is never a candidate; a rare shared trigram still nominates, and " +
       "the stop trigram then counts in the exact jaccard") {
