@@ -64,7 +64,10 @@ class PlanShapeSpec extends SparkSpec {
     "dedup_exact" -> ((2, 0, 2)),
     "r_q1_pricing_summary" -> ((2, 0, 0)),
     "r_hourly_event_stats" -> ((2, 0, 0)),
-    "sim_ivfpq_topk" -> ((2, 1, 2)),
+    // round 10: the registered query reads the memoized IVF/PQ index
+    // (Similarity.ivfIndexFor) — the cell-assign/PQ-encode subtree is a
+    // checkpoint scan, dropping the shuffle the inline build carried.
+    "sim_ivfpq_topk" -> ((1, 1, 2)),
     "quality_histogram" -> ((2, 0, 0)),
     "corpus_top_bigrams" -> ((2, 0, 0)),
     // round 7: verify stage is a per-bucket min-partner kernel (groupBy
