@@ -126,6 +126,65 @@ object Repetition {
         .otherwise(lit(null).cast("double")).as("dup_line_char_frac"))
   }
 
+  /** The n-gram rows of Gopher Table A1 that [[repetitionQuery]] (top
+    * 2-gram) and [[gopherLinesQuery]] (lines) don't cover: for n ∈
+    * {2,3,4}, the character share of the most frequent word n-gram and
+    * of ALL duplicated word n-grams. Char attribution matches the
+    * repo's established top-bigram spelling: `cnt × (len(gram) − (n−1))`
+    * (join spaces excluded) over non-space chars — occurrence-weighted,
+    * not interval-merged, and spelled identically in the oracle.
+    *
+    * Scale shape: one sorted run-length fold per n over the in-row
+    * n-gram array (the [[repetitionQuery]] kernel extended to carry the
+    * duplicated-char sum), zero shuffles, pipelines inside the scan. */
+  def dupNgramsQuery(docs: DataFrame, ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    val s1 = docs.select(
+      col("doc_id"),
+      Stage.once(expr("filter(split(text, '\\\\s+'), x -> x != '')")).as("w"),
+      length(regexp_replace(col("text"), "\\s+", "")).as("nonspace"))
+    def foldFor(n: Int): String = {
+      val js = n - 1 // join spaces per gram
+      s"""CASE WHEN size(w) < $n
+         |  THEN named_struct('cnt', 0, 'arg', CAST(NULL AS STRING),
+         |                    'dup', CAST(0 AS BIGINT))
+         |  ELSE aggregate(
+         |    array_sort(transform(sequence(1, size(w) - $js),
+         |                         i -> array_join(slice(w, i, $n), ' '))),
+         |    named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0,
+         |                 'arg', CAST(NULL AS STRING), 'dup', CAST(0 AS BIGINT)),
+         |    (a, x) -> named_struct(
+         |      'prev', x,
+         |      'run', IF(a.prev <=> x, a.run + 1, 1),
+         |      'best', GREATEST(a.best, IF(a.prev <=> x, a.run + 1, 1)),
+         |      'arg', IF(IF(a.prev <=> x, a.run + 1, 1) > a.best, x, a.arg),
+         |      'dup', a.dup + IF(a.prev <=> x,
+         |                        IF(a.run = 1,
+         |                           CAST(length(a.prev) - $js AS BIGINT)
+         |                             + CAST(length(x) - $js AS BIGINT),
+         |                           CAST(length(x) - $js AS BIGINT)),
+         |                        CAST(0 AS BIGINT))),
+         |    a -> named_struct('cnt', a.best, 'arg', a.arg, 'dup', a.dup))
+         |END""".stripMargin
+    }
+    val s2 = s1.select(
+      Seq(col("doc_id"), col("nonspace")) ++
+        ns.map(n => Stage.once(expr(foldFor(n))).as(s"g$n")): _*)
+    s2.select(
+      Seq(col("doc_id"), col("nonspace")) ++ ns.flatMap { n =>
+        val js = n - 1
+        Seq(
+          expr(s"g$n.cnt").as(s"top_${n}gram_cnt"),
+          expr(s"""IF(nonspace = 0 OR g$n.cnt = 0, CAST(NULL AS DOUBLE),
+                  |   CAST(g$n.cnt * (length(g$n.arg) - $js) AS DOUBLE)
+                  |     / CAST(nonspace AS DOUBLE))""".stripMargin)
+            .as(s"top_${n}gram_char_frac"),
+          expr(s"g$n.dup").as(s"dup_${n}gram_chars"),
+          expr(s"""IF(nonspace = 0, CAST(NULL AS DOUBLE),
+                  |   CAST(g$n.dup AS DOUBLE) / CAST(nonspace AS DOUBLE))"""
+            .stripMargin).as(s"dup_${n}gram_char_frac"))
+      }: _*)
+  }
+
   /** Corpus-wide top-20 word bigrams — the classic n-gram frequency
     * report. Scale shape: per-row bigram explode → hash-partitioned
     * count (map-side partial agg absorbs the heavy hitters) → global
@@ -179,6 +238,7 @@ object Repetition {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_dup_ngrams" -> ((s, d) => dupNgramsQuery(Tables.documents(s, d))),
     "quality_repetition" -> ((s, d) => repetitionQuery(Tables.documents(s, d))),
     "quality_gopher_lines" -> ((s, d) => gopherLinesQuery(Tables.documents(s, d))),
     "corpus_top_bigrams" -> ((s, d) => topBigramsQuery(Tables.documents(s, d))),
@@ -188,6 +248,51 @@ object Repetition {
     * rank) — an independent derivation, which is the point: two different
     * computations, one hash. */
   def oracles: Map[String, String] = Map(
+    "quality_dup_ngrams" -> {
+      val ns = Seq(2, 3, 4)
+      val gramCtes = ns.map { n =>
+        val concat = (0 until n).map(k => s"w[i + $k]").mkString(" || ' ' || ")
+        s"""g$n AS (
+           |  SELECT doc_id,
+           |         unnest(list_transform(range(1, len(w) - ${n - 2}), i -> $concat)) AS g
+           |  FROM base),
+           |c$n AS (SELECT doc_id, g, count(*) AS cnt FROM g$n GROUP BY doc_id, g),
+           |t$n AS (SELECT doc_id, g, cnt,
+           |          row_number() OVER (PARTITION BY doc_id
+           |                             ORDER BY cnt DESC, g ASC) AS rk
+           |        FROM c$n),
+           |a$n AS (SELECT doc_id,
+           |          CAST(sum(CASE WHEN cnt > 1
+           |                        THEN cnt * (strlen(g) - ${n - 1}) ELSE 0 END)
+           |               AS BIGINT) AS dup
+           |        FROM c$n GROUP BY doc_id)""".stripMargin
+      }.mkString(",\n")
+      val cols = ns.map { n =>
+        s"""  COALESCE(t$n.cnt, 0) AS top_${n}gram_cnt,
+           |  CASE WHEN b.nonspace = 0 OR t$n.cnt IS NULL THEN NULL
+           |       ELSE (t$n.cnt * (strlen(t$n.g) - ${n - 1}))::DOUBLE
+           |              / b.nonspace::DOUBLE
+           |  END AS top_${n}gram_char_frac,
+           |  COALESCE(a$n.dup, 0) AS dup_${n}gram_chars,
+           |  CASE WHEN b.nonspace = 0 THEN NULL
+           |       ELSE COALESCE(a$n.dup, 0)::DOUBLE / b.nonspace::DOUBLE
+           |  END AS dup_${n}gram_char_frac""".stripMargin
+      }.mkString(",\n")
+      val joins = ns.map { n =>
+        s"""LEFT JOIN t$n ON b.doc_id = t$n.doc_id AND t$n.rk = 1
+           |LEFT JOIN a$n ON b.doc_id = a$n.doc_id""".stripMargin
+      }.mkString("\n")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w,
+         |         strlen(regexp_replace(text, '\\s+', '', 'g')) AS nonspace
+         |  FROM documents),
+         |$gramCtes
+         |SELECT b.doc_id, b.nonspace,
+         |$cols
+         |FROM base b
+         |$joins""".stripMargin
+    },
     "quality_gopher_lines" ->
       """WITH l AS (
         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),

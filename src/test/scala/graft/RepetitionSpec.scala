@@ -45,6 +45,36 @@ class RepetitionSpec extends SparkSpec {
     assert(m(4L).isNullAt(m(4L).fieldIndex("dup_word_frac")))
   }
 
+  test("dup n-grams: hand-computed top/dup char fractions for n=2..4") {
+    // words: a b a b a b (nonspace = 6)
+    // 2-grams: "a b" x3, "b a" x2 -> top cnt 3, frac 3*2/6 = 1.0;
+    //          dup chars 3*2 + 2*2 = 10 -> 10/6
+    // 3-grams: "a b a" x2, "b a b" x2 -> tie, smallest wins; 2*3/6 = 1.0;
+    //          dup 2*3 + 2*3 = 12 -> 2.0
+    // 4-grams: "a b a b" x2, "b a b a" x1 -> top 2*4/6; dup 8 -> 8/6
+    val df = Repetition.dupNgramsQuery(
+        Seq((1L, "a b a b a b"), (2L, "")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = df(1L)
+    assert(r1.getAs[Int]("top_2gram_cnt") === 3)
+    assert(r1.getAs[Double]("top_2gram_char_frac") === 6.0 / 6.0)
+    assert(r1.getAs[Long]("dup_2gram_chars") === 10L)
+    assert(r1.getAs[Double]("dup_2gram_char_frac") === 10.0 / 6.0)
+    assert(r1.getAs[Int]("top_3gram_cnt") === 2)
+    assert(r1.getAs[Double]("top_3gram_char_frac") === 6.0 / 6.0)
+    assert(r1.getAs[Long]("dup_3gram_chars") === 12L)
+    assert(r1.getAs[Double]("dup_3gram_char_frac") === 12.0 / 6.0)
+    assert(r1.getAs[Int]("top_4gram_cnt") === 2)
+    assert(r1.getAs[Double]("top_4gram_char_frac") === 8.0 / 6.0)
+    assert(r1.getAs[Long]("dup_4gram_chars") === 8L)
+    assert(r1.getAs[Double]("dup_4gram_char_frac") === 8.0 / 6.0)
+    val r2 = df(2L) // empty doc: zero counts, NULL fractions
+    assert(r2.getAs[Int]("top_2gram_cnt") === 0)
+    assert(r2.isNullAt(r2.fieldIndex("top_2gram_char_frac")))
+    assert(r2.getAs[Long]("dup_4gram_chars") === 0L)
+    assert(r2.isNullAt(r2.fieldIndex("dup_4gram_char_frac")))
+  }
+
   test("corpus top bigrams ranks by count then bigram") {
     val df = Seq(1L -> "x y x y z", 2L -> "x y q", 3L -> "a b").toDF("doc_id", "text")
     // "x y": 3 (doc1 twice, doc2 once); "y x": 1; ...
