@@ -129,6 +129,28 @@ object Relational {
         sum(dec(col("value"))).cast("double").as("total_value"),
         countDistinct(col("user_id")).as("n_users"))
 
+  /** Cohort retention matrix: users grouped by their first-activity day
+    * (the cohort), counted on each later active day as an offset — the
+    * standard product-analytics retention triangle. Shape: one groupBy
+    * on user_id for the cohort day, one (user, day) distinct, then a
+    * user-keyed join (co-partitioned with the first shuffle — at scale
+    * both sides hash on user_id, no re-exchange) and a tiny
+    * (cohort, offset)-keyed rollup. Day buckets are µs-epoch div
+    * 86400e6, the table's timestamp policy. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("first_us"))
+      .select(col("user_id"), expr(s"first_us div ${dayUs}L").as("cohort_day"))
+    val activeDays = events
+      .select(col("user_id"), expr(s"ts_us div ${dayUs}L").as("active_day"))
+      .distinct()
+    activeDays.join(firstDay, "user_id")
+      .groupBy(col("cohort_day"),
+        (col("active_day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   // -----------------------------------------------------------------------
   // Top-k per group, set ops, sketches
   // -----------------------------------------------------------------------
@@ -339,6 +361,7 @@ object Relational {
     "r_latest_events_per_user" -> ((s, d) => latestEventsPerUser(eventsUs(s, d))),
     "r_rolling_value_per_user" -> ((s, d) => rollingValuePerUser(eventsUs(s, d))),
     "r_hourly_event_stats" -> ((s, d) => hourlyEventStats(eventsUs(s, d))),
+    "r_cohort_retention" -> ((s, d) => cohortRetention(eventsUs(s, d))),
     "r_top_parts_per_brand" -> ((s, d) => topPartsPerBrand(Tables.part(s, d))),
     "r_set_ops_customers" -> ((s, d) => customerSetOps(Tables.customer(s, d))),
     "r_approx_distinct_users" -> ((s, d) => approxDistinctUsers(eventsUs(s, d))),
@@ -450,6 +473,15 @@ object Relational {
         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    "r_cohort_retention" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS active_day FROM events),
+        |f AS (SELECT user_id, min(active_day) AS cohort_day FROM t GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, active_day FROM t)
+        |SELECT f.cohort_day, a.active_day - f.cohort_day AS day_offset,
+        |       count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
     "r_top_parts_per_brand" ->
       """SELECT p_brand, rn, p_partkey, p_name, p_retailprice FROM (
