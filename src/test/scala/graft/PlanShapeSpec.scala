@@ -75,7 +75,21 @@ class PlanShapeSpec extends SparkSpec {
     // that shipped both vectors per candidate pair (30x->100x exp 1.43).
     "dedup_semantic_text" -> ((2, 2, 0)),
     "doc_tfidf_keywords" -> ((4, 2, 2)),
-    "mix_temperature" -> ((4, 3, 1)))
+    "mix_temperature" -> ((4, 3, 1)),
+    // round 10: the per-row quality/diversity operators must stay
+    // scan-local — the ONE exchange here is Tables.parallelized's
+    // under-split ingest spread (absent at real scale by its size
+    // check); a SECOND exchange means a rewrite broke the
+    // zero-operator-shuffle property that makes these free at 100 TB.
+    "doc_char_diversity" -> ((1, 0, 0)),
+    "doc_word_diversity" -> ((1, 0, 0)),
+    "quality_lang_margin" -> ((1, 0, 0)),
+    "quality_dup_ngrams" -> ((1, 0, 0)),
+    // ingest spread (hash on user_id) + (user, day) distinct + final
+    // (cohort, offset) rollup; the user-keyed cohort join is satisfied
+    // by the shared hash spread (1 broadcast at fixture stats, SMJ on
+    // the co-hashed sides at scale).
+    "r_cohort_retention" -> ((3, 1, 0)))
 
   for ((name, want) <- pins)
     test(s"plan shape pinned: $name") {
