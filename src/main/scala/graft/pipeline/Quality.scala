@@ -201,6 +201,29 @@ object Quality {
   def histogramReferenceQuery(docs: DataFrame): DataFrame =
     histogramQuery(docs, Config.reference)
 
+  /** Per-source cascade outcome rates — the source-curation report:
+    * which ingest sources fail which filters, and each source's pass
+    * rate. Domain-level quality rates are what decide keep/drop/reweight
+    * for a source at 100 TB (the RefinedWeb/Gopher per-domain audits);
+    * the per-doc cascade (`quality_cascade`) can't answer that without a
+    * client-side rollup. One ≤(sources × reasons)-key aggregation over
+    * the cascade projection; the pass-rate float is one IEEE division of
+    * two exact counts, computed per (source, reason) row against the
+    * source total via a broadcast self-join of the tiny rollup. */
+  def bySourceQuery(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val counts = withReason(docs, cfg)
+      .groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"))
+      .transform(graft.CacheScope.persist) // tiny; feeds totals AND output
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_source_docs"))
+    counts.join(broadcast(totals), "source")
+      .select(col("source"), col("reason"), col("n_docs"),
+        col("n_source_docs"),
+        (col("n_docs").cast("double") / col("n_source_docs").cast("double"))
+          .as("frac"))
+  }
+
   /** Corpus language-ID distribution — the dedicated language-analysis
     * surface (the detector otherwise only appears per-doc inside the
     * cascade): detected language vs the table's labeled `lang`, counted.
@@ -239,6 +262,7 @@ object Quality {
     "lang_distribution" -> ((s, d) => langDistributionQuery(Tables.documents(s, d))),
     "quality_cascade" -> ((s, d) => cascadeQuery(Tables.documents(s, d))),
     "quality_histogram" -> ((s, d) => histogramQuery(Tables.documents(s, d))),
+    "quality_by_source" -> ((s, d) => bySourceQuery(Tables.documents(s, d))),
     "quality_histogram_refdefaults" -> ((s, d) => histogramReferenceQuery(Tables.documents(s, d))),
     "quality_passed" -> ((s, d) => passedQuery(Tables.documents(s, d))))
 
@@ -340,6 +364,15 @@ object Quality {
         s"""SELECT reason, count(*) AS n_docs
            |FROM (SELECT ${reasonCascadeD(cfg)} AS reason FROM $qm)
            |GROUP BY reason""".stripMargin,
+      "quality_by_source" ->
+        s"""WITH r AS (SELECT source, ${reasonCascadeD(cfg)} AS reason FROM $qm),
+           |c AS (SELECT source, reason, CAST(count(*) AS BIGINT) AS n_docs
+           |      FROM r GROUP BY 1, 2),
+           |t AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_source_docs
+           |      FROM c GROUP BY source)
+           |SELECT c.source, c.reason, c.n_docs, t.n_source_docs,
+           |       CAST(c.n_docs AS DOUBLE) / CAST(t.n_source_docs AS DOUBLE) AS frac
+           |FROM c JOIN t USING (source)""".stripMargin,
       "quality_histogram_refdefaults" ->
         s"""SELECT reason, count(*) AS n_docs
            |FROM (SELECT ${reasonCascadeD(Config.reference)} AS reason FROM $qm)
