@@ -198,11 +198,14 @@ object MinHash {
           col("x.gid") < col("y.gid"))
       .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
       .distinct()
+    // `matches` rides along (the verify loop counts it anyway): the
+    // pair-report query reads it; every other consumer selects (ga, gb).
     val verifiedPairs = repPairs
       .join(reps.select(col("gid").as("ga"), col("sig").as("sig_a")), "ga")
       .join(reps.select(col("gid").as("gb"), col("sig").as("sig_b")), "gb")
-      .filter(sigMatchGeUdf(col("sig_a"), col("sig_b")))
-      .select(col("ga"), col("gb"))
+      .withColumn("matches", sigMatchCountUdf(col("sig_a"), col("sig_b")))
+      .filter(col("matches") >= MinMatches)
+      .select(col("ga"), col("gb"), col("matches"))
     (withG, verifiedPairs)
   }
 
@@ -266,6 +269,15 @@ object MinHash {
     m >= MinMatches
   }
   private val sigMatchGeUdf = udf(sigMatchesGE _)
+
+  /** Exact matched-slot count (no early exit — the count itself is the
+    * output for the pair report; est. Jaccard = matches / NumPerm). */
+  def sigMatchCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var m = 0
+    while (i < NumPerm) { if (a(i) == b(i)) m += 1; i += 1 }
+    m
+  }
+  private val sigMatchCountUdf = udf(sigMatchCount _)
 
   /** D5: the surviving documents (near-dups removed, lowest id wins). */
   def dedup(docs: DataFrame): DataFrame =
@@ -333,7 +345,16 @@ object MinHash {
     "dedup_minhash" -> ((s, d) =>
       dedupAgainst(Tables.documents(s, d), dupsFor(s, d)).select("doc_id", "n_chars")),
     "dedup_minhash_dupmap" -> ((s, d) => dupsFor(s, d)),
-    "dedup_minhash_stats" -> ((s, d) => statsOf(Tables.documents(s, d), dupsFor(s, d))))
+    "dedup_minhash_stats" -> ((s, d) => statsOf(Tables.documents(s, d), dupsFor(s, d))),
+    // Pair-similarity report: the verified rep-level near-dup pairs with
+    // their estimated Jaccard (matches/NumPerm — exact power-of-two
+    // division, bit-identical cross-engine). The per-pair similarity is
+    // what threshold-tuning and dedup audits read; a checkpoint scan of
+    // the shared rep graph, zero recomputation.
+    "dedup_minhash_pairs" -> ((s, d) => repGraphFor(s, d)._2
+      .select(col("ga").as("id_a"), col("gb").as("id_b"),
+        col("matches").cast("long").as("n_matches"),
+        (col("matches").cast("double") / lit(NumPerm.toDouble)).as("est_jaccard"))))
 
   // -----------------------------------------------------------------------
   // DuckDB oracle: the identical pipeline in SQL (integer-exact).
@@ -393,5 +414,24 @@ object MinHash {
          |SELECT (SELECT count(*) FROM documents) AS total_documents,
          |       (SELECT count(*) FROM documents) - (SELECT count(*) FROM dups) AS unique_documents,
          |       (SELECT count(*) FROM dups) AS duplicate_documents,
-         |       (SELECT count(DISTINCT original_id) FROM dups) AS duplicate_clusters""".stripMargin)
+         |       (SELECT count(DISTINCT original_id) FROM dups) AS duplicate_clusters""".stripMargin,
+    // Rep-level pairs = member-level banded candidates restricted to
+    // identical-signature group minima (reps share their group's sig,
+    // hence its bands — the same contraction argument as repGraph).
+    "dedup_minhash_pairs" ->
+      s"""$oraclePrefix,
+         |grp AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY sig) AS gid FROM sigs),
+         |reps AS (SELECT doc_id FROM grp WHERE doc_id = gid)
+         |SELECT id_a, id_b, n_matches,
+         |       CAST(n_matches AS DOUBLE) / CAST($NumPerm AS DOUBLE) AS est_jaccard
+         |FROM (SELECT c.id_a, c.id_b,
+         |        CAST(list_sum(list_transform(range(1, ${NumPerm + 1}), k ->
+         |          CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END)) AS BIGINT)
+         |          AS n_matches
+         |      FROM cand c
+         |      JOIN sigs sa ON sa.doc_id = c.id_a
+         |      JOIN sigs sb ON sb.doc_id = c.id_b
+         |      WHERE c.id_a IN (SELECT doc_id FROM reps)
+         |        AND c.id_b IN (SELECT doc_id FROM reps))
+         |WHERE n_matches >= $MinMatches""".stripMargin)
 }
