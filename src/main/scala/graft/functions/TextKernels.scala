@@ -164,3 +164,111 @@ object LangHits {
   def apply(c: Column): Column =
     GraftSqlBridge.column(LangHitsExpression(GraftSqlBridge.expression(c)))
 }
+
+/** Character-diversity sums → struct(n_chars, n_distinct, sq_sum) —
+  * all BIGINT. Kernel: [[graft.pipeline.Analytics.charDiversityKernel]]
+  * (replaces an interpreted sorted-HOF fold measured 9.1 s at the 100x
+  * probe; the sums are order-independent integers, so the primitive
+  * sort + run-length kernel is result-identical). */
+case class CharDiversityExpression(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("distinct", LongType, nullable = false),
+    StructField("sq", LongType, nullable = false)))
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "graft_char_diversity"
+  override protected def nullSafeEval(input: Any): Any =
+    CharDiversityExpression.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharDiversityExpression.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharDiversityExpression =
+    copy(child = newChild)
+}
+
+object CharDiversityExpression {
+  def compute(s: UTF8String): InternalRow = {
+    val (n, d, sq) = graft.pipeline.Analytics.charDiversityKernel(s.toString)
+    new GenericInternalRow(Array[Any](n, d, sq))
+  }
+}
+
+object CharDiversity {
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(CharDiversityExpression(GraftSqlBridge.expression(c)))
+}
+
+/** Word-diversity sums over lowercased whitespace words →
+  * struct(n_words, n_distinct, sq_sum), all BIGINT. Kernel:
+  * [[graft.pipeline.Analytics.wordDiversityKernel]]. */
+case class WordDiversityExpression(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("distinct", LongType, nullable = false),
+    StructField("sq", LongType, nullable = false)))
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "graft_word_diversity"
+  override protected def nullSafeEval(input: Any): Any =
+    WordDiversityExpression.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordDiversityExpression.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordDiversityExpression =
+    copy(child = newChild)
+}
+
+object WordDiversityExpression {
+  def compute(s: UTF8String): InternalRow = {
+    val (n, d, sq) = graft.pipeline.Analytics.wordDiversityKernel(s.toString)
+    new GenericInternalRow(Array[Any](n, d, sq))
+  }
+}
+
+object WordDiversity {
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(WordDiversityExpression(GraftSqlBridge.expression(c)))
+}
+
+/** Gopher n-gram repetition sums for n ∈ {2,3,4} → struct(cnt2, len2,
+  * dup2, cnt3, len3, dup3, cnt4, len4, dup4), all BIGINT (cntN = top
+  * n-gram occurrences, lenN = its code-point length, dupN = duplicated-
+  * gram char sum). Kernel: [[graft.pipeline.Repetition.dupNgramsKernel]]
+  * (hash-grouped counts; tie on equal top counts breaks to the
+  * code-point-smallest gram, the oracle's ORDER BY cnt DESC, g ASC). */
+case class DupNgramsExpression(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StructType(
+    Seq(2, 3, 4).flatMap(n => Seq(
+      StructField(s"cnt$n", LongType, nullable = false),
+      StructField(s"len$n", LongType, nullable = false),
+      StructField(s"dup$n", LongType, nullable = false))))
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "graft_dup_ngrams"
+  override protected def nullSafeEval(input: Any): Any =
+    DupNgramsExpression.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DupNgramsExpression.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): DupNgramsExpression =
+    copy(child = newChild)
+}
+
+object DupNgramsExpression {
+  def compute(s: UTF8String): InternalRow = {
+    val a = graft.pipeline.Repetition.dupNgramsKernel(s.toString)
+    new GenericInternalRow(Array[Any](a(0), a(1), a(2), a(3), a(4), a(5), a(6), a(7), a(8)))
+  }
+}
+
+object DupNgrams {
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(DupNgramsExpression(GraftSqlBridge.expression(c)))
+}

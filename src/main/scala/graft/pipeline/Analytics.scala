@@ -145,6 +145,49 @@ object Analytics {
           lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")))
   }
 
+  /** JVM kernel behind [[graft.functions.CharDiversityExpression]]:
+    * sorted-codepoint run lengths → (n, distinct, Σ run²). The sums are
+    * order-independent integers, so primitive sort + run-length is
+    * result-identical to the retired interpreted HOF fold (and the
+    * DuckDB count-per-distinct spelling) at a fraction of the cost. */
+  def charDiversityKernel(text: String): (Long, Long, Long) = {
+    val cps = text.codePoints().toArray
+    java.util.Arrays.sort(cps)
+    var distinct = 0L
+    var sq = 0L
+    var i = 0
+    while (i < cps.length) {
+      var j = i
+      while (j < cps.length && cps(j) == cps(i)) j += 1
+      val run = (j - i).toLong
+      distinct += 1
+      sq += run * run
+      i = j
+    }
+    (cps.length.toLong, distinct, sq)
+  }
+
+  private val WsSplit = java.util.regex.Pattern.compile("\\s+")
+
+  /** JVM kernel behind [[graft.functions.WordDiversityExpression]]:
+    * per-distinct-word counts over lowercased whitespace words (hash
+    * grouping — the Σ cnt² sum needs only equality, no order). */
+  def wordDiversityKernel(text: String): (Long, Long, Long) = {
+    val words = WsSplit.split(text.toLowerCase(java.util.Locale.ROOT))
+    val counts = new java.util.HashMap[String, Int]()
+    var n = 0L
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) { n += 1; counts.merge(w, 1, Integer.sum _) }
+      i += 1
+    }
+    var sq = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next().toLong; sq += c * c }
+    (n, counts.size().toLong, sq)
+  }
+
   /** Per-doc character-collision probability (the Rényi-2 / Simpson
     * diversity index over code points): Σ n_c² / N², with
     * `effective_alphabet` = its inverse — the "how many distinct
@@ -161,20 +204,13 @@ object Analytics {
   def charDiversityQuery(docs: DataFrame): DataFrame =
     docs
       .filter(length(col("text")) > 0)
-      .select(col("doc_id"), expr("array_sort(split(text, ''))").as("cs"))
+      .select(col("doc_id"),
+        Stage.once(graft.functions.CharDiversity(col("text"))).as("s"))
       .select(
         col("doc_id"),
-        expr("size(cs)").cast("long").as("n_chars_counted"),
-        expr("size(array_distinct(cs))").cast("long").as("n_distinct_chars"),
-        expr(
-          """aggregate(cs,
-            |  named_struct('prev', CAST(NULL AS STRING),
-            |               'run', CAST(0 AS BIGINT), 'acc', CAST(0 AS BIGINT)),
-            |  (a, x) -> named_struct(
-            |    'prev', x,
-            |    'run', IF(a.prev <=> x, a.run + 1, CAST(1 AS BIGINT)),
-            |    'acc', IF(a.prev <=> x, a.acc, a.acc + a.run * a.run)),
-            |  a -> a.acc + a.run * a.run)""".stripMargin).as("char_sq_sum"))
+        col("s.n").as("n_chars_counted"),
+        col("s.distinct").as("n_distinct_chars"),
+        col("s.sq").as("char_sq_sum"))
       .withColumn("collision_prob",
         col("char_sq_sum").cast("double") /
           (col("n_chars_counted").cast("double") * col("n_chars_counted").cast("double")))
@@ -193,21 +229,13 @@ object Analytics {
   def wordDiversityQuery(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
-        expr("array_sort(filter(split(lower(text), '\\\\s+'), x -> x != ''))").as("ws"))
-      .filter(size(col("ws")) > 0)
+        Stage.once(graft.functions.WordDiversity(col("text"))).as("s"))
+      .filter(col("s.n") > 0)
       .select(
         col("doc_id"),
-        expr("size(ws)").cast("long").as("n_words"),
-        expr("size(array_distinct(ws))").cast("long").as("n_distinct_words"),
-        expr(
-          """aggregate(ws,
-            |  named_struct('prev', CAST(NULL AS STRING),
-            |               'run', CAST(0 AS BIGINT), 'acc', CAST(0 AS BIGINT)),
-            |  (a, x) -> named_struct(
-            |    'prev', x,
-            |    'run', IF(a.prev <=> x, a.run + 1, CAST(1 AS BIGINT)),
-            |    'acc', IF(a.prev <=> x, a.acc, a.acc + a.run * a.run)),
-            |  a -> a.acc + a.run * a.run)""".stripMargin).as("word_sq_sum"))
+        col("s.n").as("n_words"),
+        col("s.distinct").as("n_distinct_words"),
+        col("s.sq").as("word_sq_sum"))
       .withColumn("ttr",
         col("n_distinct_words").cast("double") / col("n_words").cast("double"))
       .withColumn("effective_vocab",

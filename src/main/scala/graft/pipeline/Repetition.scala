@@ -137,50 +137,103 @@ object Repetition {
     * Scale shape: one sorted run-length fold per n over the in-row
     * n-gram array (the [[repetitionQuery]] kernel extended to carry the
     * duplicated-char sum), zero shuffles, pipelines inside the scan. */
+  private val WsSplit = java.util.regex.Pattern.compile("\\s+")
+
+  /** Code-point-order string compare — UTF8 binary order, the order
+    * `array_sort`/DuckDB `list_sort`/`ORDER BY g ASC` all use. Java's
+    * `String.compareTo` (UTF-16 unit order) disagrees exactly when a
+    * supplementary character meets U+E000..U+FFFF, so the tie-break
+    * below cannot use it. */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** JVM kernel behind [[graft.functions.DupNgramsExpression]]: for
+    * n ∈ {2,3,4}, (top-gram count, top-gram code-point length,
+    * duplicated-gram char sum) over whitespace words. Counting is hash-
+    * grouped (the Σ over duplicated grams is order-independent); the
+    * top-gram tie on equal counts breaks to the code-point-smallest
+    * gram — the same total order the retired sorted-fold and the
+    * oracle's `ORDER BY cnt DESC, g ASC` pick. */
+  def dupNgramsKernel(text: String): Array[Long] = {
+    val raw = WsSplit.split(text)
+    var nw = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) nw += 1; i += 1 }
+    val words = new Array[String](nw)
+    var k = 0
+    i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) { words(k) = raw(i); k += 1 }; i += 1 }
+    val out = new Array[Long](9)
+    var slot = 0
+    var n = 2
+    while (n <= 4) {
+      val m = words.length - n + 1
+      if (m > 0) {
+        val counts = new java.util.HashMap[String, Int](m * 2)
+        i = 0
+        while (i < m) {
+          val sb = new java.lang.StringBuilder()
+          var w = 0
+          while (w < n) {
+            if (w > 0) sb.append(' ')
+            sb.append(words(i + w))
+            w += 1
+          }
+          counts.merge(sb.toString, 1, Integer.sum _)
+          i += 1
+        }
+        var bestCnt = 0
+        var bestGram: String = null
+        var dup = 0L
+        val js = n - 1
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val g = e.getKey
+          val c = e.getValue
+          if (c > bestCnt || (c == bestCnt && cpCompare(g, bestGram) < 0)) {
+            bestCnt = c
+            bestGram = g
+          }
+          if (c > 1) dup += c.toLong * (g.codePointCount(0, g.length) - js)
+        }
+        out(slot) = bestCnt.toLong
+        out(slot + 1) = bestGram.codePointCount(0, bestGram.length).toLong
+        out(slot + 2) = dup
+      }
+      slot += 3
+      n += 1
+    }
+    out
+  }
+
   def dupNgramsQuery(docs: DataFrame, ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
     val s1 = docs.select(
       col("doc_id"),
-      Stage.once(expr("filter(split(text, '\\\\s+'), x -> x != '')")).as("w"),
+      Stage.once(graft.functions.DupNgrams(col("text"))).as("g"),
       length(regexp_replace(col("text"), "\\s+", "")).as("nonspace"))
-    def foldFor(n: Int): String = {
-      val js = n - 1 // join spaces per gram
-      s"""CASE WHEN size(w) < $n
-         |  THEN named_struct('cnt', 0, 'arg', CAST(NULL AS STRING),
-         |                    'dup', CAST(0 AS BIGINT))
-         |  ELSE aggregate(
-         |    array_sort(transform(sequence(1, size(w) - $js),
-         |                         i -> array_join(slice(w, i, $n), ' '))),
-         |    named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0,
-         |                 'arg', CAST(NULL AS STRING), 'dup', CAST(0 AS BIGINT)),
-         |    (a, x) -> named_struct(
-         |      'prev', x,
-         |      'run', IF(a.prev <=> x, a.run + 1, 1),
-         |      'best', GREATEST(a.best, IF(a.prev <=> x, a.run + 1, 1)),
-         |      'arg', IF(IF(a.prev <=> x, a.run + 1, 1) > a.best, x, a.arg),
-         |      'dup', a.dup + IF(a.prev <=> x,
-         |                        IF(a.run = 1,
-         |                           CAST(length(a.prev) - $js AS BIGINT)
-         |                             + CAST(length(x) - $js AS BIGINT),
-         |                           CAST(length(x) - $js AS BIGINT)),
-         |                        CAST(0 AS BIGINT))),
-         |    a -> named_struct('cnt', a.best, 'arg', a.arg, 'dup', a.dup))
-         |END""".stripMargin
-    }
-    val s2 = s1.select(
-      Seq(col("doc_id"), col("nonspace")) ++
-        ns.map(n => Stage.once(expr(foldFor(n))).as(s"g$n")): _*)
-    s2.select(
+    s1.select(
       Seq(col("doc_id"), col("nonspace")) ++ ns.flatMap { n =>
         val js = n - 1
         Seq(
-          expr(s"g$n.cnt").as(s"top_${n}gram_cnt"),
-          expr(s"""IF(nonspace = 0 OR g$n.cnt = 0, CAST(NULL AS DOUBLE),
-                  |   CAST(g$n.cnt * (length(g$n.arg) - $js) AS DOUBLE)
+          expr(s"g.cnt$n").as(s"top_${n}gram_cnt"),
+          expr(s"""IF(nonspace = 0 OR g.cnt$n = 0, CAST(NULL AS DOUBLE),
+                  |   CAST(g.cnt$n * (g.len$n - $js) AS DOUBLE)
                   |     / CAST(nonspace AS DOUBLE))""".stripMargin)
             .as(s"top_${n}gram_char_frac"),
-          expr(s"g$n.dup").as(s"dup_${n}gram_chars"),
+          expr(s"g.dup$n").as(s"dup_${n}gram_chars"),
           expr(s"""IF(nonspace = 0, CAST(NULL AS DOUBLE),
-                  |   CAST(g$n.dup AS DOUBLE) / CAST(nonspace AS DOUBLE))"""
+                  |   CAST(g.dup$n AS DOUBLE) / CAST(nonspace AS DOUBLE))"""
             .stripMargin).as(s"dup_${n}gram_char_frac"))
       }: _*)
   }

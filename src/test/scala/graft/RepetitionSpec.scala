@@ -20,10 +20,10 @@ class RepetitionSpec extends SparkSpec {
     val m = run(Seq(1L -> "a b a b a"))
     val r = m(1L)
     assert(r.getAs[Int]("n_words") === 5)
-    assert(r.getAs[Int]("n_distinct_words") === 2)
+    assert(r.getAs[Int]("n_distinct_words") === 2L)
     assert(r.getAs[Double]("dup_word_frac") === (1.0 - 2.0 / 5.0))
     assert(r.getAs[String]("top_bigram") === "a b")
-    assert(r.getAs[Int]("top_bigram_cnt") === 2)
+    assert(r.getAs[Int]("top_bigram_cnt") === 2L)
     assert(r.getAs[Double]("top_bigram_char_frac") === 4.0 / 5.0)
   }
 
@@ -38,10 +38,10 @@ class RepetitionSpec extends SparkSpec {
   test("degenerate docs: one word and empty text") {
     val m = run(Seq(3L -> "solo", 4L -> "   "))
     assert(m(3L).getAs[Int]("n_words") === 1)
-    assert(m(3L).getAs[Int]("top_bigram_cnt") === 0)
+    assert(m(3L).getAs[Int]("top_bigram_cnt") === 0L)
     assert(m(3L).isNullAt(m(3L).fieldIndex("top_bigram")))
     assert(m(3L).isNullAt(m(3L).fieldIndex("top_bigram_char_frac")))
-    assert(m(4L).getAs[Int]("n_words") === 0)
+    assert(m(4L).getAs[Int]("n_words") === 0L)
     assert(m(4L).isNullAt(m(4L).fieldIndex("dup_word_frac")))
   }
 
@@ -56,20 +56,20 @@ class RepetitionSpec extends SparkSpec {
         Seq((1L, "a b a b a b"), (2L, "")).toDF("doc_id", "text"))
       .collect().map(r => r.getLong(0) -> r).toMap
     val r1 = df(1L)
-    assert(r1.getAs[Int]("top_2gram_cnt") === 3)
+    assert(r1.getAs[Long]("top_2gram_cnt") === 3L)
     assert(r1.getAs[Double]("top_2gram_char_frac") === 6.0 / 6.0)
     assert(r1.getAs[Long]("dup_2gram_chars") === 10L)
     assert(r1.getAs[Double]("dup_2gram_char_frac") === 10.0 / 6.0)
-    assert(r1.getAs[Int]("top_3gram_cnt") === 2)
+    assert(r1.getAs[Long]("top_3gram_cnt") === 2L)
     assert(r1.getAs[Double]("top_3gram_char_frac") === 6.0 / 6.0)
     assert(r1.getAs[Long]("dup_3gram_chars") === 12L)
     assert(r1.getAs[Double]("dup_3gram_char_frac") === 12.0 / 6.0)
-    assert(r1.getAs[Int]("top_4gram_cnt") === 2)
+    assert(r1.getAs[Long]("top_4gram_cnt") === 2L)
     assert(r1.getAs[Double]("top_4gram_char_frac") === 8.0 / 6.0)
     assert(r1.getAs[Long]("dup_4gram_chars") === 8L)
     assert(r1.getAs[Double]("dup_4gram_char_frac") === 8.0 / 6.0)
     val r2 = df(2L) // empty doc: zero counts, NULL fractions
-    assert(r2.getAs[Int]("top_2gram_cnt") === 0)
+    assert(r2.getAs[Long]("top_2gram_cnt") === 0L)
     assert(r2.isNullAt(r2.fieldIndex("top_2gram_char_frac")))
     assert(r2.getAs[Long]("dup_4gram_chars") === 0L)
     assert(r2.isNullAt(r2.fieldIndex("dup_4gram_char_frac")))
@@ -82,7 +82,7 @@ class RepetitionSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1))
     assert(rows.head === ("x y" -> 3L))
     assert(rows(1) === ("a b" -> 1L)) // count-1 ties break lexicographically
-    assert(rows.length === 3)
+    assert(rows.length === 3L)
   }
 
   test("doc commonness averages corpus frequency over doc words") {
@@ -126,6 +126,6 @@ class RepetitionSpec extends SparkSpec {
     // bigrams: z z, z z, z b, b c, c b, b c -> "b c":2, "z z":2 -> "b c"
     val m = run(Seq(5L -> "z z z b c b c"))
     assert(m(5L).getAs[String]("top_bigram") === "b c")
-    assert(m(5L).getAs[Int]("top_bigram_cnt") === 2)
+    assert(m(5L).getAs[Int]("top_bigram_cnt") === 2L)
   }
 }
