@@ -56,7 +56,8 @@ object Bench {
       "dedup_minhash_stats", "pipeline_unique_docs", "dedup_minhash_clusters",
       "dedup_minhash_cluster_stats", "dedup_cluster_histogram", "dedup_keep_best",
       "quality_lm_transition", "quality_lm_buckets",
-      "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivfpq_rerank")
+      "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivfpq_rerank",
+      "decontaminate_fuzzy", "decontaminate_attribution")
     val memoMark: Seq[(String, Double)] =
       if (only.nonEmpty && only.intersect(memoConsumers).isEmpty) Nil
       else {

@@ -28,5 +28,8 @@ object Memos {
     // IVF/PQ index: the eager localCheckpoint inside the memo build
     // materializes the encoded corpus frame for the three sim_ivf* queries.
     graft.relational.Similarity.ivfIndexFor(s, d)
+    // Fuzzy decontamination index: bench collect + corpus df pass +
+    // broadcast, shared by the two fuzzy-tier queries.
+    Contamination.fuzzyIxFor(s, d)
   }
 }

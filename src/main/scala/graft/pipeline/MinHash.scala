@@ -198,13 +198,17 @@ object MinHash {
           col("x.gid") < col("y.gid"))
       .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
       .distinct()
-    // `matches` rides along (the verify loop counts it anyway): the
-    // pair-report query reads it; every other consumer selects (ga, gb).
+    // Verify keeps its early-exit GE check (non-matching candidates —
+    // the common case — still bail after a few slots); the exhaustive
+    // count runs ONLY on survivors, which are ≥ MinMatches by
+    // construction, so `matches` rides into the memo almost for free.
+    // The pair-report query reads it; every other consumer selects
+    // (ga, gb).
     val verifiedPairs = repPairs
       .join(reps.select(col("gid").as("ga"), col("sig").as("sig_a")), "ga")
       .join(reps.select(col("gid").as("gb"), col("sig").as("sig_b")), "gb")
+      .filter(sigMatchGeUdf(col("sig_a"), col("sig_b")))
       .withColumn("matches", sigMatchCountUdf(col("sig_a"), col("sig_b")))
-      .filter(col("matches") >= MinMatches)
       .select(col("ga"), col("gb"), col("matches"))
     (withG, verifiedPairs)
   }
@@ -308,8 +312,8 @@ object MinHash {
     * which before round 10 each re-derived the same chain cold (the
     * 100x profile's top block: ~48 s dupmap + ~66 s CC over the SAME
     * signatures). The memoized state is the SKINNY rep graph — members
-    * `(doc_id, gid)` and verified rep pairs `(ga, gb)`, two longs per
-    * row — eagerly `localCheckpoint`ed while the signature subtree's
+    * `(doc_id, gid)` and verified rep pairs `(ga, gb, matches)`, two
+    * longs + one int per row — eagerly `localCheckpoint`ed while the signature subtree's
     * CacheScope persist is still alive, so the wide 128-long signatures
     * never outlive the build. Same capacity-bounded-LRU + fingerprint
     * invalidation story as every [[QueryMemo]]. On a real cluster the

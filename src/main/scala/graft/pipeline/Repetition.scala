@@ -217,13 +217,14 @@ object Repetition {
     out
   }
 
-  def dupNgramsQuery(docs: DataFrame, ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+  def dupNgramsQuery(docs: DataFrame): DataFrame = {
     val s1 = docs.select(
       col("doc_id"),
       Stage.once(graft.functions.DupNgrams(col("text"))).as("g"),
       length(regexp_replace(col("text"), "\\s+", "")).as("nonspace"))
+    // n ∈ {2,3,4} is hardwired into the kernel's struct schema.
     s1.select(
-      Seq(col("doc_id"), col("nonspace")) ++ ns.flatMap { n =>
+      Seq(col("doc_id"), col("nonspace")) ++ Seq(2, 3, 4).flatMap { n =>
         val js = n - 1
         Seq(
           expr(s"g.cnt$n").as(s"top_${n}gram_cnt"),

@@ -320,11 +320,9 @@ object Similarity {
     * coarse quantizer uses: codebook m holds the 16 centroids'
     * m-th 8-dim slice. Driver-resident like [[codebook]] (k*Dim doubles
     * at any corpus scale). */
-  private def pqCodebook(emb: DataFrame, cells: Int): Array[Array[Array[Double]]] = {
-    val base = codebook(emb, cells)
+  private def pqCodebook(base: Array[(Long, Array[Double])]): Array[Array[Array[Double]]] =
     Array.tabulate(PqSub)(m =>
       base.map { case (_, v) => v.slice(m * PqSubDim, (m + 1) * PqSubDim) })
-  }
 
   /** Sub-L2 between a vector's m-th slice and one sub-centroid —
     * left-fold over ascending j, the shared fold order of every engine
@@ -374,7 +372,7 @@ object Similarity {
   private[graft] def buildIvfIndex(emb: DataFrame): IvfIndex = {
     val cells = cellsFor(emb.count())
     val cents = codebook(emb, cells)
-    val cb = pqCodebook(emb, cells)
+    val cb = pqCodebook(cents) // sliced from the one collected codebook
     val coded = emb
       .withColumn("cell", explode(nearestCellsUdf(cents, 1)(col("embedding"))))
       .withColumn("codes", pqEncodeUdf(cb)(col("embedding")))
