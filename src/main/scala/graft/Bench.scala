@@ -57,7 +57,8 @@ object Bench {
       "dedup_minhash_cluster_stats", "dedup_cluster_histogram", "dedup_keep_best",
       "quality_lm_transition", "quality_lm_buckets",
       "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivfpq_rerank",
-      "decontaminate_fuzzy", "decontaminate_attribution")
+      "decontaminate_fuzzy", "decontaminate_attribution",
+      "mix_dsir_weights", "mix_dsir_weights_bigram")
     val memoMark: Seq[(String, Double)] =
       if (only.nonEmpty && only.intersect(memoConsumers).isEmpty) Nil
       else {

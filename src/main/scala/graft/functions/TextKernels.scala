@@ -272,3 +272,47 @@ object DupNgrams {
   def apply(c: Column): Column =
     GraftSqlBridge.column(DupNgramsExpression(GraftSqlBridge.expression(c)))
 }
+
+/** Per-doc DSIR hashed-bigram feature counts →
+  * array<struct<feat INT, n BIGINT>>, feats ascending. Feature id =
+  * first 32 md5 bits of "prev cur" mod [[graft.pipeline.LangModel.DsirHashDim]]
+  * — bit-identical to the SQL spelling
+  * `conv(substring(md5(concat(prev,' ',cur)),1,8),16,10) % 4096` the
+  * oracle still runs. Collapsing in-row means the downstream exchange
+  * ships ≤ min(doc_bigrams, 4096) pre-counted rows per doc instead of
+  * one string-keyed row per bigram token occurrence. */
+case class DsirBigramFeatsExpression(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("feat", IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "graft_dsir_bigram_feats"
+  override protected def nullSafeEval(input: Any): Any =
+    DsirBigramFeatsExpression.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DsirBigramFeatsExpression.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): DsirBigramFeatsExpression =
+    copy(child = newChild)
+}
+
+object DsirBigramFeatsExpression {
+  def compute(s: UTF8String): ArrayData = {
+    val counts = graft.pipeline.LangModel.dsirBigramFeatCounts(s.toString)
+    val out = new Array[Any](counts.length)
+    var i = 0
+    while (i < counts.length) {
+      out(i) = new GenericInternalRow(Array[Any](counts(i)._1, counts(i)._2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object DsirBigramFeats {
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(DsirBigramFeatsExpression(GraftSqlBridge.expression(c)))
+}

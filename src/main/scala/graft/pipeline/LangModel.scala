@@ -119,9 +119,12 @@ object LangModel {
     * masses broadcast. */
   def dsirWeightsQuery(docs: DataFrame,
                        cfg: Quality.Config = Quality.Config()): DataFrame =
+    dsirWeightsOver(docs, Quality.passedQuery(docs, cfg).select(col("doc_id")))
+
+  private[pipeline] def dsirWeightsOver(docs: DataFrame, passedIds: DataFrame): DataFrame =
     dsirOver(
       docs.select(col("doc_id"), explode(expr(wordsExpr)).as("feat")),
-      Quality.passedQuery(docs, cfg).select(col("doc_id")),
+      passedIds,
       nName = "n_tokens")
 
   /** Hash-bucket count for DSIR's bigram features. The paper's headline
@@ -145,13 +148,58 @@ object LangModel {
     * [[DsirHashDim]] rows however large the corpus grows. */
   def dsirBigramWeightsQuery(docs: DataFrame,
                              cfg: Quality.Config = Quality.Config()): DataFrame =
+    dsirBigramWeightsOver(docs, Quality.passedQuery(docs, cfg).select(col("doc_id")))
+
+  private[pipeline] def dsirBigramWeightsOver(docs: DataFrame,
+      passedIds: DataFrame): DataFrame =
     dsirOver(
-      perDocBigrams(docs).select(col("doc_id"),
-          expr(s"CAST(conv(substring(md5(concat(prev, ' ', cur)), 1, 8), 16, 10) AS BIGINT)" +
-            s" % $DsirHashDim").as("feat"),
-          col("n_occ")),
-      Quality.passedQuery(docs, cfg).select(col("doc_id")),
+      // In-row kernel collapse (round 10): per-doc hashed-feature counts
+      // are computed inside the scan and the exchange ships pre-counted
+      // (doc, feat ≤ DsirHashDim, n) rows — the previous spelling
+      // shuffled one string-keyed row per bigram occurrence and ran md5
+      // post-shuffle. Same feature map bit-for-bit (the oracle still
+      // spells it conv(substring(md5(...),1,8),16,10) % dim).
+      docs.select(col("doc_id"),
+          explode(graft.functions.DsirBigramFeats(col("text"))).as("f"))
+        .select(col("doc_id"), col("f.feat").cast("long").as("feat"),
+          col("f.n").as("n_occ")),
+      passedIds,
       nName = "n_bigrams")
+
+  /** JVM kernel behind [[graft.functions.DsirBigramFeatsExpression]]:
+    * (feat, count) pairs per doc, feats ascending. Bigrams over the
+    * [[wordsExpr]] word semantics (lowercase, ASCII-\s split, empties
+    * dropped); feat = first 32 md5 bits of "prev cur" mod
+    * [[DsirHashDim]]. */
+  def dsirBigramFeatCounts(text: String): Array[(Int, Long)] = {
+    val raw = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    var nw = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) nw += 1; i += 1 }
+    val words = new Array[String](nw)
+    var k = 0
+    i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) { words(k) = raw(i); k += 1 }; i += 1 }
+    if (nw < 2) return Array.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Long](DsirHashDim)
+    i = 0
+    while (i < nw - 1) {
+      md.reset()
+      md.update(words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(' '.toByte)
+      md.update(words(i + 1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      counts((h % DsirHashDim).toInt) += 1L
+      i += 1
+    }
+    val out = Array.newBuilder[(Int, Long)]
+    var f = 0
+    while (f < DsirHashDim) { if (counts(f) > 0L) out += ((f, counts(f))); f += 1 }
+    out.result()
+  }
 
   /** Shared DSIR estimator body over any feature frame: `feats` is
     * `(doc_id, feat [, n_occ])` occurrence rows (pre-collapsed rows may
@@ -272,8 +320,10 @@ object LangModel {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_lm_transition" -> ((s, d) => scoresFor(s, d)),
     "quality_lm_buckets" -> ((s, d) => bucketsOf(scoresFor(s, d), Tables.documents(s, d))),
-    "mix_dsir_weights" -> ((s, d) => dsirWeightsQuery(Tables.documents(s, d))),
-    "mix_dsir_weights_bigram" -> ((s, d) => dsirBigramWeightsQuery(Tables.documents(s, d))))
+    "mix_dsir_weights" -> ((s, d) =>
+      dsirWeightsOver(Tables.documents(s, d), Quality.passedIdsFor(s, d))),
+    "mix_dsir_weights_bigram" -> ((s, d) =>
+      dsirBigramWeightsOver(Tables.documents(s, d), Quality.passedIdsFor(s, d))))
 
   // -----------------------------------------------------------------------
   // DuckDB oracle — independent relational spelling (unnest + group-by),

@@ -16,20 +16,37 @@ import org.apache.spark.sql.SparkSession
   * every query median then measures warm steady-state.
   */
 object Memos {
+  /** Per-component stderr timing: the memo build is the top mark of
+    * every 100x sweep, so its internal split is the first thing a
+    * perf investigation needs (scale-probe sweeps read these lines). */
+  private def timed(name: String)(f: => Any): Unit = {
+    val t0 = System.nanoTime()
+    f
+    System.err.println(
+      f"[graft.memos] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
+
   def build(s: SparkSession, d: String): Unit = {
     // rep graph: eager checkpoints inside the memo build.
-    MinHash.repGraphFor(s, d)
+    timed("rep_graph") { MinHash.repGraphFor(s, d) }
     // dup map: lazily checkpointed — force materialization.
-    MinHash.dupsFor(s, d).write.format("noop").mode("overwrite").save()
+    timed("dupmap") {
+      MinHash.dupsFor(s, d).write.format("noop").mode("overwrite").save()
+    }
     // CC labels: the CC loop materializes each round eagerly at call time.
-    Cluster.clustersFor(s, d)
+    timed("cc_labels") { Cluster.clustersFor(s, d) }
     // LM scores: lazily checkpointed — force materialization.
-    LangModel.scoresFor(s, d).write.format("noop").mode("overwrite").save()
+    timed("lm_scores") {
+      LangModel.scoresFor(s, d).write.format("noop").mode("overwrite").save()
+    }
     // IVF/PQ index: the eager localCheckpoint inside the memo build
     // materializes the encoded corpus frame for the three sim_ivf* queries.
-    graft.relational.Similarity.ivfIndexFor(s, d)
+    timed("ivf_index") { graft.relational.Similarity.ivfIndexFor(s, d) }
     // Fuzzy decontamination index: bench collect + corpus df pass +
     // broadcast, shared by the two fuzzy-tier queries.
-    Contamination.fuzzyIxFor(s, d)
+    timed("fuzzy_index") { Contamination.fuzzyIxFor(s, d) }
+    // Quality-passing id set: the DSIR target model, shared by both
+    // importance-weight queries.
+    timed("passed_ids") { Quality.passedIdsFor(s, d) }
   }
 }

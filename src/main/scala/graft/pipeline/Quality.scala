@@ -224,6 +224,18 @@ object Quality {
           .as("frac"))
   }
 
+  /** Memoized quality-passing doc ids at the default config — the DSIR
+    * target-model definition, consumed by BOTH importance-weight
+    * queries (each re-ran the full cascade projection, ~4 s at the 100x
+    * probe, for an identical id set). Same localCheckpoint + LRU +
+    * fingerprint story as every [[QueryMemo]]; the checkpointed frame
+    * is one long per passing doc. */
+  private val passedMemo = new QueryMemo[DataFrame]()
+  private[graft] def passedIdsFor(s: SparkSession, d: String): DataFrame =
+    passedMemo.getOrElseUpdate(s, d) {
+      passedQuery(Tables.documents(s, d)).select(col("doc_id")).localCheckpoint(true)
+    }
+
   /** Corpus language-ID distribution — the dedicated language-analysis
     * surface (the detector otherwise only appears per-doc inside the
     * cascade): detected language vs the table's labeled `lang`, counted.
