@@ -171,7 +171,10 @@ object Analytics {
 
   /** JVM kernel behind [[graft.functions.WordDiversityExpression]]:
     * per-distinct-word counts over lowercased whitespace words (hash
-    * grouping — the Σ cnt² sum needs only equality, no order). */
+    * grouping — the Σ cnt² sum needs only equality, no order).
+    * Lowercasing is Locale.ROOT, the locale-independent fold the DuckDB
+    * oracle's lower() applies (Spark's builtin lower() is the one that
+    * would drift on a tr/az-default-locale JVM). */
   def wordDiversityKernel(text: String): (Long, Long, Long) = {
     val words = WsSplit.split(text.toLowerCase(java.util.Locale.ROOT))
     val counts = new java.util.HashMap[String, Int]()

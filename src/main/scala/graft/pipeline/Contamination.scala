@@ -155,8 +155,12 @@ object Contamination {
     * for THIS kernel on the same data. */
   def fuzzyContaminationQuery(docs: DataFrame,
       benchDocs: Int = BenchmarkDocs): DataFrame =
-    fuzzyAttributionQuery(docs, benchDocs)
-      .select(col("doc_id"), col("max_jaccard"), col("contaminated"))
+    flagsOf(fuzzyAttributionQuery(docs, benchDocs))
+
+  /** The scalar fuzzy tier IS the attribution result minus the bench
+    * column — one projection, defined once. */
+  private def flagsOf(attribution: DataFrame): DataFrame =
+    attribution.select(col("doc_id"), col("max_jaccard"), col("contaminated"))
 
   /** Attribution form of the fuzzy tier: WHICH benchmark item each
     * matched training doc most resembles — the actionable report (drop
@@ -361,8 +365,8 @@ object Contamination {
     "decontaminate_flags" -> ((s, d) => contaminationQuery(Tables.documents(s, d))),
     "decontaminate_overlap" -> ((s, d) => overlapQuery(Tables.documents(s, d))),
     "decontaminate_fuzzy" -> ((s, d) =>
-      attributionOf(trigramFrame(Tables.documents(s, d)), fuzzyIxFor(s, d), BenchmarkDocs)
-        .select(col("doc_id"), col("max_jaccard"), col("contaminated"))),
+      flagsOf(attributionOf(trigramFrame(Tables.documents(s, d)),
+        fuzzyIxFor(s, d), BenchmarkDocs))),
     "decontaminate_attribution" -> ((s, d) =>
       attributionOf(trigramFrame(Tables.documents(s, d)), fuzzyIxFor(s, d), BenchmarkDocs)))
 

@@ -166,11 +166,25 @@ object LangModel {
       passedIds,
       nName = "n_bigrams")
 
+  /** Per-thread scratch for [[dsirBigramFeatCounts]]: the MD5 digest
+    * (JCA provider lookup is not a per-row cost) and a reusable counts
+    * array + touched-slot list, so a short doc zeroes only the slots it
+    * touched instead of 32 KB per row. */
+  private val bigramScratch =
+    new ThreadLocal[(java.security.MessageDigest, Array[Long], Array[Int])] {
+      override def initialValue() =
+        (java.security.MessageDigest.getInstance("MD5"),
+          new Array[Long](DsirHashDim), new Array[Int](DsirHashDim))
+    }
+
   /** JVM kernel behind [[graft.functions.DsirBigramFeatsExpression]]:
     * (feat, count) pairs per doc, feats ascending. Bigrams over the
     * [[wordsExpr]] word semantics (lowercase, ASCII-\s split, empties
     * dropped); feat = first 32 md5 bits of "prev cur" mod
-    * [[DsirHashDim]]. */
+    * [[DsirHashDim]]. Lowercasing is Locale.ROOT — the locale-
+    * INDEPENDENT fold the DuckDB oracle's lower() applies (the MinHash
+    * normalizer's established choice); Spark's builtin lower() is the
+    * one that would drift on a tr/az-default-locale JVM. */
   def dsirBigramFeatCounts(text: String): Array[(Int, Long)] = {
     val raw = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     var nw = 0
@@ -181,8 +195,8 @@ object LangModel {
     i = 0
     while (i < raw.length) { if (raw(i).nonEmpty) { words(k) = raw(i); k += 1 }; i += 1 }
     if (nw < 2) return Array.empty
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val counts = new Array[Long](DsirHashDim)
+    val (md, counts, touched) = bigramScratch.get()
+    var nTouched = 0
     i = 0
     while (i < nw - 1) {
       md.reset()
@@ -192,13 +206,21 @@ object LangModel {
       val d = md.digest()
       val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      counts((h % DsirHashDim).toInt) += 1L
+      val f = (h % DsirHashDim).toInt
+      if (counts(f) == 0L) { touched(nTouched) = f; nTouched += 1 }
+      counts(f) += 1L
       i += 1
     }
-    val out = Array.newBuilder[(Int, Long)]
-    var f = 0
-    while (f < DsirHashDim) { if (counts(f) > 0L) out += ((f, counts(f))); f += 1 }
-    out.result()
+    java.util.Arrays.sort(touched, 0, nTouched)
+    val out = new Array[(Int, Long)](nTouched)
+    var t = 0
+    while (t < nTouched) {
+      val f = touched(t)
+      out(t) = (f, counts(f))
+      counts(f) = 0L // reset for the next row on this thread
+      t += 1
+    }
+    out
   }
 
   /** Shared DSIR estimator body over any feature frame: `feats` is

@@ -126,17 +126,6 @@ object Repetition {
         .otherwise(lit(null).cast("double")).as("dup_line_char_frac"))
   }
 
-  /** The n-gram rows of Gopher Table A1 that [[repetitionQuery]] (top
-    * 2-gram) and [[gopherLinesQuery]] (lines) don't cover: for n ∈
-    * {2,3,4}, the character share of the most frequent word n-gram and
-    * of ALL duplicated word n-grams. Char attribution matches the
-    * repo's established top-bigram spelling: `cnt × (len(gram) − (n−1))`
-    * (join spaces excluded) over non-space chars — occurrence-weighted,
-    * not interval-merged, and spelled identically in the oracle.
-    *
-    * Scale shape: one sorted run-length fold per n over the in-row
-    * n-gram array (the [[repetitionQuery]] kernel extended to carry the
-    * duplicated-char sum), zero shuffles, pipelines inside the scan. */
   private val WsSplit = java.util.regex.Pattern.compile("\\s+")
 
   /** Code-point-order string compare — UTF8 binary order, the order
@@ -217,10 +206,25 @@ object Repetition {
     out
   }
 
+  /** The n-gram rows of Gopher Table A1 that [[repetitionQuery]] (top
+    * 2-gram) and [[gopherLinesQuery]] (lines) don't cover: for n ∈
+    * {2,3,4}, the character share of the most frequent word n-gram and
+    * of ALL duplicated word n-grams. Char attribution matches the
+    * repo's established top-bigram spelling: `cnt × (len(gram) − (n−1))`
+    * (join spaces excluded) over non-space chars — occurrence-weighted,
+    * not interval-merged, and spelled identically in the oracle.
+    *
+    * Scale shape: one native-kernel pass per row ([[dupNgramsKernel]] —
+    * hash-grouped counts for all three n, code-point tie-break), zero
+    * shuffles, pipelines inside the scan. */
   def dupNgramsQuery(docs: DataFrame): DataFrame = {
+    // coalesce: the null-safe kernel would emit a NULL struct for a
+    // NULL-text row, where the retired fold (size(NULL) < n) and the
+    // oracle's COALESCE both emit zero counts; '' reproduces the zeros
+    // (the fractions stay NULL via the nonspace guard either way).
     val s1 = docs.select(
       col("doc_id"),
-      Stage.once(graft.functions.DupNgrams(col("text"))).as("g"),
+      Stage.once(graft.functions.DupNgrams(coalesce(col("text"), lit("")))).as("g"),
       length(regexp_replace(col("text"), "\\s+", "")).as("nonspace"))
     // n ∈ {2,3,4} is hardwired into the kernel's struct schema.
     s1.select(
