@@ -302,41 +302,69 @@ object NearDup {
     // The explicit repartition pins the kernel's exchange: postings are
     // small in BYTES (AQE's coalescing currency) but the kernel is
     // CPU-dense — the round-2 probe showed byte-based coalescing
-    // collapsing exactly this shape to one partition. The windows
-    // (per-gram posting position + posting length, one sort) split the
-    // lists into the bounded-single-row fast path vs the chunk-pair
-    // path; both groupBys run exchange-free on top of the pinned
-    // layout.
-    val posted = prefix.join(gidArr, "doc_id")
-      .repartition(numParts, col("gid"))
-      .withColumn("pp", row_number().over(
-        Window.partitionBy(col("gid")).orderBy(col("doc_id"))))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("gid"))))
-      .transform(graft.CacheScope.persist)
-    val small = posted.filter(col("cnt") <= chunkLen)
-      .groupBy(col("gid"))
-      .agg(sort_array(collect_list(
-        struct(col("doc_id"), col("n"), col("rk"), col("ga")))).as("ps"))
-      .select(explode(jaccardMinPartnerUdf(col("ps"))).as("p"))
-    // Oversized posting lists (ADVICE r9: a hot gram or giant cluster
-    // put O(k·|ga|) bytes in ONE row and serialized the O(k²) scan on
-    // one task): doc_id-ordered chunks of <= chunkLen members, scanned
-    // per chunk pair (ci <= cj; every doc in chunk i precedes every doc
-    // in chunk j, so cross-chunk scans need no id guard). LOSSLESS
-    // under the dup-map algebra: per doc b, its first verified partner
-    // within the whole list lives in SOME chunk <= b's, that pair-row
-    // emits it, and the cross-gram groupBy(min) below absorbs the
-    // per-pair-row candidates exactly as it absorbs per-gram ones.
-    val chunks = posted.filter(col("cnt") > chunkLen)
-      .withColumn("ci", ((col("pp") - 1) / chunkLen).cast("int"))
-      .groupBy(col("gid"), col("ci"))
-      .agg(sort_array(collect_list(
-        struct(col("doc_id"), col("n"), col("rk"), col("ga")))).as("ps"))
-    val large = chunks.as("l").join(chunks.as("r"),
-        col("l.gid") === col("r.gid") && col("l.ci") <= col("r.ci"))
-      .select(explode(jaccardChunkPairUdf(
-        col("l.ps"), col("r.ps"), col("l.ci") === col("r.ci"))).as("p"))
-    val verified = small.union(large)
+    // collapsing exactly this shape to one partition.
+    //
+    // ADAPTIVE chunk path (round 11; verdict r10 finding #1): the
+    // posting-position/length windows, the extra `posted` persist, and
+    // the chunk-pair branch exist only to bound OVERSIZED posting lists
+    // (> chunkLen docs — a >chunkLen-member near-dup cluster, since
+    // prefix grams are each doc's rarest). At every gate/bench scale no
+    // list is oversized, yet the round-10 spelling paid the windows'
+    // per-gid sort + the persist unconditionally (sf0.1 6.5 → 8.0 s).
+    // One skinny 1-row probe over the already-persisted `prefix` frame
+    // (groupBy gid → max count; the sanctioned 1-row-scalar collect
+    // class) decides the shape up front: the common case takes the
+    // round-9 single-pass groupBy-kernel form verbatim, and only a
+    // corpus that actually HAS an oversized list pays the chunk
+    // machinery. Both branches are hash-identical by the dup-map
+    // algebra (NearDupPropertySpec forces chunkLen=2 to pin the chunk
+    // branch against the single-pass one).
+    val maxPosting = prefix.groupBy(col("gid")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    val pairs = if (maxPosting <= chunkLen) {
+      prefix.join(gidArr, "doc_id")
+        .repartition(numParts, col("gid"))
+        .groupBy(col("gid"))
+        .agg(sort_array(collect_list(
+          struct(col("doc_id"), col("n"), col("rk"), col("ga")))).as("ps"))
+        .select(explode(jaccardMinPartnerUdf(col("ps"))).as("p"))
+    } else {
+      // The windows (per-gram posting position + posting length, one
+      // sort) split the lists into the bounded-single-row fast path vs
+      // the chunk-pair path; both groupBys run exchange-free on top of
+      // the pinned layout.
+      val posted = prefix.join(gidArr, "doc_id")
+        .repartition(numParts, col("gid"))
+        .withColumn("pp", row_number().over(
+          Window.partitionBy(col("gid")).orderBy(col("doc_id"))))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("gid"))))
+        .transform(graft.CacheScope.persist)
+      val small = posted.filter(col("cnt") <= chunkLen)
+        .groupBy(col("gid"))
+        .agg(sort_array(collect_list(
+          struct(col("doc_id"), col("n"), col("rk"), col("ga")))).as("ps"))
+        .select(explode(jaccardMinPartnerUdf(col("ps"))).as("p"))
+      // Oversized posting lists (ADVICE r9: a hot gram or giant cluster
+      // put O(k·|ga|) bytes in ONE row and serialized the O(k²) scan on
+      // one task): doc_id-ordered chunks of <= chunkLen members, scanned
+      // per chunk pair (ci <= cj; every doc in chunk i precedes every doc
+      // in chunk j, so cross-chunk scans need no id guard). LOSSLESS
+      // under the dup-map algebra: per doc b, its first verified partner
+      // within the whole list lives in SOME chunk <= b's, that pair-row
+      // emits it, and the cross-gram groupBy(min) below absorbs the
+      // per-pair-row candidates exactly as it absorbs per-gram ones.
+      val chunks = posted.filter(col("cnt") > chunkLen)
+        .withColumn("ci", ((col("pp") - 1) / chunkLen).cast("int"))
+        .groupBy(col("gid"), col("ci"))
+        .agg(sort_array(collect_list(
+          struct(col("doc_id"), col("n"), col("rk"), col("ga")))).as("ps"))
+      val large = chunks.as("l").join(chunks.as("r"),
+          col("l.gid") === col("r.gid") && col("l.ci") <= col("r.ci"))
+        .select(explode(jaccardChunkPairUdf(
+          col("l.ps"), col("r.ps"), col("l.ci") === col("r.ci"))).as("p"))
+      small.union(large)
+    }
+    val verified = pairs
       .select(col("p._1").as("rep"), col("p._2").as("mp"))
       .groupBy(col("rep"))
       .agg(min(col("mp")).as("mp"))

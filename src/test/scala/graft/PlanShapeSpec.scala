@@ -46,14 +46,14 @@ class PlanShapeSpec extends SparkSpec {
   private val pins: Seq[(String, (Int, Int, Int))] = Seq(
     // round 9: per-prefix-gram min-partner kernel replaces the candidate
     // self-join + two verify joins (+ their size-gated corpus broadcast):
-    // no corpus-cardinality broadcast anywhere. Round 10 adds the
-    // bounded posting-list machinery (posting-position windows + the
-    // small/chunked split): the shared `posted` frame is persisted, and
-    // persist boundaries re-exchange under AQE's cached-plan rules — +2
-    // shuffles vs round 9, measured NEUTRAL at sf0.1 (5.7 s vs 6.5 s)
-    // because the windows ride the existing gid exchange and the chunk
-    // branch is empty below PostingChunkLen-sized posting lists.
-    "dedup_jaccard_dupmap" -> ((7, 1, 2)),
+    // no corpus-cardinality broadcast anywhere. Round 11: the chunk
+    // machinery (posting-position windows + `posted` persist + chunk
+    // branch — round 10's unconditional +4 shuffles/+2 sorts) is now
+    // behind a 1-row max-posting-length probe, so at gate scales the
+    // plan is the round-9 single-pass kernel shape; the chunk branch
+    // (only taken when a posting list exceeds PostingChunkLen) stays
+    // pinned by NearDupPropertySpec's forced chunkLen=2 run.
+    "dedup_jaccard_dupmap" -> ((3, 2, 0)),
     // round 9: the minhash family rides the memoized localCheckpoint
     // dupmap (MinHash.dupsFor) — the signature/band/verify subtree runs
     // once per (session, dir), so the per-query plans are a checkpoint
