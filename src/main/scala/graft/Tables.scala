@@ -50,10 +50,22 @@ object Tables {
     parallelized(load(spark, dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     parallelized(load(spark, dir, "embeddings"))
+
+  /** lineitem/orders stay PLAIN scans (round 11): every consumer is a
+    * scan-shaped aggregate (q1, rollup — map-side partial aggregation
+    * reduces to a handful of groups before any exchange) or a join that
+    * re-shuffles on its own key anyway. The [[parallelized]] spread buys
+    * those shapes nothing — decode parallelism is pinned by the
+    * file/row-group layout either way (a row group is the minimum split
+    * unit) — while shipping the full table through a round-robin
+    * exchange: r_q1 at the 100× probe measured 8.1 s spread vs 2.9 s
+    * plain. documents/embeddings keep the spread because their consumers
+    * fuse expensive narrow kernels (minhash, trigrams, quality metrics)
+    * directly above the scan, where per-row compute dwarfs the exchange. */
   def lineitem(spark: SparkSession, dir: String): DataFrame =
-    parallelized(load(spark, dir, "lineitem"))
+    load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame =
-    parallelized(load(spark, dir, "orders"))
+    load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")

@@ -273,6 +273,45 @@ object DupNgrams {
     GraftSqlBridge.column(DupNgramsExpression(GraftSqlBridge.expression(c)))
 }
 
+/** In-document first-occurrence line dedup → struct(n_lines BIGINT,
+  * n_kept BIGINT, text_kept STRING). Kernel:
+  * [[graft.pipeline.Dedup.dedupLinesKernel]] — a linear seen-set pass
+  * replacing the O(k²) `filter(ls, (x,i) -> array_position(slice(...)))`
+  * HOF spelling (verdict r10 finding #2). `sep` is a plan-time constant
+  * (line vs paragraph flavor), not a child expression. */
+case class DedupLinesExpression(child: Expression, sep: String) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("text_kept", StringType, nullable = false)))
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "graft_dedup_lines"
+  override protected def nullSafeEval(input: Any): Any =
+    DedupLinesExpression.compute(input.asInstanceOf[UTF8String], sep)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("sep", sep, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.DedupLinesExpression.compute($c, $sepRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): DedupLinesExpression =
+    copy(child = newChild)
+}
+
+object DedupLinesExpression {
+  def compute(s: UTF8String, sep: String): InternalRow = {
+    val (n, k, t) = graft.pipeline.Dedup.dedupLinesKernel(s.toString, sep)
+    new GenericInternalRow(Array[Any](n, k, UTF8String.fromString(t)))
+  }
+}
+
+object DedupLines {
+  def apply(c: Column, sep: String): Column =
+    GraftSqlBridge.column(DedupLinesExpression(GraftSqlBridge.expression(c), sep))
+}
+
 /** Per-doc DSIR hashed-bigram feature counts →
   * array<struct<feat INT, n BIGINT>>, feats ascending. Feature id =
   * first 32 md5 bits of "prev cur" mod [[graft.pipeline.LangModel.DsirHashDim]]

@@ -133,21 +133,42 @@ object Dedup {
     * trims it). Where `quality_repetition` only SCORES a doc's
     * self-repetition, this rebuilds the doc without it.
     *
-    * Scale shape: pure higher-order functions over each row — the
-    * index-lambda filter keeps line i iff it does not occur among the
-    * first i-1 lines (O(k²) string compares per doc, k = line count —
-    * trivial next to any hash) — so the operator is embarrassingly
-    * parallel: NO shuffle, no explode, codegen keeps it in the scan
-    * stage. The one semantic to hold fixed cross-engine: first
-    * occurrence wins, later copies vanish, order otherwise preserved. */
+    * Scale shape: one native codegen'd kernel pass per row
+    * ([[dedupLinesKernel]] via `graft.functions.DedupLines`) — the
+    * operator is embarrassingly parallel: NO shuffle, no explode, the
+    * kernel stays in the scan stage. The one semantic to hold fixed
+    * cross-engine: first occurrence wins, later copies vanish, order
+    * otherwise preserved. */
   def dedupLinesInDocQuery(docs: DataFrame, sep: String = "\n"): DataFrame =
     docs.select(col("doc_id"),
-        split(col("text"), java.util.regex.Pattern.quote(sep)).as("ls"))
-      .select(col("doc_id"), size(col("ls")).cast("long").as("n_lines"),
-        expr("filter(ls, (x, i) -> array_position(slice(ls, 1, i), x) = 0)").as("kept"))
-      .select(col("doc_id"), col("n_lines"),
-        size(col("kept")).cast("long").as("n_kept"),
-        array_join(col("kept"), sep).as("text_kept"))
+        graft.functions.DedupLines(col("text"), sep).as("r"))
+      .select(col("doc_id"), col("r.n_lines").as("n_lines"),
+        col("r.n_kept").as("n_kept"), col("r.text_kept").as("text_kept"))
+
+  /** Seen-set first-occurrence line filter — ONE linear pass (amortized
+    * O(1) hash lookups per line) where the round-10 HOF spelling's
+    * per-element `array_position(slice(ls, 1, i), x)` was O(k²) string
+    * compares in the line count: real documents never noticed, but a
+    * single pathological million-line doc was 10¹² compares serialized
+    * on one task (verdict r10 finding #2). Split semantics mirror
+    * Spark's `split(col, pattern)` (limit -1: trailing empty strings
+    * kept); equality is exact string equality, same as array_position. */
+  def dedupLinesKernel(text: String, sep: String): (Long, Long, String) = {
+    val ls = text.split(java.util.regex.Pattern.quote(sep), -1)
+    val seen = new java.util.HashSet[String]()
+    val kept = new java.lang.StringBuilder
+    var nKept = 0L
+    var i = 0
+    while (i < ls.length) {
+      if (seen.add(ls(i))) {
+        if (nKept > 0) kept.append(sep)
+        kept.append(ls(i))
+        nKept += 1
+      }
+      i += 1
+    }
+    (ls.length.toLong, nKept, kept.toString)
+  }
 
   /** Paragraph flavor of [[dedupLinesInDocQuery]]. */
   def dedupParagraphsInDocQuery(docs: DataFrame): DataFrame =

@@ -12,10 +12,24 @@ import graft.Tables
   *
   * Float determinism policy (applies to every oracle-compared query here):
   * sums of doubles are order-dependent in the last ulps, and the driver
-  * hash-compares values. So every aggregate over a double column goes
-  * through a DECIMAL cast — exact, associative, order-independent — and is
-  * cast back to DOUBLE for output. Per-row double arithmetic is IEEE-
-  * deterministic and needs no such treatment.
+  * hash-compares values, so every aggregate over a double column must sum
+  * an exact, associative, order-independent representation. Two spellings:
+  *   - SCALED LONG (round 11, preferred on the hot scan-aggs): the money
+  *     columns (l_extendedprice/discount/tax, o_totalprice, events.value)
+  *     all carry fixed two-decimal values (verified < 1e-9 drift at every
+  *     SF), so `floor(x*100 + 0.5)` recovers the exact cent integer in
+  *     pure codegen'd double→long arithmetic; sums run over the long (or
+  *     DECIMAL(38,0) of it where group sizes are unbounded — exact and
+  *     overflow-proof, and Spark's compact-Decimal path keeps it a long
+  *     add), with ONE int→double cast + ONE exact-power-of-ten divide at
+  *     output. This replaced the double→DECIMAL(28,6) cast, whose
+  *     BigDecimal.valueOf path stringifies every row (r_q1 at 100×:
+  *     10.3 → 3.5 s together with the plain-scan load).
+  *   - DECIMAL cast ([[dec]], retained on the window family): frame
+  *     re-aggregation is already bounded, and the decimal spelling keeps
+  *     those oracles byte-stable.
+  * Per-row double arithmetic is IEEE-deterministic and needs no such
+  * treatment.
   *
   * Timestamp policy: `events.ts` is ns-precision parquet; DuckDB truncates
   * it to µs at read, exactly like `ts_ns div 1000` (verified). Every
@@ -25,6 +39,9 @@ import graft.Tables
 object Relational {
 
   private def dec(c: Column) = c.cast(DecimalType(28, 6))
+
+  /** Exact cent integer of a two-decimal money column (policy note above). */
+  private def cents(c: Column) = floor(c * 100 + lit(0.5)).cast("long")
 
   /** Events with the µs epoch all oracle-compared queries key on. */
   private def eventsUs(s: SparkSession, d: String): DataFrame =
@@ -45,7 +62,8 @@ object Relational {
       .agg(
         count(lit(1)).as("n_orders"),
         countDistinct(col("c_custkey")).as("n_customers"),
-        sum(dec(col("o_totalprice"))).cast("double").as("total_revenue"))
+        (sum(cents(col("o_totalprice")).cast(DecimalType(38, 0)))
+          .cast("double") / 100).as("total_revenue"))
 
   /** P4-style left-semi: customers holding at least one open ('P') order.
     * Semi joins ship only the key column of the build side — at 100 TB the
@@ -333,22 +351,44 @@ object Relational {
     orders.rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+        (sum(cents(col("o_totalprice")).cast(DecimalType(38, 0)))
+          .cast("double") / 100).as("revenue"))
 
   /** TPC-H Q1-style pricing summary. Map-side partial aggregation into a
-    * 6-group shuffle — the canonical "scales to any size" aggregate. */
-  def q1(lineitem: DataFrame): DataFrame =
+    * 6-group shuffle — the canonical "scales to any size" aggregate.
+    *
+    * Scaled-LONG measure arithmetic (round 11; verdict r10 #3): lineitem's
+    * price/discount/tax columns carry fixed two-decimal values (verified:
+    * max |x*100 - round(x*100)| < 1e-9 across all SFs), so
+    * `floor(x*100 + 0.5)` recovers the exact cent/percent integer and the
+    * per-row measure products are exact LONG arithmetic — no per-row
+    * double→DECIMAL cast (which stringifies through BigDecimal.valueOf and
+    * made this plain scan-agg the #2 non-memo query at 100×, 10.3 s). The
+    * per-row long products are bounded (~5.5e10 for the triple product),
+    * and the SUM still runs over DECIMAL(38,0) — exact, associative, and
+    * overflow-proof at any corpus size (a LONG sum would wrap near 1.7e8
+    * rows/group at full price magnitude, i.e. below 100 TB scale); Spark's
+    * compact-Decimal fast path makes it a long-add until the running sum
+    * crosses 1e18. One double rounding at output (int→double cast, then
+    * one exact-power-of-ten divide), mirrored verbatim in the oracle:
+    * DuckDB sums BIGINT into exact HUGEINT, casts once, divides once. */
+  def q1(lineitem: DataFrame): DataFrame = {
+    val price = cents(col("l_extendedprice"))
+    val disc = cents(col("l_discount"))
+    val tax = cents(col("l_tax"))
+    val big = DecimalType(38, 0)
     lineitem
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
-        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))))
-          .cast("double").as("sum_charge"),
+        (sum(price.cast(big)).cast("double") / 100).as("sum_base_price"),
+        (sum((price * (lit(100L) - disc)).cast(big)).cast("double") / 10000)
+          .as("sum_disc_price"),
+        (sum((price * (lit(100L) - disc) * (lit(100L) + tax)).cast(big))
+          .cast("double") / 1000000).as("sum_charge"),
         count(lit(1)).as("count_order"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_q1_pricing_summary" -> ((s, d) => q1(Tables.lineitem(s, d))),
@@ -427,12 +467,18 @@ object Relational {
     "r_distinct_users_exact" ->
       """SELECT count(DISTINCT user_id) AS exact_users, count(*) AS n_events
         |FROM events""".stripMargin,
+    // Scaled-LONG spelling mirroring q1: exact cent/percent integers per
+    // row, exact integer sums (DuckDB BIGINT sum → HUGEINT), ONE
+    // int→double cast then one exact-power-of-ten divide per measure.
     "r_q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000 AS sum_disc_price,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |           * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 1000000 AS sum_charge,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -441,7 +487,7 @@ object Relational {
       """SELECT n_name,
         |  count(*) AS n_orders,
         |  count(DISTINCT c_custkey) AS n_customers,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -519,7 +565,7 @@ object Relational {
         |GROUP BY band""".stripMargin,
     "r_order_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
     "r_set_ops_customers" ->

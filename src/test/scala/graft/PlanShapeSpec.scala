@@ -62,7 +62,11 @@ class PlanShapeSpec extends SparkSpec {
     "dedup_minhash_dupmap" -> ((0, 0, 0)),
     "dedup_minhash_stats" -> ((4, 1, 0)),
     "dedup_exact" -> ((2, 0, 2)),
-    "r_q1_pricing_summary" -> ((2, 0, 0)),
+    // round 11: lineitem loads as a PLAIN scan (no parallelizing spread
+    // — a scan-agg reduces in place, so the round-robin exchange shipped
+    // the full table to buy nothing); the one exchange left is the
+    // 6-group aggregate's.
+    "r_q1_pricing_summary" -> ((1, 0, 0)),
     "r_hourly_event_stats" -> ((2, 0, 0)),
     // round 10: the registered query reads the memoized IVF/PQ index
     // (Similarity.ivfIndexFor) — the cell-assign/PQ-encode subtree is a
