@@ -126,6 +126,51 @@ object CdcWindows {
     GraftSqlBridge.column(CdcWindowsExpression(GraftSqlBridge.expression(c)))
 }
 
+/** Content-defined windows WITH their 0-based codepoint start offsets →
+  * array<struct<pos INT, w STRING>>. Kernel:
+  * [[graft.pipeline.Dedup.cdcWindowsWithPos]] (the span REMOVAL
+  * operator needs where each window sits). */
+case class CdcWindowsPosExpression(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("w", StringType, nullable = false))), containsNull = false)
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "graft_cdc_windows_pos"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcWindowsPosExpression.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CdcWindowsPosExpression.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcWindowsPosExpression =
+    copy(child = newChild)
+}
+
+object CdcWindowsPosExpression {
+  def compute(s: UTF8String): ArrayData = {
+    val ws = graft.pipeline.Dedup.cdcWindowsWithPos(s.toString)
+    val out = new Array[Any](ws.length)
+    var i = 0
+    while (i < ws.length) {
+      out(i) = new GenericInternalRow(
+        Array[Any](ws(i)._1, UTF8String.fromString(ws(i)._2)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object CdcWindowsPos {
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(CdcWindowsPosExpression(GraftSqlBridge.expression(c)))
+}
+
 /** Per-language distinct-trigram profile hit counts over the language-
   * detection window → array<int> in [[graft.pipeline.LangProfiles.profiles]]
   * order. Kernel: [[graft.pipeline.LangProfiles.hitCounts]] (bit-equal to

@@ -216,9 +216,15 @@ object Dedup {
     * corpus-wide shingle-hash family) is divisible by AnchorMod. */
   def cdcWindows(text: String): Array[String] = {
     val cps = text.codePoints.toArray
+    cdcWindowStarts(cps).map(i => new String(cps, i, SpanLen))
+  }
+
+  /** 0-based codepoint offsets of the anchored window starts — the one
+    * anchor scan shared by [[cdcWindows]] and [[cdcWindowsWithPos]]. */
+  def cdcWindowStarts(cps: Array[Int]): Array[Int] = {
     val n = cps.length
     if (n < SpanLen) return Array.empty
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     val lastStart = n - SpanLen
     var i = 0
     while (i <= lastStart) {
@@ -226,10 +232,17 @@ object Dedup {
       var j = i + 1
       val e = i + AnchorGram
       while (j < e) { h = (h * MinHash.HashMult + cps(j)) % MinHash.P; j += 1 }
-      if (h % AnchorMod == 0L) out += new String(cps, i, SpanLen)
+      if (h % AnchorMod == 0L) out += i
       i += 1
     }
     out.toArray
+  }
+
+  /** (0-based start offset, window) pairs — the removal operator needs
+    * WHERE a duplicated window sits, not just that it exists. */
+  def cdcWindowsWithPos(text: String): Array[(Int, String)] = {
+    val cps = text.codePoints.toArray
+    cdcWindowStarts(cps).map(i => (i, new String(cps, i, SpanLen)))
   }
 
   /** Per-doc duplicated-span report: how many of a doc's windows occur at
@@ -265,6 +278,73 @@ object Dedup {
         sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_windows"),
         sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_occurrences"))
 
+  /** SUBSTRING-SPAN REMOVAL — the actual Lee et al. 2021 transform the
+    * span family previously only REPORTED: rewrite every document with
+    * duplicated [[SpanLen]]-char windows excised, keeping exactly the
+    * FIRST occurrence corpus-wide in (doc_id, start offset) order.
+    * Overlapping cut windows within a doc merge (a codepoint is removed
+    * once, however many cut windows cover it).
+    *
+    * Scale shape: window explode (narrow kernel) → ONE exchange keyed on
+    * the window text for the first-occurrence resolution — spelled as a
+    * partial-aggregating `min(struct(doc_id, pos))` + count per window
+    * and a join back, NOT a row_number sort: a boilerplate window
+    * repeated in millions of docs map-side-combines to one row per
+    * partition for the firsts frame, and the join back is a hash probe,
+    * so a hot window never serializes a sort on one task — then one
+    * exchange on doc_id to collect each doc's cut offsets, and a final
+    * doc_id join against the corpus (left: most docs have no cuts). The
+    * per-doc excision is a linear codepoint pass ([[removeSpansKernel]]).
+    * The oracle spells first-occurrence as `row_number() = 1` over the
+    * same (doc_id, pos) order and rebuilds text per character — result-
+    * identical, naive on purpose. */
+  def spanRemovalQuery(docs: DataFrame): DataFrame = {
+    val occ = docs.select(col("doc_id"),
+        explode(graft.functions.CdcWindowsPos(col("text"))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.w").as("w"))
+    val firsts = occ.groupBy(col("w"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
+        count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("w"), col("first"))
+    val cuts = occ.join(firsts, "w")
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_cut_spans"),
+        sort_array(collect_list(col("pos"))).as("cuts"))
+    docs.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cut_spans"), lit(0L)).as("n_cut_spans"),
+        removeSpansUdf(col("text"),
+          coalesce(col("cuts"), array().cast("array<int>"))).as("r"))
+      .select(col("doc_id"), col("n_cut_spans"),
+        col("r._1").as("n_chars_removed"), col("r._2").as("text_kept"))
+  }
+
+  /** Excise the UNION of [s, s+SpanLen) codepoint intervals (starts
+    * 0-based, sorted, possibly overlapping) — one linear pass. */
+  def removeSpansKernel(text: String, starts: Array[Int]): (Long, String) = {
+    val cps = text.codePoints.toArray
+    if (starts.isEmpty) return (0L, text)
+    val sb = new java.lang.StringBuilder(text.length)
+    var removed = 0L
+    var k = 0
+    var j = 0
+    while (j < cps.length) {
+      // advance past cut intervals whose end precedes j
+      while (k < starts.length && starts(k) + SpanLen <= j) k += 1
+      if (k < starts.length && starts(k) <= j) removed += 1
+      else sb.appendCodePoint(cps(j))
+      j += 1
+    }
+    (removed, sb.toString)
+  }
+
+  private val removeSpansUdf = udf { (text: String, starts: Seq[Int]) =>
+    if (text == null) null
+    else removeSpansKernel(text, starts.toArray)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) =>
       exactDedup(Tables.documents(s, d)).select("doc_id", "content_hash")),
@@ -273,6 +353,7 @@ object Dedup {
     "dedup_lines" -> ((s, d) => lineDedupQuery(Tables.documents(s, d))),
     "dedup_substring_spans" -> ((s, d) => substringDupQuery(Tables.documents(s, d))),
     "dedup_substring_stats" -> ((s, d) => substringStatsQuery(Tables.documents(s, d))),
+    "clean_dedup_spans" -> ((s, d) => spanRemovalQuery(Tables.documents(s, d))),
     "dedup_paragraphs" -> ((s, d) => paragraphDedupQuery(Tables.documents(s, d))),
     "clean_dedup_lines" -> ((s, d) => dedupLinesInDocQuery(Tables.documents(s, d))),
     "clean_dedup_paragraphs" -> ((s, d) => dedupParagraphsInDocQuery(Tables.documents(s, d))))
@@ -340,6 +421,39 @@ object Dedup {
          |       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
          |FROM cnt GROUP BY doc_id
          |HAVING sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) > 0""".stripMargin,
+    // Naive arbiter for the span REMOVAL transform: first occurrence =
+    // row_number() 1 over (doc_id, pos); the kept text is rebuilt per
+    // character (j covered by ANY cut interval → removed). 1-based
+    // offsets throughout, mirroring the engine's 0-based ones.
+    "clean_dedup_spans" ->
+      s"""WITH $spanCtesPosD,
+         |occ AS (
+         |  SELECT doc_id, pos, w,
+         |         row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rk,
+         |         count(*) OVER (PARTITION BY w) AS c
+         |  FROM spans),
+         |cuts AS (SELECT doc_id, pos FROM occ WHERE c >= 2 AND rk >= 2),
+         |nc AS (SELECT doc_id, count(*) AS n_cut_spans FROM cuts GROUP BY doc_id),
+         |ch AS (
+         |  SELECT d.doc_id, t.j,
+         |         CASE WHEN EXISTS (SELECT 1 FROM cuts c
+         |                           WHERE c.doc_id = d.doc_id
+         |                             AND t.j >= c.pos AND t.j < c.pos + $SpanLen)
+         |              THEN 1 ELSE 0 END AS cut,
+         |         substr(d.text, CAST(t.j AS INTEGER), 1) AS s
+         |  FROM documents d, unnest(range(1, length(d.text) + 1)) AS t(j)),
+         |agg AS (
+         |  SELECT doc_id,
+         |         CAST(sum(cut) AS BIGINT) AS n_chars_removed,
+         |         COALESCE(string_agg(CASE WHEN cut = 0 THEN s END, '' ORDER BY j), '') AS text_kept
+         |  FROM ch GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       COALESCE(nc.n_cut_spans, 0) AS n_cut_spans,
+         |       COALESCE(agg.n_chars_removed, 0) AS n_chars_removed,
+         |       COALESCE(agg.text_kept, d.text) AS text_kept
+         |FROM documents d
+         |LEFT JOIN nc USING (doc_id)
+         |LEFT JOIN agg USING (doc_id)""".stripMargin,
     "dedup_substring_stats" ->
       s"""WITH $spanCtesD,
          |g AS (SELECT w, count(*) AS c FROM spans GROUP BY w)
@@ -362,9 +476,15 @@ object Dedup {
        |      FROM (SELECT doc_id, string_split(text, $sepSql) AS ls
        |            FROM documents))""".stripMargin
 
-  /** DuckDB spelling of [[cdcWindows]]: anchor positions by the same
-    * AnchorGram-codepoint poly hash, full-length windows only. */
-  private def spanCtesD: String =
+  /** [[spanCtesD]] variant keeping the (1-based) window start offset. */
+  private def spanCtesPosD: String =
+    s"""$spanCtesD0,
+       |spans AS (
+       |  SELECT doc_id, i AS pos,
+       |         substr(text, CAST(i AS INTEGER), $SpanLen) AS w FROM anch)""".stripMargin
+
+  /** Shared anchor CTEs (candidate positions + anchor filter). */
+  private def spanCtesD0: String =
     s"""pos AS (
        |  SELECT doc_id, text,
        |         unnest(range(1, length(text) - ${SpanLen - 2})) AS i
@@ -374,7 +494,12 @@ object Dedup {
        |  WHERE list_reduce(
        |          list_transform(range(i, i + $AnchorGram),
        |                         j -> CAST(ord(substr(text, CAST(j AS INTEGER), 1)) AS BIGINT)),
-       |          (h, c) -> (h * ${MinHash.HashMult} + c) % ${MinHash.P}) % $AnchorMod = 0),
+       |          (h, c) -> (h * ${MinHash.HashMult} + c) % ${MinHash.P}) % $AnchorMod = 0)""".stripMargin
+
+  /** DuckDB spelling of [[cdcWindows]]: anchor positions by the same
+    * AnchorGram-codepoint poly hash, full-length windows only. */
+  private def spanCtesD: String =
+    s"""$spanCtesD0,
        |spans AS (
        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), $SpanLen) AS w FROM anch)""".stripMargin
 }

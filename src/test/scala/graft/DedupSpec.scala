@@ -199,4 +199,52 @@ class DedupSpec extends SparkSpec {
         byW.count(_._2 > 1).toLong,
         byW.values.filter(_ > 1).sum.toLong)))
   }
+
+  /** Independent naive spelling of the whole span-removal transform:
+    * enumerate (doc, pos, w), keep the (doc_id, pos)-minimal occurrence
+    * of each window, mark every char covered by a non-first occurrence
+    * of a duplicated window, rebuild. */
+  private def naiveRemoval(corpus: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+    val occ = corpus.flatMap { case (id, t) =>
+      (0 to t.length - Dedup.SpanLen).filter { i =>
+        val h = t.substring(i + 1, i + Dedup.AnchorGram)
+          .foldLeft(t.charAt(i).toLong)((h, c) => (h * 131L + c.toLong) % 2147483647L)
+        h % Dedup.AnchorMod == 0L
+      }.map(i => (id, i, t.substring(i, i + Dedup.SpanLen)))
+    }
+    val dupW = occ.groupBy(_._3).filter(_._2.size >= 2)
+    val cuts = dupW.values.flatMap(os => os.sortBy(o => (o._1, o._2)).drop(1))
+      .toSeq.groupBy(_._1)
+    corpus.map { case (id, t) =>
+      val starts = cuts.getOrElse(id, Nil).map(_._2)
+      val dropped = starts.flatMap(s => s until math.min(s + Dedup.SpanLen, t.length)).toSet
+      val kept = t.zipWithIndex.collect { case (c, j) if !dropped(j) => c }.mkString
+      id -> ((starts.size.toLong, dropped.size.toLong, kept))
+    }.toMap
+  }
+
+  test("span REMOVAL: a cross-doc duplicated span is excised from the " +
+      "later doc only; overlapping cut windows merge; clean docs intact") {
+    val corpus = Seq(1L -> shiftedA, 2L -> shiftedB, 3L -> ("z" * 99))
+    val want = naiveRemoval(corpus)
+    // fixture sanity: doc 1 keeps everything, doc 2 loses chars
+    assert(want(1L)._2 == 0L && want(2L)._2 > 0L && want(3L) == ((0L, 0L, "z" * 99)))
+    val got = Dedup.spanRemovalQuery(docs(corpus: _*)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got === want)
+  }
+
+  test("span REMOVAL: an in-document repeat also cuts (second occurrence " +
+      "goes, first stays) and the result is a pure function of the set") {
+    // two copies of the passage INSIDE one doc, separated by filler
+    val t = passage + " qq fjkdlsjfkdjs ldkfjdks " + passage
+    val corpus = Seq(7L -> t)
+    val want = naiveRemoval(corpus)
+    assert(want(7L)._1 > 0L, "fixture invalid: no in-doc duplicated window")
+    val got = Dedup.spanRemovalQuery(docs(corpus: _*)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got === want)
+    // first occurrence survives verbatim: the passage still appears once
+    assert(got(7L)._3.contains(passage.substring(0, Dedup.SpanLen)))
+  }
 }
