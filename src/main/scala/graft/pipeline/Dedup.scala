@@ -80,6 +80,30 @@ object Dedup {
       .filter(!seen(col("content_hash")))
   }
 
+  /** Deterministic twin of [[bloomNewDocs]] — the nightly-delta shape
+    * made oracle-checkable (verdict r10 #6): delta docs whose content
+    * hash is absent from the corpus snapshot survive, via a LEFT ANTI
+    * join on the 128-bit hash. One uniform-key exchange per side; at
+    * 100 TB the history side ships only its hash column. The bloom
+    * variant is the scan-local fast path (no shuffle touches history
+    * beyond the filter build); its one-sided error guarantees
+    * bloom-survivors ⊆ anti-join-survivors, which DeltaDedupSpec pins. */
+  def deltaExactNewDocs(delta: DataFrame, corpus: DataFrame): DataFrame =
+    delta.withColumn("content_hash", contentHash(col("text")))
+      .join(corpus.select(contentHash(col("text")).as("content_hash")),
+        Seq("content_hash"), "left_anti")
+      .select(col("doc_id"), col("content_hash"))
+
+  /** Gate registration of the delta shape over the one documents table:
+    * doc_id mod 10 == 0 plays the nightly delta, the rest the corpus
+    * snapshot — a deterministic, SQL-expressible split. */
+  val DeltaMod = 10
+
+  def deltaExactQuery(docs: DataFrame): DataFrame =
+    deltaExactNewDocs(
+      docs.filter(col("doc_id") % DeltaMod === 0),
+      docs.filter(col("doc_id") % DeltaMod =!= 0))
+
   /** A line is boilerplate once it appears in this many distinct docs. */
   val LineDropDf = 2
 
@@ -350,6 +374,7 @@ object Dedup {
       exactDedup(Tables.documents(s, d)).select("doc_id", "content_hash")),
     "dedup_exact_dupmap" -> ((s, d) => exactDuplicateOf(Tables.documents(s, d))),
     "dedup_exact_stats" -> ((s, d) => exactStatsQuery(Tables.documents(s, d))),
+    "dedup_delta_exact" -> ((s, d) => deltaExactQuery(Tables.documents(s, d))),
     "dedup_lines" -> ((s, d) => lineDedupQuery(Tables.documents(s, d))),
     "dedup_substring_spans" -> ((s, d) => substringDupQuery(Tables.documents(s, d))),
     "dedup_substring_stats" -> ((s, d) => substringStatsQuery(Tables.documents(s, d))),
@@ -382,6 +407,15 @@ object Dedup {
          |       count(*) - count(DISTINCT h) AS duplicate_documents
          |FROM (SELECT md5(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'))) AS h
          |      FROM documents)""".stripMargin,
+    "dedup_delta_exact" ->
+      s"""WITH h AS (SELECT doc_id,
+         |             md5(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'))) AS content_hash
+         |           FROM documents)
+         |SELECT doc_id, content_hash FROM h d
+         |WHERE doc_id % $DeltaMod = 0
+         |  AND NOT EXISTS (SELECT 1 FROM h c
+         |                  WHERE c.doc_id % $DeltaMod <> 0
+         |                    AND c.content_hash = d.content_hash)""".stripMargin,
     "dedup_lines" ->
       s"""WITH b AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
          |l AS (SELECT doc_id, unnest(range(len(ls))) AS pos, ls FROM b),

@@ -91,6 +91,29 @@ class DedupSpec extends SparkSpec {
     assert(m(3L) === ((1L, 1L, "standalone doc")))
   }
 
+  test("delta dedup: anti-join keeps exactly the unseen delta docs, and " +
+      "the bloom fast path's survivors are a subset of them") {
+    // corpus = ids not divisible by 10; delta = {10, 20, 30}. 10 copies
+    // corpus doc 3 (case-variant — hashing normalizes), 30 copies doc 7
+    // verbatim, 20 is genuinely new.
+    val d = docs(
+      1L -> "alpha", 3L -> "Shared Body", 7L -> "other corpus doc",
+      11L -> "beta", 13L -> "gamma",
+      10L -> "shared body", 20L -> "brand new delta doc", 30L -> "other corpus doc")
+    import org.apache.spark.sql.functions.col
+    val delta = d.filter(col("doc_id") % 10 === 0)
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val exact = Dedup.deltaExactNewDocs(delta, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(20L))
+    val bloom = Dedup.bloomNewDocs(delta, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom.subsetOf(exact), s"bloom $bloom leaked a known duplicate past exact $exact")
+    // the registered gate query is the same algebra over the mod-split
+    val viaQuery = Dedup.deltaExactQuery(d).select("doc_id").as[Long].collect().toSet
+    assert(viaQuery == Set(20L))
+  }
+
   test("in-doc line dedup keeps the first occurrence, preserves order, " +
       "and leaves unique lines alone") {
     val d = docs(
