@@ -336,24 +336,12 @@ object Similarity {
     s
   }
 
-  /** PQ encode: per subspace, the index of the nearest sub-centroid
-    * (strict < over ascending c = lowest index wins ties, matching the
-    * oracle's ORDER BY dist, c). 64 floats become [[PqSub]] small ints —
-    * the 32x memory cut that makes billion-vector search fit a cluster. */
-  private def pqEncodeUdf(cb: Array[Array[Array[Double]]]) =
-    udf { (e: Seq[Float]) =>
-      Array.tabulate(PqSub) { m =>
-        var best = 0
-        var bestD = Double.MaxValue
-        var c = 0
-        while (c < cb(m).length) {
-          val s = subL2(e, m, cb(m)(c))
-          if (s < bestD) { bestD = s; best = c }
-          c += 1
-        }
-        best
-      }
-    }
+  // PQ encode (per subspace, index of the nearest sub-centroid; strict <
+  // over ascending c = lowest index wins ties, the oracle's ORDER BY
+  // dist, c) lives in the fused native kernel
+  // (graft.functions.IvfKernels.encodeCompute) since round 11; 64 floats
+  // become [[PqSub]] small ints — the 32x memory cut that makes
+  // billion-vector search fit a cluster.
 
   /** The IVF/PQ *index*: the coarse codebook, the per-subspace PQ
     * codebooks, and the fully encoded corpus frame
@@ -373,11 +361,17 @@ object Similarity {
     val cells = cellsFor(emb.count())
     val cents = codebook(emb, cells)
     val cb = pqCodebook(cents) // sliced from the one collected codebook
+    // Fused native cell-assign + PQ-encode (round 11): ONE codegen'd
+    // kernel pass decodes each embedding once and runs both argmins over
+    // the flat centroid matrix — replacing two Scala UDFs whose generic
+    // Seq[Float] access dominated the shared index build (100× memo
+    // split: ivf_index 27.3 s). Bit-identical by the shared fold order
+    // and lowest-index tie rule (IvfKernels doc; IvfKernelSpec pins it
+    // against the retired UDF spelling).
     val coded = emb
-      .withColumn("cell", explode(nearestCellsUdf(cents, 1)(col("embedding"))))
-      .withColumn("codes", pqEncodeUdf(cb)(col("embedding")))
-      .select(col("vec_id"), col("label"), col("cell"), col("codes"),
-        col("embedding"))
+      .withColumn("r", graft.functions.IvfEncode(col("embedding"), cents, PqSub))
+      .select(col("vec_id"), col("label"), col("r.cell").as("cell"),
+        col("r.codes").as("codes"), col("embedding"))
     IvfIndex(cents, cb, coded)
   }
 
@@ -612,7 +606,7 @@ object Similarity {
     val (withG, reps) = collapseIdenticalVectors(emb)
     val cents = codebook(emb, cellsFor(emb.count()))
     val cells = reps.withColumn("cell",
-      explode(nearestCellsUdf(cents, 1)(col("embedding"))))
+      graft.functions.IvfCell(col("embedding"), cents))
     val b = cells.select(col("gid"), col("embedding"), col("cell"))
     val verified = b.select(col("gid").as("ga"), col("embedding").as("e_a"), col("cell"))
       .join(b.select(col("gid").as("gb"), col("embedding").as("e_b"), col("cell")),
