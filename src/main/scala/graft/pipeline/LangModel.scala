@@ -39,17 +39,19 @@ object LangModel {
   /** Per-(doc, bigram-type) occurrence counts — the collapsed frame every
     * downstream join runs on. Collapsing BEFORE joining the model is the
     * Zipf-skew story (same as doc_commonness): a "the the"-heavy corpus
-    * ships one row per (doc, bigram-type), not one per occurrence. */
+    * ships one row per (doc, bigram-type), not one per occurrence. Since
+    * round 11 the collapse happens IN-ROW in a native kernel
+    * ([[bigramTypeCounts]] via `graft.functions.BigramCounts`) — the
+    * old explode + groupBy(doc, prev, cur) shuffled one string-keyed row
+    * per bigram occurrence corpus-wide; now the scan stage emits the
+    * per-doc types directly with no exchange at all (LangModelSpec pins
+    * kernel-vs-HOF parity). */
   private def perDocBigrams(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), Stage.once(expr(wordsExpr)).as("w"))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(w) < 2 THEN CAST(array() AS ARRAY<STRUCT<prev: STRING, cur: STRING>>)
-          |ELSE zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
-          |              (a, b) -> named_struct('prev', a, 'cur', b)) END""".stripMargin)).as("bg"))
-      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
-      .groupBy(col("doc_id"), col("prev"), col("cur"))
-      .agg(count(lit(1)).as("n_occ"))
+      .select(col("doc_id"),
+        explode(graft.functions.BigramCounts(col("text"))).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"),
+        col("b.n").as("n_occ"))
 
   /** Add-one-smoothed bigram transition score per doc.
     *
@@ -185,7 +187,10 @@ object LangModel {
     * INDEPENDENT fold the DuckDB oracle's lower() applies (the MinHash
     * normalizer's established choice); Spark's builtin lower() is the
     * one that would drift on a tr/az-default-locale JVM. */
-  def dsirBigramFeatCounts(text: String): Array[(Int, Long)] = {
+  /** The [[wordsExpr]] word semantics as a JVM pass (lowercase
+    * Locale.ROOT, ASCII-\s split, empties dropped) — shared by both
+    * bigram kernels. */
+  private def tokenizeWords(text: String): Array[String] = {
     val raw = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     var nw = 0
     var i = 0
@@ -194,10 +199,46 @@ object LangModel {
     var k = 0
     i = 0
     while (i < raw.length) { if (raw(i).nonEmpty) { words(k) = raw(i); k += 1 }; i += 1 }
+    words
+  }
+
+  /** In-row collapsed bigram TYPE counts, (prev, cur) ascending — the
+    * kernel behind [[graft.functions.BigramCountsExpression]]. Replaces
+    * [[perDocBigrams]]' explode + groupBy(doc, prev, cur): the corpus's
+    * widest string-keyed exchange (one row per bigram occurrence)
+    * becomes zero shuffle, with the same per-(doc, type) rows emitted
+    * from the scan stage (100× lm_scores memo split: the collapse was
+    * the dominant term). */
+  def bigramTypeCounts(text: String): Array[(String, String, Long)] = {
+    val words = tokenizeWords(text)
+    if (words.length < 2) return Array.empty
+    val m = new java.util.TreeMap[(String, String), Long](
+      implicitly[Ordering[(String, String)]])
+    var i = 0
+    while (i < words.length - 1) {
+      val k = (words(i), words(i + 1))
+      val prev = m.get(k) // null unboxes to 0 for an absent key
+      m.put(k, prev + 1L)
+      i += 1
+    }
+    val out = new Array[(String, String, Long)](m.size)
+    val it = m.entrySet().iterator()
+    var t = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(t) = (e.getKey._1, e.getKey._2, e.getValue)
+      t += 1
+    }
+    out
+  }
+
+  def dsirBigramFeatCounts(text: String): Array[(Int, Long)] = {
+    val words = tokenizeWords(text)
+    val nw = words.length
     if (nw < 2) return Array.empty
     val (md, counts, touched) = bigramScratch.get()
     var nTouched = 0
-    i = 0
+    var i = 0
     while (i < nw - 1) {
       md.reset()
       md.update(words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import java.util.Locale
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -192,25 +192,77 @@ object MinHash {
       .transform(graft.CacheScope.persist)
     val reps = withG.filter(col("doc_id") === col("gid"))
       .select(col("gid"), col("sig"))
-    val bands = reps.select(col("gid"), posexplode(expr(bandsExpr)).as(Seq("band", "bh")))
-    val repPairs = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.gid") < col("y.gid"))
-      .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
-      .distinct()
-    // Verify keeps its early-exit GE check (non-matching candidates —
-    // the common case — still bail after a few slots); the exhaustive
-    // count runs ONLY on survivors, which are ≥ MinMatches by
-    // construction, so `matches` rides into the memo almost for free.
-    // The pair-report query reads it; every other consumer selects
-    // (ga, gb).
-    val verifiedPairs = repPairs
-      .join(reps.select(col("gid").as("ga"), col("sig").as("sig_a")), "ga")
-      .join(reps.select(col("gid").as("gb"), col("sig").as("sig_b")), "gb")
-      .filter(sigMatchGeUdf(col("sig_a"), col("sig_b")))
-      .withColumn("matches", sigMatchCountUdf(col("sig_a"), col("sig_b")))
-      .select(col("ga"), col("gb"), col("matches"))
+    // PER-BUCKET verify kernel (round 11; the 100× internal split
+    // showed the pair machinery, not the signatures, dominating the
+    // rep-graph build: band self-join + distinct 10.7 s, verify joins
+    // 8.5 s — dense planted cliques make 6.3M verified pairs with ~7
+    // shared bands each, so the old shape shuffled ~56M pre-distinct
+    // collision rows and then shipped both 1 KB signatures per pair
+    // through two more joins, ~13 GB; a fused join spelling was probed
+    // and is WORSE — it materializes the 56M collision rows wide). The
+    // bucket form is the jaccard min-partner idiom adapted to emit ALL
+    // verified pairs: one groupBy collects each (band, bh) bucket's
+    // postings (a rep ships its signature + band array once per band,
+    // ~16 × 1.1 KB — a third of the verify joins' per-pair bytes), and
+    // the kernel enumerates in-bucket pairs, keeps a pair only in its
+    // FIRST shared band (exactly-once without any distinct exchange —
+    // the earlier-band scan is a few long compares), and verifies with
+    // the early-exit GE check; the exhaustive `matches` count runs only
+    // on survivors (the pair report reads it; every other consumer
+    // selects (ga, gb)). Bucket cardinality = same-band-hash near-dup
+    // groups: the planted-100-member adversarial corpus peaks in the
+    // dozens; a corpus whose ONE bucket approaches ~10⁶ members would
+    // need the jaccard PostingChunkLen treatment (documented trade —
+    // the old join serialized the same quadratic work as pair ROWS).
+    val numPartsB = sigs.sparkSession.sparkContext.defaultParallelism
+    val bands = reps
+      .withColumn("bhs", expr(bandsExpr))
+      .select(col("gid"), col("sig"), col("bhs"),
+        posexplode(col("bhs")).as(Seq("band", "bh")))
+    val verifiedPairs = bands
+      .repartition(numPartsB, col("band"), col("bh"))
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(struct(col("gid"), col("bhs"), col("sig"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(verifyBucketUdf(col("band"), col("ps"))).as("p"))
+      .select(col("p._1").as("ga"), col("p._2").as("gb"), col("p._3").as("matches"))
     (withG, verifiedPairs)
+  }
+
+  /** In-bucket pair verification: enumerate postings pairs, orient by
+    * ascending gid, keep a pair only if NO band before `band` already
+    * collided (its first shared band — exactly-once across buckets),
+    * then the signature verify + exact count. */
+  private val verifyBucketUdf = udf { (band: Int, ps: Seq[Row]) =>
+    val k = ps.length
+    val ids = new Array[Long](k)
+    val bhs = new Array[Array[Long]](k)
+    val sigs = new Array[Array[Long]](k)
+    var i = 0
+    while (i < k) {
+      val r = ps(i)
+      ids(i) = r.getLong(0)
+      bhs(i) = r.getSeq[Long](1).toArray
+      sigs(i) = r.getSeq[Long](2).toArray
+      i += 1
+    }
+    val out = Seq.newBuilder[(Long, Long, Int)]
+    i = 0
+    while (i < k) {
+      var j = i + 1
+      while (j < k) {
+        val a = if (ids(i) < ids(j)) i else j
+        val b = if (ids(i) < ids(j)) j else i
+        var e = 0
+        var earlier = false
+        while (e < band && !earlier) { earlier = bhs(a)(e) == bhs(b)(e); e += 1 }
+        if (!earlier && sigMatchesGE(sigs(a), sigs(b)))
+          out += ((ids(a), ids(b), sigMatchCount(sigs(a), sigs(b))))
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
   }
 
   /** Undirected duplicate-graph edges `(id_a < id_b)` with the SAME

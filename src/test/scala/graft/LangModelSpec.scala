@@ -63,6 +63,21 @@ class LangModelSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("in-row bigram type-count kernel equals an independent sliding " +
+      "grouping (mixed case, repeated whitespace, repeats, short docs)") {
+    val texts = Seq(
+      "The the THE the", "a  b\t c\na b", "single", "", "  ", "x y x y x",
+      "Mixed Case mixed case MIXED")
+    for (t <- texts) {
+      val want = t.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        .filter(_.nonEmpty).toSeq.sliding(2).filter(_.size == 2)
+        .map { case Seq(a, b) => (a, b) }.toSeq
+        .groupBy(identity).map { case ((a, b), v) => (a, b, v.size.toLong) }
+        .toSeq.sorted
+      assert(LangModel.bigramTypeCounts(t).toSeq === want, s"text <$t>")
+    }
+  }
+
   test("dsir weights match a local brute-force recomputation over the passed set") {
     // realistic-ish sentences so SOME docs pass the cascade and some fail
     // (short docs fail word count; digit strings fail ratios). The fixture's
