@@ -235,6 +235,15 @@ object Contamination {
     import ss.implicits._
     // EVAL-SET-bounded collect (same class as the IVF codebooks): the
     // benchmark is thousands of docs by construction, never corpus-scale.
+    // MEASURED bound (round 11, `ProbeContamination --index` at the 100×
+    // corpus; SCALE.md table): |bench| = 10³/10⁴/10⁵ → index ≈
+    // 3.3/5.9/28 MB estimated driver footprint, build 4.4/4.3/5.9 s —
+    // the gram map grows SUBLINEARLY (bounded by corpus trigram
+    // diversity, 23k → 36k entries across those two decades); only the
+    // per-bench gram-id arrays are linear in |bench|. Three orders of
+    // magnitude of headroom against a 128 GiB driver before the
+    // gram-hash-prefix sharding fallback (same probe kernel per shard)
+    // would be needed.
     val bench = tri.filter(col("doc_id") < benchDocs)
       .select(col("doc_id"), col("ga")).as[(Long, Seq[String])].collect()
     val gramId = new java.util.HashMap[String, Integer]()
