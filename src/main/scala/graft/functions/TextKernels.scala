@@ -318,6 +318,41 @@ object DupNgrams {
     GraftSqlBridge.column(DupNgramsExpression(GraftSqlBridge.expression(c)))
 }
 
+/** Interval-merged duplicated-n-gram char counts for n ∈ {2,3,4} →
+  * struct(mdup2, mdup3, mdup4), all BIGINT. Kernel:
+  * [[graft.pipeline.Repetition.dupNgramsMergedKernel]] (Gopher's
+  * bounded "fraction of characters in duplicate n-grams" coverage —
+  * each word's chars count once per n however many duplicated
+  * occurrences overlap it). */
+case class DupNgramsMergedExpression(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StructType(
+    Seq(2, 3, 4).map(n => StructField(s"mdup$n", LongType, nullable = false)))
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "graft_dup_ngrams_merged"
+  override protected def nullSafeEval(input: Any): Any =
+    DupNgramsMergedExpression.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DupNgramsMergedExpression.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): DupNgramsMergedExpression =
+    copy(child = newChild)
+}
+
+object DupNgramsMergedExpression {
+  def compute(s: UTF8String): InternalRow = {
+    val a = graft.pipeline.Repetition.dupNgramsMergedKernel(s.toString)
+    new GenericInternalRow(Array[Any](a(0), a(1), a(2)))
+  }
+}
+
+object DupNgramsMerged {
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(DupNgramsMergedExpression(GraftSqlBridge.expression(c)))
+}
+
 /** In-row collapsed bigram TYPE counts →
   * array<struct<prev STRING, cur STRING, n BIGINT>>, (prev, cur)
   * ascending. Kernel: [[graft.pipeline.LangModel.bigramTypeCounts]] —

@@ -255,12 +255,18 @@ object Quality {
   def langMarginQuery(docs: DataFrame): DataFrame = {
     // Stage ONLY the hit array (not the full withMetrics projection):
     // the other metrics would be pruned anyway, and this keeps the
-    // query's plan a single kernel pass + integer reads.
+    // query's plan a single kernel pass + integer reads. The Stage.once
+    // barrier is load-bearing (ADVICE r10): the array is referenced
+    // ~20x (per-language reads + two array_sorts), and without it the
+    // kernel's single evaluation relies on CollapseProject's
+    // non-cheap-expression guard rather than the repo's explicit
+    // barrier convention.
     val hitCols = Profiles.zipWithIndex.map { case ((l, _), i) =>
       expr(s"m_langhits[$i]").as(s"m_hits_$l")
     }
     docs
-      .select(col("doc_id"), graft.functions.LangHits(col("text")).as("m_langhits"))
+      .select(col("doc_id"),
+        Stage.once(graft.functions.LangHits(col("text"))).as("m_langhits"))
       .select(Seq(col("doc_id"), col("m_langhits")) ++ hitCols: _*)
       .select(col("doc_id"),
         expr(langCaseOverCols).as("detected_language"),

@@ -153,7 +153,8 @@ object Repetition {
     * top-gram tie on equal counts breaks to the code-point-smallest
     * gram — the same total order the retired sorted-fold and the
     * oracle's `ORDER BY cnt DESC, g ASC` pick. */
-  def dupNgramsKernel(text: String): Array[Long] = {
+  /** Whitespace words, empties dropped — shared by both n-gram kernels. */
+  private def splitWords(text: String): Array[String] = {
     val raw = WsSplit.split(text)
     var nw = 0
     var i = 0
@@ -162,6 +163,12 @@ object Repetition {
     var k = 0
     i = 0
     while (i < raw.length) { if (raw(i).nonEmpty) { words(k) = raw(i); k += 1 }; i += 1 }
+    words
+  }
+
+  def dupNgramsKernel(text: String): Array[Long] = {
+    val words = splitWords(text)
+    var i = 0
     val out = new Array[Long](9)
     var slot = 0
     var n = 2
@@ -206,6 +213,62 @@ object Repetition {
     out
   }
 
+  /** INTERVAL-MERGED duplicated-n-gram char counts for n ∈ {2,3,4} —
+    * Gopher Table A1's actual "fraction of characters in duplicate
+    * n-grams" semantics (ADVICE r10): a word's characters count ONCE if
+    * any duplicated n-gram occurrence covers the word, however many
+    * overlapping occurrences do, so the derived fraction is bounded by
+    * 1. Complements [[dupNgramsKernel]]'s occurrence-weighted ratio
+    * (kept — that spelling matches the repo's established top-bigram
+    * attribution and is a useful repetition INTENSITY signal; this one
+    * is the paper-threshold-compatible coverage). Join spaces excluded
+    * on both sides (non-space char accounting throughout). */
+  def dupNgramsMergedKernel(text: String): Array[Long] = {
+    val words = splitWords(text)
+    val out = new Array[Long](3)
+    var slot = 0
+    var n = 2
+    while (n <= 4) {
+      val m = words.length - n + 1
+      if (m > 0) {
+        val grams = new Array[String](m)
+        val counts = new java.util.HashMap[String, Int](m * 2)
+        var i = 0
+        while (i < m) {
+          val sb = new java.lang.StringBuilder()
+          var w = 0
+          while (w < n) {
+            if (w > 0) sb.append(' ')
+            sb.append(words(i + w))
+            w += 1
+          }
+          grams(i) = sb.toString
+          counts.merge(grams(i), 1, Integer.sum _)
+          i += 1
+        }
+        val covered = new Array[Boolean](words.length)
+        i = 0
+        while (i < m) {
+          if (counts.get(grams(i)) > 1) {
+            var w = i
+            while (w < i + n) { covered(w) = true; w += 1 }
+          }
+          i += 1
+        }
+        var dup = 0L
+        var j = 0
+        while (j < words.length) {
+          if (covered(j)) dup += words(j).codePointCount(0, words(j).length)
+          j += 1
+        }
+        out(slot) = dup
+      }
+      slot += 1
+      n += 1
+    }
+    out
+  }
+
   /** The n-gram rows of Gopher Table A1 that [[repetitionQuery]] (top
     * 2-gram) and [[gopherLinesQuery]] (lines) don't cover: for n ∈
     * {2,3,4}, the character share of the most frequent word n-gram and
@@ -240,6 +303,24 @@ object Repetition {
           expr(s"""IF(nonspace = 0, CAST(NULL AS DOUBLE),
                   |   CAST(g.dup$n AS DOUBLE) / CAST(nonspace AS DOUBLE))"""
             .stripMargin).as(s"dup_${n}gram_char_frac"))
+      }: _*)
+  }
+
+  /** The Gopher-threshold-compatible companion to [[dupNgramsQuery]]:
+    * interval-merged duplicated-n-gram char coverage ≤ 1 per doc (see
+    * [[dupNgramsMergedKernel]]). Same zero-shuffle scan-stage shape. */
+  def dupNgramsMergedQuery(docs: DataFrame): DataFrame = {
+    val s1 = docs.select(
+      col("doc_id"),
+      Stage.once(graft.functions.DupNgramsMerged(coalesce(col("text"), lit("")))).as("g"),
+      length(regexp_replace(col("text"), "\\s+", "")).as("nonspace"))
+    s1.select(
+      Seq(col("doc_id"), col("nonspace")) ++ Seq(2, 3, 4).flatMap { n =>
+        Seq(
+          expr(s"g.mdup$n").as(s"dup_${n}gram_chars_merged"),
+          expr(s"""IF(nonspace = 0, CAST(NULL AS DOUBLE),
+                  |   CAST(g.mdup$n AS DOUBLE) / CAST(nonspace AS DOUBLE))"""
+            .stripMargin).as(s"dup_${n}gram_char_frac_merged"))
       }: _*)
   }
 
@@ -297,6 +378,7 @@ object Repetition {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_dup_ngrams" -> ((s, d) => dupNgramsQuery(Tables.documents(s, d))),
+    "quality_dup_ngrams_merged" -> ((s, d) => dupNgramsMergedQuery(Tables.documents(s, d))),
     "quality_repetition" -> ((s, d) => repetitionQuery(Tables.documents(s, d))),
     "quality_gopher_lines" -> ((s, d) => gopherLinesQuery(Tables.documents(s, d))),
     "corpus_top_bigrams" -> ((s, d) => topBigramsQuery(Tables.documents(s, d))),
@@ -321,14 +403,14 @@ object Repetition {
            |        FROM c$n),
            |a$n AS (SELECT doc_id,
            |          CAST(sum(CASE WHEN cnt > 1
-           |                        THEN cnt * (strlen(g) - ${n - 1}) ELSE 0 END)
+           |                        THEN cnt * (length(g) - ${n - 1}) ELSE 0 END)
            |               AS BIGINT) AS dup
            |        FROM c$n GROUP BY doc_id)""".stripMargin
       }.mkString(",\n")
       val cols = ns.map { n =>
         s"""  COALESCE(t$n.cnt, 0) AS top_${n}gram_cnt,
            |  CASE WHEN b.nonspace = 0 OR t$n.cnt IS NULL THEN NULL
-           |       ELSE (t$n.cnt * (strlen(t$n.g) - ${n - 1}))::DOUBLE
+           |       ELSE (t$n.cnt * (length(t$n.g) - ${n - 1}))::DOUBLE
            |              / b.nonspace::DOUBLE
            |  END AS top_${n}gram_char_frac,
            |  COALESCE(a$n.dup, 0) AS dup_${n}gram_chars,
@@ -343,7 +425,46 @@ object Repetition {
       s"""WITH base AS (
          |  SELECT doc_id,
          |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w,
-         |         strlen(regexp_replace(text, '\\s+', '', 'g')) AS nonspace
+         |         length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace
+         |  FROM documents),
+         |$gramCtes
+         |SELECT b.doc_id, b.nonspace,
+         |$cols
+         |FROM base b
+         |$joins""".stripMargin
+    },
+    // Interval-merged variant: duplicated-gram OCCURRENCES (positions
+    // kept) → union of covered word indices per (doc, n) → char sum of
+    // covered words, once each — the naive spelling of the kernel's
+    // boolean-coverage pass.
+    "quality_dup_ngrams_merged" -> {
+      val ns = Seq(2, 3, 4)
+      val gramCtes = ns.map { n =>
+        val concat = (0 until n).map(k => s"w[CAST(i + $k AS INTEGER)]").mkString(" || ' ' || ")
+        s"""o$n AS (
+           |  SELECT doc_id, i, $concat AS g
+           |  FROM base, unnest(range(1, len(w) - ${n - 2})) AS t(i)),
+           |d$n AS (SELECT doc_id, g FROM o$n GROUP BY doc_id, g HAVING count(*) > 1),
+           |cov$n AS (
+           |  SELECT DISTINCT o.doc_id, o.i + k.x AS j
+           |  FROM o$n o JOIN d$n USING (doc_id, g)
+           |  CROSS JOIN (SELECT unnest(range(0, $n)) AS x) k),
+           |m$n AS (
+           |  SELECT c.doc_id,
+           |         CAST(sum(length(b.w[CAST(c.j AS INTEGER)])) AS BIGINT) AS mdup
+           |  FROM cov$n c JOIN base b USING (doc_id) GROUP BY c.doc_id)""".stripMargin
+      }.mkString(",\n")
+      val cols = ns.map { n =>
+        s"""  COALESCE(m$n.mdup, 0) AS dup_${n}gram_chars_merged,
+           |  CASE WHEN b.nonspace = 0 THEN NULL
+           |       ELSE COALESCE(m$n.mdup, 0)::DOUBLE / b.nonspace::DOUBLE
+           |  END AS dup_${n}gram_char_frac_merged""".stripMargin
+      }.mkString(",\n")
+      val joins = ns.map(n => s"LEFT JOIN m$n ON b.doc_id = m$n.doc_id").mkString("\n")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w,
+         |         length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace
          |  FROM documents),
          |$gramCtes
          |SELECT b.doc_id, b.nonspace,
@@ -403,7 +524,7 @@ object Repetition {
       s"""WITH base AS (
          |  SELECT doc_id,
          |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w,
-         |         strlen(regexp_replace(text, '\\s+', '', 'g')) AS nonspace
+         |         length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace
          |  FROM documents),
          |b AS (
          |  SELECT doc_id, nonspace, len(w) AS n_words,
@@ -426,7 +547,7 @@ object Repetition {
          |  t.bg AS top_bigram,
          |  COALESCE(t.cnt, 0) AS top_bigram_cnt,
          |  CASE WHEN b.nonspace = 0 OR t.cnt IS NULL THEN NULL
-         |       ELSE (t.cnt * (strlen(t.bg) - 1))::DOUBLE / b.nonspace::DOUBLE
+         |       ELSE (t.cnt * (length(t.bg) - 1))::DOUBLE / b.nonspace::DOUBLE
          |  END AS top_bigram_char_frac
          |FROM b LEFT JOIN top t ON b.doc_id = t.doc_id AND t.rk = 1""".stripMargin)
 }

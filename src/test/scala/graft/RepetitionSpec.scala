@@ -75,6 +75,33 @@ class RepetitionSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("dup_4gram_char_frac")))
   }
 
+  test("interval-merged dup n-grams are bounded by 1 on the fixture the " +
+      "occurrence-weighted ratio exceeds it, and partial coverage merges") {
+    // "a b a b a b": every word is covered by a duplicated n-gram at
+    // every n -> merged chars = nonspace = 6, frac exactly 1.0 (where
+    // the occurrence-weighted ratio read 10/6 and 2.0).
+    // "x a b a b y zz": dup 2-grams {"a b" x2, "b a" — no, "b a" occurs
+    // once}: occurrences of "a b" at words (1,2) and (3,4) -> covered
+    // words {a,b,a,b} = 4 chars; x, y, zz uncovered -> 4/8.
+    val df = Repetition.dupNgramsMergedQuery(
+        Seq((1L, "a b a b a b"), (2L, "x a b a b y zz"), (3L, "")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = df(1L)
+    assert(r1.getAs[Long]("dup_2gram_chars_merged") === 6L)
+    assert(r1.getAs[Double]("dup_2gram_char_frac_merged") === 1.0)
+    assert(r1.getAs[Long]("dup_3gram_chars_merged") === 6L)
+    assert(r1.getAs[Double]("dup_3gram_char_frac_merged") === 1.0)
+    assert(r1.getAs[Long]("dup_4gram_chars_merged") === 6L)
+    assert(r1.getAs[Double]("dup_4gram_char_frac_merged") === 1.0)
+    val r2 = df(2L)
+    assert(r2.getAs[Long]("dup_2gram_chars_merged") === 4L)
+    assert(r2.getAs[Double]("dup_2gram_char_frac_merged") === 4.0 / 8.0)
+    assert(r2.getAs[Long]("dup_3gram_chars_merged") === 0L)
+    val r3 = df(3L)
+    assert(r3.getAs[Long]("dup_2gram_chars_merged") === 0L)
+    assert(r3.isNullAt(r3.fieldIndex("dup_2gram_char_frac_merged")))
+  }
+
   test("corpus top bigrams ranks by count then bigram") {
     val df = Seq(1L -> "x y x y z", 2L -> "x y q", 3L -> "a b").toDF("doc_id", "text")
     // "x y": 3 (doc1 twice, doc2 once); "y x": 1; ...
