@@ -107,6 +107,9 @@ class PlanShapeSpec extends SparkSpec {
     val edges = graft.pipeline.MinHash.clusterEdges(Tables.documents(spark, sfDir))
     val got = shape(edges)
     info(s"clusterEdges -> shuffles=${got._1} broadcasts=${got._2} sorts=${got._3}")
-    assert(got == ((1, 3, 0)), s"clusterEdges plan shape drifted: got $got")
+    // round 11: the per-bucket verify kernel (one groupBy on (band, bh))
+    // replaced the band self-join + distinct + two broadcast verify
+    // joins — the three broadcasts are gone, one exchange remains.
+    assert(got == ((1, 0, 0)), s"clusterEdges plan shape drifted: got $got")
   }
 }
