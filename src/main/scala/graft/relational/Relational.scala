@@ -25,11 +25,11 @@ import graft.Tables
   *     output. This replaced the double→DECIMAL(28,6) cast, whose
   *     BigDecimal.valueOf path stringifies every row (r_q1 at 100×:
   *     10.3 → 3.5 s together with the plain-scan load).
-  *   - DECIMAL cast ([[dec]], retained on the window family): frame
-  *     re-aggregation is already bounded, and the decimal spelling keeps
-  *     those oracles byte-stable.
-  * Per-row double arithmetic is IEEE-deterministic and needs no such
-  * treatment.
+  * Window frames sum the cent LONG directly (a per-user frame/partition
+  * sum is orders of magnitude inside the int64 envelope even for a
+  * hot-user partition at 100 TB); unbounded group aggregates go through
+  * DECIMAL(38,0). Per-row double arithmetic is IEEE-deterministic and
+  * needs no such treatment.
   *
   * Timestamp policy: `events.ts` is ns-precision parquet; DuckDB truncates
   * it to µs at read, exactly like `ts_ns div 1000` (verified). Every
@@ -37,8 +37,6 @@ import graft.Tables
   * µs epoch (`ts_us`) — ordering included — never raw ns or TIMESTAMP.
   */
 object Relational {
-
-  private def dec(c: Column) = c.cast(DecimalType(28, 6))
 
   /** Exact cent integer of a two-decimal money column (policy note above). */
   private def cents(c: Column) = floor(c * 100 + lit(0.5)).cast("long")
@@ -97,15 +95,15 @@ object Relational {
   }
 
   /** Sliding-frame aggregate: per-user running sum of `value` over the
-    * current + 3 preceding events (DECIMAL-exact, so frame order can't
-    * perturb the float hash). */
+    * current + 3 preceding events (exact cent-LONG sums, so frame order
+    * can't perturb the float hash). */
   def rollingValuePerUser(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(-3, Window.currentRow)
     events.select(
       col("user_id"), col("event_id"), col("ts_us"),
-      sum(dec(col("value"))).over(w).cast("double").as("rolling_value"))
+      (sum(cents(col("value"))).over(w).cast("double") / 100).as("rolling_value"))
   }
 
   /** Trailing-hour rolling sum via a RANGE frame (vs
@@ -120,7 +118,7 @@ object Relational {
       .rangeBetween(-3600000000L, Window.currentRow)
     events.select(
       col("user_id"), col("event_id"), col("ts_us"),
-      sum(dec(col("value"))).over(w).cast("double").as("trailing_value"))
+      (sum(cents(col("value"))).over(w).cast("double") / 100).as("trailing_value"))
   }
 
   /** Inter-event gap histogram: LAG over each user's timeline, bucketed
@@ -144,7 +142,8 @@ object Relational {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(dec(col("value"))).cast("double").as("total_value"),
+        (sum(cents(col("value")).cast(DecimalType(38, 0)))
+          .cast("double") / 100).as("total_value"),
         countDistinct(col("user_id")).as("n_users"))
 
   /** Cohort retention matrix: users grouped by their first-activity day
@@ -304,7 +303,8 @@ object Relational {
       .groupBy(col("band"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(dec(col("value"))).cast("double").as("total_value"))
+        (sum(cents(col("value")).cast(DecimalType(38, 0)))
+          .cast("double") / 100).as("total_value"))
   }
 
   /** ROLLUP aggregation: order counts/revenue at (status, priority),
@@ -432,9 +432,9 @@ object Relational {
   def oracles: Map[String, String] = Map(
     "r_trailing_hour_value" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-        |  CAST(sum(CAST(value AS DECIMAL(28,6))) OVER (
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
         |    PARTITION BY user_id ORDER BY epoch_us(ts)
-        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_value
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS trailing_value
         |FROM events""".stripMargin,
     "r_interevent_gap_histogram" ->
       """WITH g AS (
@@ -509,14 +509,14 @@ object Relational {
         |WHERE rn <= 3""".stripMargin,
     "r_rolling_value_per_user" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-        |  CAST(sum(CAST(value AS DECIMAL(28,6))) OVER (
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
         |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_value
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS rolling_value
         |FROM events""".stripMargin,
     "r_hourly_event_stats" ->
       """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
         |  count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
@@ -560,7 +560,7 @@ object Relational {
         |  ('low', 0.0, 5.0), ('mid', 5.0, 10.0), ('high', 10.0, 15.0),
         |  ('extreme', 15.0, 1000000000.0))
         |SELECT band, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_value
         |FROM events JOIN bands ON value >= lo AND value < hi
         |GROUP BY band""".stripMargin,
     "r_order_rollup" ->
