@@ -176,7 +176,23 @@ object MinHash {
     * AND pass signature verification. Verification is a pure function of
     * the two signatures, so a rep-pair verdict holds for every member
     * pair between the two groups — the contraction is lossless. */
-  private[pipeline] def repGraph(sigs: DataFrame): (DataFrame, DataFrame) = {
+  /** Oversized-bucket bound for the verify kernel — the same
+    * scale-safety class as [[NearDup.PostingChunkLen]]: a (band, bh)
+    * bucket beyond this many reps is split into gid-ordered chunks
+    * scanned per chunk PAIR, capping both the collect_list row size
+    * (4096 × ~1.1 KB ≈ 4.5 MB, far under the 2 GB row limit) and the
+    * longest single-task O(k²) scan. A >4096-rep bucket means >4096
+    * DISTINCT-signature docs sharing one LSH band — templated spam at
+    * corpus scale; every gate/bench corpus peaks in the dozens, so a
+    * 1-row max-bucket probe keeps the common case on the single-pass
+    * kernel with zero chunk bookkeeping (the jaccard adaptive-path
+    * lesson: the fast path must not pay for the slow path). */
+  val BandBucketChunkLen = 4096
+
+  private[pipeline] def repGraph(sigs: DataFrame): (DataFrame, DataFrame) =
+    repGraph(sigs, BandBucketChunkLen)
+
+  private[pipeline] def repGraph(sigs: DataFrame, chunkLen: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // The collapse exchange is keyed on the 8-byte xxhash64 of the
     // signature, not the 128-long array itself (the array still crosses
@@ -210,30 +226,65 @@ object MinHash {
     // the early-exit GE check; the exhaustive `matches` count runs only
     // on survivors (the pair report reads it; every other consumer
     // selects (ga, gb)). Bucket cardinality = same-band-hash near-dup
-    // groups: the planted-100-member adversarial corpus peaks in the
-    // dozens; a corpus whose ONE bucket approaches ~10⁶ members would
-    // need the jaccard PostingChunkLen treatment (documented trade —
-    // the old join serialized the same quadratic work as pair ROWS).
+    // groups: oversized buckets ([[BandBucketChunkLen]]) take the
+    // chunk-pair path below, chosen by a 1-row max-bucket probe over
+    // the skinny band frame (the persisted collapse makes the probe a
+    // cheap second pass); every gate/bench corpus stays on the
+    // single-pass path.
     val numPartsB = sigs.sparkSession.sparkContext.defaultParallelism
     val bands = reps
       .withColumn("bhs", expr(bandsExpr))
       .select(col("gid"), col("sig"), col("bhs"),
         posexplode(col("bhs")).as(Seq("band", "bh")))
-    val verifiedPairs = bands
-      .repartition(numPartsB, col("band"), col("bh"))
-      .groupBy(col("band"), col("bh"))
-      .agg(collect_list(struct(col("gid"), col("bhs"), col("sig"))).as("ps"))
-      .filter(size(col("ps")) >= 2)
-      .select(explode(verifyBucketUdf(col("band"), col("ps"))).as("p"))
+    val maxBucket = bands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    val pairs = if (maxBucket <= chunkLen) {
+      bands
+        .repartition(numPartsB, col("band"), col("bh"))
+        .groupBy(col("band"), col("bh"))
+        .agg(collect_list(struct(col("gid"), col("bhs"), col("sig"))).as("ps"))
+        .filter(size(col("ps")) >= 2)
+        .select(explode(verifyBucketUdf(col("band"), col("ps"))).as("p"))
+    } else {
+      // Chunk-pair path (mirrors NearDup's): gid-ordered chunks of
+      // <= chunkLen postings per bucket; ci <= cj, and every gid in
+      // chunk i precedes every gid in chunk j, so cross-chunk pairs
+      // orient (left, right) directly. LOSSLESS: each unordered pair
+      // lives in exactly one (bucket, chunk-pair) per shared band, and
+      // the first-shared-band rule dedups across bands exactly as on
+      // the single-pass path.
+      val wsp = Window.partitionBy(col("band"), col("bh"))
+      val posted = bands
+        .repartition(numPartsB, col("band"), col("bh"))
+        .withColumn("pp", row_number().over(wsp.orderBy(col("gid"))))
+        .withColumn("cnt", count(lit(1)).over(wsp))
+        .transform(graft.CacheScope.persist)
+      val small = posted.filter(col("cnt") <= chunkLen)
+        .groupBy(col("band"), col("bh"))
+        .agg(collect_list(struct(col("gid"), col("bhs"), col("sig"))).as("ps"))
+        .filter(size(col("ps")) >= 2)
+        .select(explode(verifyBucketUdf(col("band"), col("ps"))).as("p"))
+      val chunks = posted.filter(col("cnt") > chunkLen)
+        .withColumn("ci", ((col("pp") - 1) / chunkLen).cast("int"))
+        .groupBy(col("band"), col("bh"), col("ci"))
+        .agg(sort_array(collect_list(
+          struct(col("gid"), col("bhs"), col("sig")))).as("ps"))
+      val large = chunks.as("l").join(chunks.as("r"),
+          col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+            col("l.ci") <= col("r.ci"))
+        .select(explode(verifyBucketChunkUdf(col("l.band"),
+          col("l.ps"), col("r.ps"), col("l.ci") === col("r.ci"))).as("p"))
+      small.union(large)
+    }
+    val verifiedPairs = pairs
       .select(col("p._1").as("ga"), col("p._2").as("gb"), col("p._3").as("matches"))
     (withG, verifiedPairs)
   }
 
-  /** In-bucket pair verification: enumerate postings pairs, orient by
-    * ascending gid, keep a pair only if NO band before `band` already
-    * collided (its first shared band — exactly-once across buckets),
-    * then the signature verify + exact count. */
-  private val verifyBucketUdf = udf { (band: Int, ps: Seq[Row]) =>
+  /** Decoded (band, bh) bucket posting: (gids, band-hash arrays, sigs). */
+  private type BandPosting = (Array[Long], Array[Array[Long]], Array[Array[Long]])
+  private def decodeBandPosting(ps: Seq[Row]): BandPosting = {
     val k = ps.length
     val ids = new Array[Long](k)
     val bhs = new Array[Array[Long]](k)
@@ -246,24 +297,73 @@ object MinHash {
       sigs(i) = r.getSeq[Long](2).toArray
       i += 1
     }
+    (ids, bhs, sigs)
+  }
+
+  /** Shared verify core: the pair (a, b) with ids(a) < ids(b) survives
+    * iff NO band before `band` already collided for it (its first
+    * shared band — exactly-once across buckets) AND the signatures
+    * verify; emits (ga, gb, exact match count). */
+  private def verifyAt(p1: BandPosting, a: Int, p2: BandPosting, b: Int, band: Int,
+      out: scala.collection.mutable.Builder[(Long, Long, Int), Seq[(Long, Long, Int)]]): Unit = {
+    var e = 0
+    var earlier = false
+    while (e < band && !earlier) { earlier = p1._2(a)(e) == p2._2(b)(e); e += 1 }
+    if (!earlier && sigMatchesGE(p1._3(a), p2._3(b)))
+      out += ((p1._1(a), p2._1(b), sigMatchCount(p1._3(a), p2._3(b))))
+  }
+
+  /** In-bucket pair verification: enumerate postings pairs, orient by
+    * ascending gid, verify via [[verifyAt]]. */
+  private val verifyBucketUdf = udf { (band: Int, ps: Seq[Row]) =>
+    val p = decodeBandPosting(ps)
+    val ids = p._1
     val out = Seq.newBuilder[(Long, Long, Int)]
-    i = 0
-    while (i < k) {
+    var i = 0
+    while (i < ids.length) {
       var j = i + 1
-      while (j < k) {
-        val a = if (ids(i) < ids(j)) i else j
-        val b = if (ids(i) < ids(j)) j else i
-        var e = 0
-        var earlier = false
-        while (e < band && !earlier) { earlier = bhs(a)(e) == bhs(b)(e); e += 1 }
-        if (!earlier && sigMatchesGE(sigs(a), sigs(b)))
-          out += ((ids(a), ids(b), sigMatchCount(sigs(a), sigs(b))))
+      while (j < ids.length) {
+        if (ids(i) < ids(j)) verifyAt(p, i, p, j, band, out)
+        else verifyAt(p, j, p, i, band, out)
         j += 1
       }
       i += 1
     }
     out.result()
   }
+
+  /** Chunk-pair form for oversized buckets ([[BandBucketChunkLen]]):
+    * chunks are gid-sorted, and ci < cj ⇒ every left gid precedes every
+    * right gid, so cross-chunk pairs orient (left, right) directly. */
+  private val verifyBucketChunkUdf = udf { (band: Int, lps: Seq[Row], rps: Seq[Row], same: Boolean) =>
+    if (same) {
+      val p = decodeBandPosting(lps)
+      val out = Seq.newBuilder[(Long, Long, Int)]
+      var i = 0
+      while (i < p._1.length) {
+        var j = i + 1
+        while (j < p._1.length) { verifyAt(p, i, p, j, band, out); j += 1 }
+        i += 1
+      }
+      out.result()
+    } else {
+      val l = decodeBandPosting(lps)
+      val r = decodeBandPosting(rps)
+      val out = Seq.newBuilder[(Long, Long, Int)]
+      var i = 0
+      while (i < l._1.length) {
+        var j = 0
+        while (j < r._1.length) { verifyAt(l, i, r, j, band, out); j += 1 }
+        i += 1
+      }
+      out.result()
+    }
+  }
+
+  /** Test hook: the verified rep pairs at a forced chunk bound, for
+    * pinning the chunk-pair path against the single-pass kernel. */
+  private[graft] def verifiedPairsOf(docs: DataFrame, chunkLen: Int): DataFrame =
+    repGraph(signatures(docs), chunkLen)._2
 
   /** Undirected duplicate-graph edges `(id_a < id_b)` with the SAME
     * connectivity as the full member-level verified-pair graph, without

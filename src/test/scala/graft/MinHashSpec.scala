@@ -141,4 +141,24 @@ class MinHashSpec extends SparkSpec {
         s"k=$k exact=$ex est=$est diverge beyond the 128-perm error bound")
     }
   }
+
+  test("chunk-pair bucket verify (forced chunkLen=2) emits the identical " +
+      "verified pair set as the single-pass kernel") {
+    // two near-dup clusters of 5 distinct variants each + an unrelated
+    // doc: buckets collect >= 3 same-band reps, so chunkLen=2 exercises
+    // same-chunk, cross-chunk, and small-bucket paths together.
+    val variants = Seq("jumps", "leaps", "hops", "bounds", "vaults")
+    val rows =
+      variants.zipWithIndex.map { case (w, i) => (i.toLong, longA.replace("jumps", w)) } ++
+      variants.zipWithIndex.map { case (w, i) => (100L + i, other.replace("databases", w)) } :+
+      (500L, "an entirely different short standalone text about nothing else")
+    val d = docs(rows: _*)
+    def pairsAt(chunkLen: Int) =
+      MinHash.verifiedPairsOf(d, chunkLen)
+        .as[(Long, Long, Int)].collect().toSet
+    val fast = pairsAt(Int.MaxValue)
+    val chunked = pairsAt(2)
+    assert(fast.nonEmpty, "fixture invalid: no verified near-dup pairs")
+    assert(chunked === fast)
+  }
 }
