@@ -88,13 +88,25 @@ object Tables {
     * as UTC wall-clock (session timezone pinned here), matching how the
     * ns-long path derives them.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsImpl(spark, dir, spread = true)
+
+  /** Scan-shaped events access: the same ts normalization with NO
+    * user_id spread — for consumers keyed on something other than
+    * user_id (hour buckets, event_type, value bands), where the
+    * keyed exchange ships the full table to satisfy nothing (the
+    * lineitem/orders argument above, applied per consumer). */
+  def eventsScan(spark: SparkSession, dir: String): DataFrame =
+    eventsImpl(spark, dir, spread = false)
+
+  private def eventsImpl(spark: SparkSession, dir: String, spread: Boolean): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // events' dominant downstream keys are per-user (latest-k window,
     // rolling window, as-of, distinct users), so the spread hashes on
     // user_id — those consumers then run exchange-free on top of it.
-    val raw = parallelized(load(spark, dir, "events"), Seq("user_id"))
+    val base = load(spark, dir, "events")
+    val raw = if (spread) parallelized(base, Seq("user_id")) else base
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumnRenamed("ts", "ts_ns")

@@ -91,30 +91,37 @@ object Analytics {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
 
-  /** Pearson correlation from exact DECIMAL moment sums (the one-pass
+  /** Pearson correlation from exact integer moment sums (the one-pass
     * formula `corr` itself uses, but with order-independent sums so the
     * driver's float hash agrees with DuckDB): per event type, how does
-    * `value` co-move with the JSON `props.k` field. */
+    * `value` co-move with the JSON `props.k` field. Scaled-LONG policy
+    * (Relational's): `value` is two-decimal, so its cent integer makes
+    * every moment an exact integer — per-row products bounded (vc² ≲
+    * 3.2e9, k ≤ 2³¹), sums through DECIMAL(38,0), ONE double rounding
+    * per term at output with the scale divides mirrored verbatim in
+    * the oracle. Replaces five per-row double→DECIMAL(38,8) casts
+    * (the BigDecimal.valueOf string path). */
   def valueCorrQuery(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val d = DecimalType(38, 8)
+    val big = DecimalType(38, 0)
     val k = get_json_object(col("props"), "$.k").cast("int")
     events
       .withColumn("k", k).filter(col("k").isNotNull && col("value").isNotNull)
+      .withColumn("vc", floor(col("value") * 100 + lit(0.5)).cast("long"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(d)).as("sx"),
-        sum(col("k").cast(d)).as("sy"),
-        sum((col("value") * col("value")).cast(d)).as("sxx"),
-        sum((col("k") * col("k")).cast(d)).as("syy"),
-        sum((col("value") * col("k")).cast(d)).as("sxy"))
+        sum(col("vc").cast(big)).as("sx100"),
+        sum(col("k").cast(big)).as("sy"),
+        sum((col("vc") * col("vc")).cast(big)).as("sxx1e4"),
+        sum((col("k").cast("long") * col("k")).cast(big)).as("syy"),
+        sum((col("vc") * col("k")).cast(big)).as("sxy100"))
       .select(
         col("event_type"), col("n"),
-        ((col("n").cast("double") * col("sxy").cast("double") -
-          col("sx").cast("double") * col("sy").cast("double")) /
-          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")) *
+        ((col("n").cast("double") * (col("sxy100").cast("double") / 100) -
+          (col("sx100").cast("double") / 100) * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * (col("sxx1e4").cast("double") / 10000) -
+            (col("sx100").cast("double") / 100) * (col("sx100").cast("double") / 100)) *
            sqrt(col("n").cast("double") * col("syy").cast("double") -
             col("sy").cast("double") * col("sy").cast("double"))))
           .as("corr_value_k"))
@@ -542,20 +549,22 @@ object Analytics {
         |FROM m""".stripMargin,
     "events_value_corr" ->
       """WITH base AS (
-        |  SELECT event_type, value, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |  SELECT event_type,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+        |         CAST(json_extract_string(props, '$.k') AS INT) AS k
         |  FROM events
         |  WHERE value IS NOT NULL AND CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL),
         |m AS (
         |  SELECT event_type, count(*) AS n,
-        |         sum(CAST(value AS DECIMAL(38,8))) AS sx,
-        |         sum(CAST(k AS DECIMAL(38,8))) AS sy,
-        |         sum(CAST(value * value AS DECIMAL(38,8))) AS sxx,
-        |         sum(CAST(k * k AS DECIMAL(38,8))) AS syy,
-        |         sum(CAST(value * k AS DECIMAL(38,8))) AS sxy
+        |         sum(vc) AS sx100,
+        |         sum(k) AS sy,
+        |         sum(vc * vc) AS sxx1e4,
+        |         sum(CAST(k AS BIGINT) * k) AS syy,
+        |         sum(vc * k) AS sxy100
         |  FROM base GROUP BY event_type)
         |SELECT event_type, n,
-        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |  (CAST(n AS DOUBLE) * (CAST(sxy100 AS DOUBLE) / 100) - (CAST(sx100 AS DOUBLE) / 100) * CAST(sy AS DOUBLE)) /
+        |  (sqrt(CAST(n AS DOUBLE) * (CAST(sxx1e4 AS DOUBLE) / 10000) - (CAST(sx100 AS DOUBLE) / 100) * (CAST(sx100 AS DOUBLE) / 100)) *
         |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |  AS corr_value_k
         |FROM m""".stripMargin,

@@ -45,6 +45,18 @@ object Relational {
   private def eventsUs(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
 
+  /** Scan-shaped twin ([[Tables.eventsScan]]): for queries whose
+    * per-row work above the scan is TRIVIAL and whose keys are not
+    * user_id (value bands, the fixed-universe pivot) — there the spread
+    * is a wasted full-table exchange. Queries with expensive per-row
+    * compute (JSON parsing, countDistinct expansion) KEEP the spread:
+    * measured at 100×, events_value_corr and r_hourly_event_stats run
+    * ~20-30% slower on the raw 8-file scan because the hot per-row
+    * stage loses the 32-way fan-out (the documented parallelized rule,
+    * confirmed per consumer). */
+  private def eventsUsScan(s: SparkSession, d: String): DataFrame =
+    Tables.eventsScan(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+
   // -----------------------------------------------------------------------
   // Joins
   // -----------------------------------------------------------------------
@@ -409,9 +421,9 @@ object Relational {
     "r_asof_purchase_click" -> ((s, d) => asofPurchaseAfterClick(eventsUs(s, d))),
     "r_asof_cogroup" -> ((s, d) => asofCogroup(eventsUs(s, d))),
     "r_sessionize_events" -> ((s, d) => sessionizeEvents(eventsUs(s, d))),
-    "r_value_band_join" -> ((s, d) => valueBandJoin(eventsUs(s, d))),
+    "r_value_band_join" -> ((s, d) => valueBandJoin(eventsUsScan(s, d))),
     "r_order_rollup" -> ((s, d) => orderRollup(Tables.orders(s, d))),
-    "r_event_type_pivot" -> ((s, d) => eventTypePivot(eventsUs(s, d))),
+    "r_event_type_pivot" -> ((s, d) => eventTypePivot(eventsUsScan(s, d))),
     "r_funnel_conversion" -> ((s, d) => funnelQuery(eventsUs(s, d))),
     "r_trailing_hour_value" -> ((s, d) => trailingHourValue(eventsUs(s, d))),
     "r_interevent_gap_histogram" -> ((s, d) => intereventGapHistogram(eventsUs(s, d))))
