@@ -318,6 +318,48 @@ object DupNgrams {
     GraftSqlBridge.column(DupNgramsExpression(GraftSqlBridge.expression(c)))
 }
 
+/** In-row collapsed word TYPE counts →
+  * array<struct<word STRING, n BIGINT>>, word-ascending. Kernel:
+  * [[graft.pipeline.LangModel.wordTypeCounts]]; `lower` (a plan-time
+  * constant) selects the lowercased wordsExpr fold vs the
+  * case-preserving split. */
+case class WordCountsExpression(child: Expression, lower: Boolean) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("word", StringType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "graft_word_counts"
+  override protected def nullSafeEval(input: Any): Any =
+    WordCountsExpression.compute(input.asInstanceOf[UTF8String], lower)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordCountsExpression.compute($c, $lower)")
+  override protected def withNewChildInternal(newChild: Expression): WordCountsExpression =
+    copy(child = newChild)
+}
+
+object WordCountsExpression {
+  def compute(s: UTF8String, lower: Boolean): ArrayData = {
+    val ws = graft.pipeline.LangModel.wordTypeCounts(s.toString, lower)
+    val out = new Array[Any](ws.length)
+    var i = 0
+    while (i < ws.length) {
+      out(i) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(ws(i)._1), ws(i)._2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object WordCounts {
+  def apply(c: Column, lower: Boolean): Column =
+    GraftSqlBridge.column(WordCountsExpression(GraftSqlBridge.expression(c), lower))
+}
+
 /** Interval-merged duplicated-n-gram char counts for n ∈ {2,3,4} →
   * struct(mdup2, mdup3, mdup4), all BIGINT. Kernel:
   * [[graft.pipeline.Repetition.dupNgramsMergedKernel]] (Gopher's

@@ -381,11 +381,13 @@ object Analytics {
     * doc_id is corpus-cardinality, so the window never funnels. */
   def tfidfKeywordsQuery(docs: DataFrame, k: Int = TfidfTopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // In-row collapsed term frequencies (round 11): the scan stage
+    // emits per-doc (word, tf) types directly — the explode +
+    // string-keyed groupBy over one row per token occurrence is gone.
     val tf = docs
       .select(col("doc_id"),
-        explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
+        explode(graft.functions.WordCounts(col("text"), lower = true)).as("w"))
+      .select(col("doc_id"), col("w.word").as("word"), col("w.n").as("tf"))
       .transform(graft.CacheScope.persist) // feeds df-agg, nd-agg AND the join
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val nd = tf.agg(countDistinct(col("doc_id")).as("nd"))

@@ -125,9 +125,15 @@ object LangModel {
 
   private[pipeline] def dsirWeightsOver(docs: DataFrame, passedIds: DataFrame): DataFrame =
     dsirOver(
-      docs.select(col("doc_id"), explode(expr(wordsExpr)).as("feat")),
+      // In-row collapsed (word, count) types (round 11): the occurrence
+      // explode + the downstream groupBy(doc, feat) string exchange are
+      // gone — the scan stage emits the per-doc vocabulary directly.
+      docs.select(col("doc_id"),
+          explode(graft.functions.WordCounts(col("text"), lower = true)).as("w"))
+        .select(col("doc_id"), col("w.word").as("feat"), col("w.n").as("n_occ")),
       passedIds,
-      nName = "n_tokens")
+      nName = "n_tokens",
+      collapsed = true)
 
   /** Hash-bucket count for DSIR's bigram features. The paper's headline
     * configuration (Xie et al. 2023 §2.2) hashes n-gram features to a
@@ -166,7 +172,8 @@ object LangModel {
         .select(col("doc_id"), col("f.feat").cast("long").as("feat"),
           col("f.n").as("n_occ")),
       passedIds,
-      nName = "n_bigrams")
+      nName = "n_bigrams",
+      collapsed = true)
 
   /** Per-thread scratch for [[dsirBigramFeatCounts]]: the MD5 digest
     * (JCA provider lookup is not a per-row cost) and a reusable counts
@@ -187,11 +194,10 @@ object LangModel {
     * INDEPENDENT fold the DuckDB oracle's lower() applies (the MinHash
     * normalizer's established choice); Spark's builtin lower() is the
     * one that would drift on a tr/az-default-locale JVM. */
-  /** The [[wordsExpr]] word semantics as a JVM pass (lowercase
-    * Locale.ROOT, ASCII-\s split, empties dropped) — shared by both
-    * bigram kernels. */
-  private def tokenizeWords(text: String): Array[String] = {
-    val raw = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+  /** Whitespace split, empties dropped (the `filter(split(text,
+    * '\\s+'), ...)` semantics, no case fold). */
+  private def splitWs(text: String): Array[String] = {
+    val raw = text.split("\\s+")
     var nw = 0
     var i = 0
     while (i < raw.length) { if (raw(i).nonEmpty) nw += 1; i += 1 }
@@ -200,6 +206,41 @@ object LangModel {
     i = 0
     while (i < raw.length) { if (raw(i).nonEmpty) { words(k) = raw(i); k += 1 }; i += 1 }
     words
+  }
+
+  /** The [[wordsExpr]] word semantics as a JVM pass (lowercase
+    * Locale.ROOT, ASCII-\s split, empties dropped) — shared by the
+    * bigram and word-count kernels. */
+  private def tokenizeWords(text: String): Array[String] =
+    splitWs(text.toLowerCase(java.util.Locale.ROOT))
+
+  /** In-row collapsed word TYPE counts, word-ascending — the kernel
+    * behind [[graft.functions.WordCountsExpression]]: per-doc term
+    * frequencies emitted straight from the scan stage, replacing the
+    * explode + string-keyed groupBy(doc, word) over one row per token
+    * OCCURRENCE that tfidf / DSIR-unigram / commonness each paid.
+    * `lower` selects the [[wordsExpr]] fold (tfidf, DSIR) vs the
+    * case-preserving split (commonness, which scores raw tokens). */
+  def wordTypeCounts(text: String, lower: Boolean): Array[(String, Long)] = {
+    val words =
+      if (lower) tokenizeWords(text) else splitWs(text)
+    if (words.length == 0) return Array.empty
+    val m = new java.util.TreeMap[String, Long]()
+    var i = 0
+    while (i < words.length) {
+      val p = m.get(words(i)) // null unboxes to 0 for an absent key
+      m.put(words(i), p + 1L)
+      i += 1
+    }
+    val out = new Array[(String, Long)](m.size)
+    val it = m.entrySet().iterator()
+    var t = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(t) = (e.getKey, e.getValue)
+      t += 1
+    }
+    out
   }
 
   /** In-row collapsed bigram TYPE counts, (prev, cur) ascending — the
@@ -268,12 +309,17 @@ object LangModel {
     * `(doc_id, feat [, n_occ])` occurrence rows (pre-collapsed rows may
     * carry `n_occ`; exploded rows count 1 each). `nName` labels the
     * per-doc feature-occurrence count column. */
-  private def dsirOver(feats: DataFrame, passedIds: DataFrame, nName: String): DataFrame = {
+  private def dsirOver(feats: DataFrame, passedIds: DataFrame, nName: String,
+      collapsed: Boolean = false): DataFrame = {
     val occ = if (feats.columns.contains("n_occ")) feats
       else feats.withColumn("n_occ", lit(1L))
-    val pdw = occ
-      .groupBy(col("doc_id"), col("feat"))
-      .agg(sum(col("n_occ")).as("n_occ"))
+    // `collapsed` callers guarantee one row per (doc_id, feat) already
+    // (in-row kernel collapse) — the normalizing exchange would re-group
+    // rows that are unique by construction.
+    val pdw = (if (collapsed) occ
+      else occ
+        .groupBy(col("doc_id"), col("feat"))
+        .agg(sum(col("n_occ")).as("n_occ")))
       .transform(graft.CacheScope.persist)
     val raw = pdw.groupBy(col("feat")).agg(sum(col("n_occ")).as("c_raw"))
       .transform(graft.CacheScope.persist) // feeds the join and both scalars

@@ -357,11 +357,13 @@ object Repetition {
     * The score is exact-int sums + one IEEE division — hash-identical
     * to the oracle. */
   def commonnessQuery(docs: DataFrame): DataFrame = {
+    // In-row collapsed (word, count) pairs (round 11): the per-doc
+    // vocabulary comes straight off the scan — no occurrence-row
+    // exchange; case-preserving split (this score reads raw tokens).
     val perDocWord = docs
       .select(col("doc_id"),
-        explode(expr("filter(split(text, '\\\\s+'), x -> x != '')")).as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("n_occ"))
+        explode(graft.functions.WordCounts(col("text"), lower = false)).as("w"))
+      .select(col("doc_id"), col("w.word").as("word"), col("w.n").as("n_occ"))
       .transform(graft.CacheScope.persist)
     val freq = perDocWord.groupBy(col("word"))
       .agg(sum(col("n_occ")).as("corpus_freq"))
