@@ -78,6 +78,43 @@ class LangModelSpec extends SparkSpec {
     }
   }
 
+  test("in-row word type-count kernel equals an independent grouping, " +
+      "both folds, incl. non-ASCII and non-BMP text") {
+    val texts = Seq(
+      "The the THE the", "a  b\t c\na b", "single", "", "  ", "x y x y x",
+      "Mixed Case mixed case MIXED",
+      "Größe GRÖSSE größe straße", // ß: Java ROOT lower keeps ß, upper is SS
+      "𝐀 plane1 𝐀 text", // non-BMP math A, surrogate pair
+      "tab\tsepvt\fff\rcr") // every ASCII \s class
+    for (t <- texts; lower <- Seq(true, false)) {
+      val words = (if (lower) t.toLowerCase(java.util.Locale.ROOT) else t)
+        .split("\\s+").filter(_.nonEmpty).toSeq
+      val want = words.groupBy(identity)
+        .map { case (w, v) => (w, v.size.toLong) }.toSeq.sorted
+      assert(LangModel.wordTypeCounts(t, lower).toSeq === want,
+        s"text <$t> lower=$lower")
+    }
+  }
+
+  test("WordCounts expression matches the explode+groupBy spelling it replaced") {
+    val docs = docsDF(Seq(
+      1L -> "The the THE the", 2L -> "a  b\t c\na b", 3L -> "", 4L -> "x y x",
+      5L -> "Größe GRÖSSE über ÜBER", 6L -> "one-token"))
+    for (lower <- Seq(true, false)) {
+      val textCol = if (lower) "lower(text)" else "text"
+      val old = docs
+        .select(col("doc_id"),
+          explode(expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+        .as[(Long, String, Long)].collect().sorted.toSeq
+      val neu = docs
+        .select(col("doc_id"), explode(graft.functions.WordCounts(col("text"), lower)).as("w"))
+        .select(col("doc_id"), col("w.word"), col("w.n"))
+        .as[(Long, String, Long)].collect().sorted.toSeq
+      assert(neu === old, s"lower=$lower")
+    }
+  }
+
   test("dsir weights match a local brute-force recomputation over the passed set") {
     // realistic-ish sentences so SOME docs pass the cascade and some fail
     // (short docs fail word count; digit strings fail ratios). The fixture's
