@@ -58,6 +58,7 @@ object Bench {
       "quality_lm_transition", "quality_lm_buckets",
       "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivfpq_rerank",
       "decontaminate_fuzzy", "decontaminate_attribution",
+      "decontaminate_flags", "decontaminate_overlap",
       "mix_dsir_weights", "mix_dsir_weights_bigram")
     val memoMark: Seq[(String, Double)] =
       if (only.nonEmpty && only.intersect(memoConsumers).isEmpty) Nil

@@ -38,18 +38,11 @@ object Contamination {
     * [[GramN]]-grams appear anywhere in the benchmark. Only docs with
     * >= 1 overlap are emitted (the flag list a pipeline would subtract
     * or quarantine). */
-  def contaminationQuery(docs: DataFrame): DataFrame = {
-    val withGrams = docs.select(
-        col("doc_id"),
-        Stage.once(expr("filter(split(text, '\\\\s+'), x -> x != '')")).as("w"))
-      .select(col("doc_id"), explode(expr(gramsExpr(GramN))).as("gram"))
-    val benchGrams = withGrams.filter(col("doc_id") < BenchmarkDocs)
-      .select(col("gram")).distinct()
-    withGrams.filter(col("doc_id") >= BenchmarkDocs)
-      .join(broadcast(benchGrams), "gram")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_contaminated_grams"))
-  }
+  def contaminationQuery(docs: DataFrame): DataFrame =
+    exactFlags(exactTierCounts(docs, adHocBenchSet(docs), BenchmarkDocs))
+
+  private def exactFlags(counts: DataFrame): DataFrame =
+    counts.select(col("doc_id"), col("n_shared").as("n_contaminated_grams"))
 
   /** Severity tier: a doc whose shared-gram share clears this is
     * "substantially contaminated" (drop it); below, quarantine/inspect.
@@ -60,28 +53,109 @@ object Contamination {
   /** Fractional-overlap decontamination: per contaminated training doc,
     * the SHARE of its distinct [[GramN]]-grams found in the benchmark
     * (plus the substantial-contamination verdict at [[OverlapThreshold]]).
-    * Same broadcast semi-join as [[contaminationQuery]] with one extra
-    * per-doc aggregation for the denominator — the denominator count
-    * rides the same exploded gram relation and its exchange is reused
-    * (both aggregations key on doc_id). */
-  def overlapQuery(docs: DataFrame): DataFrame = {
-    val withGrams = docs.select(
-        col("doc_id"),
-        Stage.once(expr("filter(split(text, '\\\\s+'), x -> x != '')")).as("w"))
-      .select(col("doc_id"), explode(expr(gramsExpr(GramN))).as("gram"))
-    val train = withGrams.filter(col("doc_id") >= BenchmarkDocs)
-    val benchGrams = withGrams.filter(col("doc_id") < BenchmarkDocs)
-      .select(col("gram")).distinct()
-    val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    train.join(broadcast(benchGrams), "gram")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(totals, "doc_id")
-      .select(col("doc_id"), col("n_shared"), col("n_grams"),
-        (col("n_shared").cast("double") / col("n_grams").cast("double"))
-          .as("overlap_fraction"),
-        (col("n_shared").cast("double") / col("n_grams").cast("double")
-          >= OverlapThreshold).as("substantial"))
+    * Same scan-local probe as [[contaminationQuery]] — the denominator
+    * (distinct-gram count) falls out of the same in-kernel pass. */
+  def overlapQuery(docs: DataFrame): DataFrame =
+    exactOverlap(exactTierCounts(docs, adHocBenchSet(docs), BenchmarkDocs))
+
+  private def exactOverlap(counts: DataFrame): DataFrame =
+    counts.select(col("doc_id"), col("n_shared"), col("n_grams"),
+      (col("n_shared").cast("double") / col("n_grams").cast("double"))
+        .as("overlap_fraction"),
+      (col("n_shared").cast("double") / col("n_grams").cast("double")
+        >= OverlapThreshold).as("substantial"))
+
+  /** Driver-built set of the benchmark's distinct [[GramN]]-grams —
+    * EVAL-SET-bounded (the [[buildFuzzyIndex]] collect class: a
+    * benchmark is thousands of items, never corpus-scale) and cheap to
+    * produce: the `doc_id < benchDocs` predicate reaches the parquet
+    * scan, so the build reads bench-sized data, not the corpus. */
+  private[graft] def buildBenchGramSet(docs: DataFrame, benchDocs: Int)
+      : java.util.HashSet[String] = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val out = new java.util.HashSet[String]()
+    docs.filter(col("doc_id") < benchDocs)
+      .select(Stage.once(expr("filter(split(text, '\\\\s+'), x -> x != '')")).as("w"))
+      .select(explode(expr(gramsExpr(GramN))).as("gram"))
+      .distinct().as[String].collect().foreach(out.add)
+    out
+  }
+
+  private def adHocBenchSet(docs: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]] =
+    docs.sparkSession.sparkContext.broadcast(
+      buildBenchGramSet(docs, BenchmarkDocs))
+
+  /** One bench-gram-set build + broadcast per table directory (the
+    * [[fuzzyIxFor]] memo story); both exact-tier registrations share it. */
+  private val benchGramsMemo =
+    new QueryMemo[org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]]]()
+  private[graft] def benchGramsFor(s: SparkSession, d: String)
+      : org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]] =
+    benchGramsMemo.getOrElseUpdate(s, d) {
+      s.sparkContext.broadcast(
+        buildBenchGramSet(Tables.documents(s, d), BenchmarkDocs))
+    }
+
+  /** The shared exact-tier pass: one scan-local `mapPartitions` over
+    * the training docs against the broadcast bench gram set. Per doc it
+    * counts DISTINCT [[GramN]]-grams (`n_grams`, the [[gramsExpr]]
+    * `array_distinct` semantics) and how many of them the benchmark
+    * contains (`n_shared`); docs sharing none drop in-kernel. This
+    * replaces the exploded-gram broadcast join + two doc_id exchanges
+    * the exact tier used to pay: the corpus-side gram relation (one row
+    * per word per doc, ~all the corpus bytes again) never leaves the
+    * scan stage, the same shape that took the fuzzy tier from 184.5 to
+    * 2.6 s at the 100x probe. */
+  private def exactTierCounts(docs: DataFrame,
+      bench: org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]],
+      benchDocs: Int): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val n = GramN
+    docs.filter(col("doc_id") >= benchDocs)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val set = bench.value
+        val seen = new java.util.HashSet[String]()
+        val sb = new java.lang.StringBuilder
+        it.flatMap { case (id, text) =>
+          seen.clear()
+          // the `filter(split(text, '\s+'), x -> x != '')` word
+          // semantics (ASCII-\s split, empties dropped), as a JVM pass.
+          val raw = text.split("\\s+")
+          var nw = 0
+          var i = 0
+          while (i < raw.length) { if (raw(i).nonEmpty) nw += 1; i += 1 }
+          val w = new Array[String](nw)
+          i = 0
+          var j = 0
+          while (i < raw.length) {
+            if (raw(i).nonEmpty) { w(j) = raw(i); j += 1 }; i += 1
+          }
+          var nShared = 0L
+          var nGrams = 0L
+          i = 0
+          while (i + n <= w.length) {
+            sb.setLength(0)
+            var k = 0
+            while (k < n) {
+              if (k > 0) sb.append(' ')
+              sb.append(w(i + k))
+              k += 1
+            }
+            val g = sb.toString
+            if (seen.add(g)) {
+              nGrams += 1
+              if (set.contains(g)) nShared += 1
+            }
+            i += 1
+          }
+          if (nShared >= 1L) Iterator.single((id, nShared, nGrams))
+          else Iterator.empty
+        }
+      }.toDF("doc_id", "n_shared", "n_grams")
   }
 
   /** Trigram-Jaccard similarity at or above this flags a training doc
@@ -371,8 +445,10 @@ object Contamination {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "decontaminate_flags" -> ((s, d) => contaminationQuery(Tables.documents(s, d))),
-    "decontaminate_overlap" -> ((s, d) => overlapQuery(Tables.documents(s, d))),
+    "decontaminate_flags" -> ((s, d) => exactFlags(
+      exactTierCounts(Tables.documents(s, d), benchGramsFor(s, d), BenchmarkDocs))),
+    "decontaminate_overlap" -> ((s, d) => exactOverlap(
+      exactTierCounts(Tables.documents(s, d), benchGramsFor(s, d), BenchmarkDocs))),
     "decontaminate_fuzzy" -> ((s, d) =>
       flagsOf(attributionOf(trigramFrame(Tables.documents(s, d)),
         fuzzyIxFor(s, d), BenchmarkDocs))),

@@ -45,6 +45,9 @@ object Memos {
     // Fuzzy decontamination index: bench collect + corpus df pass +
     // broadcast, shared by the two fuzzy-tier queries.
     timed("fuzzy_index") { Contamination.fuzzyIxFor(s, d) }
+    // Exact-tier bench gram set: a bench-sized pruned mini-scan +
+    // broadcast, shared by the two exact-tier queries.
+    timed("bench_grams") { Contamination.benchGramsFor(s, d) }
     // Quality-passing id set: the DSIR target model, shared by both
     // importance-weight queries.
     timed("passed_ids") { Quality.passedIdsFor(s, d) }

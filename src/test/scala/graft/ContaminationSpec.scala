@@ -150,4 +150,44 @@ class ContaminationSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m === Map(30L -> 1L))
   }
+
+  test("exact-tier kernel probe matches the retired explode+broadcast-join " +
+      "spelling (flags AND overlap, messy whitespace, threshold edges)") {
+    import org.apache.spark.sql.functions._
+    val bench1 = "alpha beta gamma delta epsilon zeta"
+    val bench2 = "one two three four five six seven"
+    val docs = Seq(
+      0L -> bench1, 1L -> bench2, // benchmark (id < 10)
+      20L -> ("prefix " + bench1), // 2 shared grams of 3
+      21L -> "alpha beta gamma NOPE delta epsilon zeta", // 0 shared
+      22L -> "alpha beta", // too short for any gram
+      23L -> (bench1 + " " + bench2 + " tail words here"), // many shared
+      24L -> "  one\ttwo  three\nfour five   six unshared ", // ws mess
+      25L -> (bench2 + " " + bench2)) // repeated grams count once
+      .toDF("doc_id", "text")
+    // the retired relational spelling, recomputed independently
+    val withGrams = docs.select(col("doc_id"),
+        expr("filter(split(text, '\\\\s+'), x -> x != '')").as("w"))
+      .select(col("doc_id"),
+        explode(expr(Contamination.gramsExpr(Contamination.GramN))).as("gram"))
+    val benchGrams = withGrams
+      .filter(col("doc_id") < Contamination.BenchmarkDocs)
+      .select(col("gram")).distinct()
+    val train = withGrams.filter(col("doc_id") >= Contamination.BenchmarkDocs)
+    val wantOverlap = train.join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .join(train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams")), "doc_id")
+      .select(col("doc_id"), col("n_shared"), col("n_grams"),
+        (col("n_shared").cast("double") / col("n_grams").cast("double"))
+          .as("overlap_fraction"),
+        (col("n_shared").cast("double") / col("n_grams").cast("double")
+          >= Contamination.OverlapThreshold).as("substantial"))
+      .as[(Long, Long, Long, Double, Boolean)].collect().sorted.toSeq
+    val gotOverlap = Contamination.overlapQuery(docs)
+      .as[(Long, Long, Long, Double, Boolean)].collect().sorted.toSeq
+    assert(gotOverlap === wantOverlap)
+    val gotFlags = Contamination.contaminationQuery(docs)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(gotFlags === wantOverlap.map { case (id, s, _, _, _) => (id, s) })
+  }
 }

@@ -93,7 +93,15 @@ class PlanShapeSpec extends SparkSpec {
     // (cohort, offset) rollup; the user-keyed cohort join is satisfied
     // by the shared hash spread (1 broadcast at fixture stats, SMJ on
     // the co-hashed sides at scale).
-    "r_cohort_retention" -> ((3, 1, 0)))
+    "r_cohort_retention" -> ((3, 1, 0)),
+    // round 11: the exact decontamination tier is a scan-local kernel
+    // probe of the driver-built broadcast bench gram set — the exploded
+    // gram relation, its broadcast join, and both doc_id exchanges are
+    // gone (the fuzzy-tier shape, applied to the exact tier). The one
+    // shuffle is the documents under-split spread (Tables.parallelized),
+    // which the per-doc gram kernel is exactly the consumer class for.
+    "decontaminate_overlap" -> ((1, 0, 0)),
+    "decontaminate_flags" -> ((1, 0, 0)))
 
   for ((name, want) <- pins)
     test(s"plan shape pinned: $name") {
