@@ -78,11 +78,14 @@ object Analytics {
         expr("percentile(n_chars, 0.9)").as("p90"))
 
   /** Semi-structured extraction: pull typed fields out of the JSON
-    * `props` string (events.parquet). `get_json_object` is codegen'd and
-    * pushes the parse into the projection — no UDF. */
+    * `props` string (events.parquet). Round 11: the codegen'd
+    * [[graft.functions.JsonIntField]] single-scan kernel replaces
+    * `get_json_object(..).cast("int")` — same null semantics, no
+    * per-row Jackson parser (the parse dominated this scan at 100×:
+    * 2.7 → sub-second). */
   def eventsPropsQuery(events: DataFrame): DataFrame =
     events
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("k", graft.functions.JsonIntField(col("props"), "k"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -104,7 +107,7 @@ object Analytics {
   def valueCorrQuery(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val big = DecimalType(38, 0)
-    val k = get_json_object(col("props"), "$.k").cast("int")
+    val k = graft.functions.JsonIntField(col("props"), "k")
     events
       .withColumn("k", k).filter(col("k").isNotNull && col("value").isNotNull)
       .withColumn("vc", floor(col("value") * 100 + lit(0.5)).cast("long"))

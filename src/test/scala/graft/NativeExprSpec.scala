@@ -54,4 +54,36 @@ class NativeExprSpec extends SparkSpec {
     assert(w.getInt(0) == n && w.getLong(1) == checksum)
     assert(row.getSeq[String](1) == graft.pipeline.NearDup.trigrams(sample).toSeq)
   }
+
+  test("JsonIntField matches get_json_object(..).cast('int') across JSON shapes") {
+    val escapedKey = "{\"\\u006b\": 14}" // JSON-escaped spelling of key k
+    val rows = Seq(
+      """{"k": 69}""", """{"k":-7}""", """{"k": 0}""", """{ "k" : 42 }""",
+      """{"k": "12"}""", """{"k": " +9 "}""", // quoted ints survive the cast
+      """{"k": 12.5}""", """{"k": 1e3}""", """{"k": 12.0}""", // floats -> null
+      """{"k": true}""", """{"k": null}""", """{"k": "abc"}""",
+      """{"k": [1,2]}""", """{"k": {"x": 1}}""", // non-scalar -> null
+      """{"j": 5}""", """{}""", """{"kk": 3}""", // absent key
+      """{"a": "k", "k": 8}""", // key text inside an earlier STRING value
+      """{"a": {"k": 5}, "k": 6}""", // nested same-name key is not top-level
+      """{"a": [7, "{", "}"], "k": 10}""", // brackets inside array strings
+      """{"es\"c": 1, "k": 11}""", // escaped quote in another key
+      """{"k": 2147483647}""", """{"k": 2147483648}""", // INT.Max / overflow
+      """{"k": -2147483648}""", """{"k": -2147483649}""",
+      """not json""", """{"k": }""", """""", """  {"k": 13}  """,
+      escapedKey)
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }
+    val df = rows.toDF("id", "props")
+    val got = df.select(col("id"),
+        graft.functions.JsonIntField(col("props"), "k").as("k"))
+      .as[(Long, Option[Int])].collect().toMap
+    // try_cast, not cast: under ANSI a malformed int errors the job;
+    // the kernel takes the non-failing form (null), which is what the
+    // DuckDB-arbitrated queries need on clean data and strictly safer
+    // on dirty data.
+    val want = df.select(col("id"),
+        expr("try_cast(get_json_object(props, '$.k') AS int)").as("k"))
+      .as[(Long, Option[Int])].collect().toMap
+    assert(got === want)
+  }
 }
