@@ -59,7 +59,7 @@ object Bench {
       "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivfpq_rerank",
       "decontaminate_fuzzy", "decontaminate_attribution",
       "decontaminate_flags", "decontaminate_overlap",
-      "mix_dsir_weights", "mix_dsir_weights_bigram")
+      "mix_dsir_weights", "mix_dsir_weights_bigram", "quality_passed")
     val memoMark: Seq[(String, Double)] =
       if (only.nonEmpty && only.intersect(memoConsumers).isEmpty) Nil
       else {

@@ -282,7 +282,13 @@ object Quality {
     "quality_histogram" -> ((s, d) => histogramQuery(Tables.documents(s, d))),
     "quality_by_source" -> ((s, d) => bySourceQuery(Tables.documents(s, d))),
     "quality_histogram_refdefaults" -> ((s, d) => histogramReferenceQuery(Tables.documents(s, d))),
-    "quality_passed" -> ((s, d) => passedQuery(Tables.documents(s, d))))
+    // rides the memoized passed-id set (the DSIR consumers' frame):
+    // a broadcast semi-join on doc_id against the docs scan replaces a
+    // second full cascade evaluation — same rows by construction (the
+    // memo IS passedQuery's id projection at the same default config).
+    "quality_passed" -> ((s, d) => Tables.documents(s, d)
+      .join(passedIdsFor(s, d), Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source", "n_chars")))
 
   // -----------------------------------------------------------------------
   // DuckDB oracle (RE2 + list lambdas). Perf is irrelevant here — only the
