@@ -360,6 +360,50 @@ object WordCounts {
     GraftSqlBridge.column(WordCountsExpression(GraftSqlBridge.expression(c), lower))
 }
 
+/** In-row hashed-BoW embedding + sign-LSH bucket →
+  * struct(vec ARRAY<STRUCT<dim BIGINT, weight BIGINT>>, bucket BIGINT),
+  * vec dim-ascending. Kernel: [[graft.pipeline.TextEmbed.hashedBowKernel]];
+  * `np` (a plan-time constant, derived from the corpus count) selects
+  * the plane prefix — 0 skips the bucket. */
+case class HashedBowExpression(child: Expression, np: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("vec", ArrayType(StructType(Seq(
+      StructField("dim", LongType, nullable = false),
+      StructField("weight", LongType, nullable = false))), containsNull = false),
+      nullable = false),
+    StructField("bucket", LongType, nullable = false)))
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "graft_hashed_bow"
+  override protected def nullSafeEval(input: Any): Any =
+    HashedBowExpression.compute(input.asInstanceOf[UTF8String], np)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashedBowExpression.compute($c, $np)")
+  override protected def withNewChildInternal(newChild: Expression): HashedBowExpression =
+    copy(child = newChild)
+}
+
+object HashedBowExpression {
+  def compute(s: UTF8String, np: Int): InternalRow = {
+    val (vec, bucket) = graft.pipeline.TextEmbed.hashedBowKernel(s.toString, np)
+    val arr = new Array[Any](vec.length)
+    var i = 0
+    while (i < vec.length) {
+      arr(i) = new GenericInternalRow(Array[Any](vec(i)._1, vec(i)._2))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](new GenericArrayData(arr), bucket))
+  }
+}
+
+object HashedBow {
+  def apply(c: Column, np: Int): Column =
+    GraftSqlBridge.column(HashedBowExpression(GraftSqlBridge.expression(c), np))
+}
+
 /** Interval-merged duplicated-n-gram char counts for n ∈ {2,3,4} →
   * struct(mdup2, mdup3, mdup4), all BIGINT. Kernel:
   * [[graft.pipeline.Repetition.dupNgramsMergedKernel]] (Gopher's

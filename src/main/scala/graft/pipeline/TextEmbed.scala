@@ -49,18 +49,74 @@ object TextEmbed {
     * [[NumPlanes]]. Recall trade documented on [[semanticDedupQuery]]. */
   private def planesFor(n: Long): Int = graft.relational.Similarity.planesFor(n)
 
-  /** word → dimension: first 32 bits of md5, mod [[Dim]]. */
-  private val dimExprS =
-    s"CAST(conv(substring(md5(word), 1, 8), 16, 10) AS BIGINT) % $Dim"
-
   /** Sparse hashed-BoW embedding: one `(doc_id, dim, weight)` row per
-    * populated dimension; weight = term count landing in the bucket. */
+    * populated dimension; weight = term count landing in the bucket.
+    * Round 11: computed in-row by the [[hashedBowKernel]] native
+    * expression — the word-occurrence explode, the md5-per-occurrence,
+    * and the (doc_id, dim) exchange are gone; each distinct word is
+    * hashed once per doc. */
   def hashEmbeddingQuery(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("word"))
-      .select(col("doc_id"), expr(dimExprS).as("dim"))
-      .groupBy(col("doc_id"), col("dim"))
-      .agg(count(lit(1)).as("weight"))
+        explode(graft.functions.HashedBow(col("text"), 0).getField("vec")).as("e"))
+      .select(col("doc_id"), col("e.dim").as("dim"), col("e.weight").as("weight"))
+
+  /** Per-thread MD5 scratch (the LangModel bigram-kernel pattern: the
+    * JCA provider lookup is not a per-row cost; the dense vector is
+    * reused across rows on a thread). */
+  private val embedScratch =
+    new ThreadLocal[(java.security.MessageDigest, Array[Long])] {
+      override def initialValue() =
+        (java.security.MessageDigest.getInstance("MD5"), new Array[Long](Dim))
+    }
+
+  /** JVM kernel behind [[graft.functions.HashedBowExpression]]: one
+    * doc's hashed-BoW vector — (dim, weight) pairs dim-ascending — plus
+    * its np-plane sign-LSH bucket, in one pass. dim = first 32 md5 bits
+    * of the (lowercased, Locale.ROOT) word mod [[Dim]], bit-identical
+    * to the `conv(substring(md5(word), 1, 8), 16, 10)` spelling both
+    * engines share; weights are occurrence counts; bucket bit p is set
+    * iff the exact-integer ±1-plane projection is > 0 (the same sum the
+    * plane-join spelling aggregated). np = 0 skips the bucket (the
+    * hash-embedding query's form). */
+  def hashedBowKernel(text: String, np: Int): (Array[(Long, Long)], Long) = {
+    val wcs = LangModel.wordTypeCounts(text, lower = true)
+    val (md, dense) = embedScratch.get()
+    java.util.Arrays.fill(dense, 0L)
+    var i = 0
+    while (i < wcs.length) {
+      md.reset()
+      md.update(wcs(i)._1.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      dense((h % Dim).toInt) += wcs(i)._2
+      i += 1
+    }
+    var nnz = 0
+    var dd = 0
+    while (dd < Dim) { if (dense(dd) > 0L) nnz += 1; dd += 1 }
+    val vec = new Array[(Long, Long)](nnz)
+    var t = 0
+    dd = 0
+    while (dd < Dim) {
+      if (dense(dd) > 0L) { vec(t) = (dd.toLong, dense(dd)); t += 1 }
+      dd += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < np) {
+      var s = 0L
+      dd = 0
+      while (dd < Dim) {
+        if (dense(dd) != 0L)
+          s += dense(dd) * graft.relational.Similarity.planes(p)(dd).toLong
+        dd += 1
+      }
+      if (s > 0L) bucket |= (1L << p)
+      p += 1
+    }
+    (vec, bucket)
+  }
 
   /** The ±1 plane entries as integer rows `(p, dim, sign)` — the SAME
     * LCG constants as the float-embedding family's planes, consumed
@@ -90,11 +146,18 @@ object TextEmbed {
     import ss.implicits._
     val numParts = ss.sparkContext.defaultParallelism
     val np = planesFor(docs.count())
-    val e = hashEmbeddingQuery(docs).transform(graft.CacheScope.persist)
-    // identical-vector collapse: canonical sorted (dim, weight) array,
-    // exchange keyed on its 8-byte xxhash64, exact (gh, vec) grouping.
-    val collapsed = e.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("dim"), col("weight")))).as("vec"))
+    // Round 11: vector AND bucket come off the scan in one native
+    // kernel pass (HashedBow) — the exploded (doc, dim, weight) frame,
+    // its (doc_id, dim) exchange, the collect_list re-assembly, and the
+    // broadcast plane join + two bucket exchanges are all gone. The
+    // identical-vector collapse below is unchanged: canonical
+    // dim-ascending (dim, weight) array, exchange keyed on its 8-byte
+    // xxhash64, exact (gh, vec) grouping.
+    val base = docs.select(col("doc_id"),
+        Stage.once(graft.functions.HashedBow(col("text"), np)).as("vb"))
+      .select(col("doc_id"), col("vb.vec").as("vec"), col("vb.bucket").as("bucket"))
+      .filter(size(col("vec")) > 0) // zero-word docs: no vector, never candidates
+    val collapsed = base
       .withColumn("gh", xxhash64(col("vec")))
       .repartition(numParts, col("gh"))
       .withColumn("gid", min(col("doc_id")).over(
@@ -107,17 +170,8 @@ object TextEmbed {
     // a struct Row per entry per candidate pair.
     val repVecs = collapsed.filter(col("doc_id") === col("gid"))
       .select(col("doc_id"),
-        expr("transform(vec, x -> x.dim * 4294967296L + x.weight)").as("pv"))
-    val eReps = e.join(repVecs.select("doc_id"), "doc_id")
-    val planes = planeRows(np).toDF("p", "pdim", "sign")
-    // np exact-int plane sums per rep -> sign bits -> bucket id
-    val buckets = eReps.join(broadcast(planes), col("dim") === col("pdim"))
-      .groupBy(col("doc_id"), col("p"))
-      .agg(sum(col("weight") * col("sign")).as("pv"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("pv") > 0, expr("CAST(shiftleft(1, p) AS BIGINT)"))
-        .otherwise(0L)).as("bucket"))
-      .transform(graft.CacheScope.persist)
+        expr("transform(vec, x -> x.dim * 4294967296L + x.weight)").as("pv"),
+        col("bucket"))
     // verification, min-partner form: the final dup map only ever reads
     // ONE fact per rep — its MINIMUM qualifying smaller-id co-bucket
     // partner. (Proof over the old all-pairs spelling: a non-rep member
@@ -137,7 +191,7 @@ object TextEmbed {
     // Worst case (a bucket of mutual non-duplicates) degrades to the
     // same k²/2 merges the join form always paid — with k capped near
     // 128 by the occupancy-targeted plane count.
-    val verified = buckets.join(repVecs, "doc_id")
+    val verified = repVecs
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("pv")))).as("rs"))
       .select(explode(minPartnerUdf(threshold)(col("rs"))).as("p"))

@@ -74,10 +74,14 @@ class PlanShapeSpec extends SparkSpec {
     "sim_ivfpq_topk" -> ((1, 1, 2)),
     "quality_histogram" -> ((2, 0, 0)),
     "corpus_top_bigrams" -> ((2, 0, 0)),
-    // round 7: verify stage is a per-bucket min-partner kernel (groupBy
-    // bucket = +1 shuffle, +1 broadcast) replacing the all-pairs join
-    // that shipped both vectors per candidate pair (30x->100x exp 1.43).
-    "dedup_semantic_text" -> ((2, 2, 0)),
+    // round 7: verify stage is a per-bucket min-partner kernel replacing
+    // the all-pairs join that shipped both vectors per candidate pair
+    // (30x->100x exp 1.43). Round 11: vector + bucket come off the scan
+    // in one HashedBow kernel pass — the (doc,dim) exchange, the
+    // collect_list re-assembly, and the broadcast plane join are gone;
+    // what remains is the gh collapse repartition, the per-bucket verify
+    // groupBy, and the member-expansion broadcast (100x 8.1 -> 3.8 s).
+    "dedup_semantic_text" -> ((2, 1, 0)),
     "doc_tfidf_keywords" -> ((4, 2, 2)),
     "mix_temperature" -> ((4, 3, 1)),
     // round 10: the per-row quality/diversity operators must stay
