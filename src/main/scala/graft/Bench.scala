@@ -59,7 +59,8 @@ object Bench {
       "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivfpq_rerank",
       "decontaminate_fuzzy", "decontaminate_attribution",
       "decontaminate_flags", "decontaminate_overlap",
-      "mix_dsir_weights", "mix_dsir_weights_bigram", "quality_passed")
+      "mix_dsir_weights", "mix_dsir_weights_bigram", "quality_passed",
+      "quality_histogram", "quality_reason_report", "quality_by_source")
     val memoMark: Seq[(String, Double)] =
       if (only.nonEmpty && only.intersect(memoConsumers).isEmpty) Nil
       else {

@@ -20,8 +20,13 @@ object Analytics {
     * unpartitioned window, which would funnel through WindowExec's
     * single-partition path (and re-deriving the total from `docs` would
     * scan the corpus twice). */
-  def reasonReportQuery(docs: DataFrame, cfg: Quality.Config = Quality.Config()): DataFrame = {
-    val byReason = Quality.withReason(docs, cfg)
+  def reasonReportQuery(docs: DataFrame, cfg: Quality.Config = Quality.Config()): DataFrame =
+    reasonReportOver(Quality.withReason(docs, cfg))
+
+  /** The report over any reason-carrying frame — the registration
+    * passes the memoized default-config verdicts ([[Quality.reasonsFor]]). */
+  private[pipeline] def reasonReportOver(reasons: DataFrame): DataFrame = {
+    val byReason = reasons
       .groupBy("reason").agg(count(lit(1)).as("n_docs"))
       .transform(graft.CacheScope.persist)
     val total = byReason.agg(sum(col("n_docs")).as("total"))
@@ -415,7 +420,7 @@ object Analytics {
     "tok_seq_length_histogram" -> ((s, d) => seqLengthHistogramQuery(Tables.documents(s, d))),
     "corpus_vocab_per_source" -> ((s, d) => vocabPerSourceQuery(Tables.documents(s, d))),
     "events_value_corr" -> ((s, d) => valueCorrQuery(Tables.events(s, d))),
-    "quality_reason_report" -> ((s, d) => reasonReportQuery(Tables.documents(s, d))),
+    "quality_reason_report" -> ((s, d) => reasonReportOver(Quality.reasonsFor(s, d))),
     "doc_length_histogram" -> ((s, d) => docLengthHistogramQuery(Tables.documents(s, d))),
     "doc_length_percentiles" -> ((s, d) => docLengthPercentilesQuery(Tables.documents(s, d))),
     "corpus_describe" -> ((s, d) => corpusDescribeQuery(Tables.documents(s, d))),

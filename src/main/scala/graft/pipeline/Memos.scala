@@ -48,8 +48,10 @@ object Memos {
     // Exact-tier bench gram set: a bench-sized pruned mini-scan +
     // broadcast, shared by the two exact-tier queries.
     timed("bench_grams") { Contamination.benchGramsFor(s, d) }
-    // Quality-passing id set: the DSIR target model, shared by both
-    // importance-weight queries.
+    // Per-doc cascade verdicts at the default config: the reason-report
+    // family's shared frame; the passed-id set (the DSIR target model)
+    // is a filter of it.
+    timed("reasons") { Quality.reasonsFor(s, d) }
     timed("passed_ids") { Quality.passedIdsFor(s, d) }
   }
 }

@@ -210,8 +210,13 @@ object Quality {
     * the cascade projection; the pass-rate float is one IEEE division of
     * two exact counts, computed per (source, reason) row against the
     * source total via a broadcast self-join of the tiny rollup. */
-  def bySourceQuery(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val counts = withReason(docs, cfg)
+  def bySourceQuery(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    bySourceOver(withReason(docs, cfg))
+
+  /** The rollup over any (source, reason) frame — the registration
+    * passes the memoized [[reasonsFor]] verdicts. */
+  private[pipeline] def bySourceOver(reasons: DataFrame): DataFrame = {
+    val counts = reasons
       .groupBy(col("source"), col("reason"))
       .agg(count(lit(1)).as("n_docs"))
       .transform(graft.CacheScope.persist) // tiny; feeds totals AND output
@@ -224,16 +229,32 @@ object Quality {
           .as("frac"))
   }
 
+  /** Memoized per-doc cascade VERDICT at the default config —
+    * (doc_id, source, reason), one skinny row per doc. The whole
+    * reason-report family (`quality_histogram`, the sorted
+    * `quality_reason_report`, per-source `quality_by_source`) and the
+    * passed-id set are rollups/filters of this one frame, and each
+    * previously re-ran the full metric cascade (~3-4 s apiece at the
+    * 100x probe) to derive it. Same localCheckpoint + LRU + fingerprint
+    * story as every [[QueryMemo]]. `quality_histogram_refdefaults`
+    * (a different config) deliberately does NOT ride it, and
+    * `quality_cascade` needs the metric columns themselves. */
+  private val reasonsMemo = new QueryMemo[DataFrame]()
+  private[graft] def reasonsFor(s: SparkSession, d: String): DataFrame =
+    reasonsMemo.getOrElseUpdate(s, d) {
+      withReason(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), col("reason"))
+        .localCheckpoint(true)
+    }
+
   /** Memoized quality-passing doc ids at the default config — the DSIR
-    * target-model definition, consumed by BOTH importance-weight
-    * queries (each re-ran the full cascade projection, ~4 s at the 100x
-    * probe, for an identical id set). Same localCheckpoint + LRU +
-    * fingerprint story as every [[QueryMemo]]; the checkpointed frame
-    * is one long per passing doc. */
+    * target-model definition, consumed by both importance-weight
+    * queries and `quality_passed`. A filter over the [[reasonsFor]]
+    * checkpoint (no second checkpoint needed — the scan is the cost). */
   private val passedMemo = new QueryMemo[DataFrame]()
   private[graft] def passedIdsFor(s: SparkSession, d: String): DataFrame =
     passedMemo.getOrElseUpdate(s, d) {
-      passedQuery(Tables.documents(s, d)).select(col("doc_id")).localCheckpoint(true)
+      reasonsFor(s, d).filter(col("reason") === "passed").select(col("doc_id"))
     }
 
   /** Corpus language-ID distribution — the dedicated language-analysis
@@ -279,8 +300,11 @@ object Quality {
     "quality_lang_margin" -> ((s, d) => langMarginQuery(Tables.documents(s, d))),
     "lang_distribution" -> ((s, d) => langDistributionQuery(Tables.documents(s, d))),
     "quality_cascade" -> ((s, d) => cascadeQuery(Tables.documents(s, d))),
-    "quality_histogram" -> ((s, d) => histogramQuery(Tables.documents(s, d))),
-    "quality_by_source" -> ((s, d) => bySourceQuery(Tables.documents(s, d))),
+    // the report family rides the memoized default-config verdicts
+    // (reasonsFor) — each is a rollup of the same skinny checkpoint.
+    "quality_histogram" -> ((s, d) =>
+      reasonsFor(s, d).groupBy("reason").agg(count(lit(1)).as("n_docs"))),
+    "quality_by_source" -> ((s, d) => bySourceOver(reasonsFor(s, d))),
     "quality_histogram_refdefaults" -> ((s, d) => histogramReferenceQuery(Tables.documents(s, d))),
     // rides the memoized passed-id set (the DSIR consumers' frame):
     // a broadcast semi-join on doc_id against the docs scan replaces a
