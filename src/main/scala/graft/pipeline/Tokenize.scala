@@ -61,18 +61,33 @@ object Tokenize {
 
   /** Per-doc encode summary: token counts, unk counts, id checksum.
     * (The id *sequence* is an array — summarized to scalars here because
-    * the driver hash-compares scalar columns; the sum is order-free.) */
+    * the driver hash-compares scalar columns; the sum is order-free.)
+    *
+    * Round 11: the vocabulary is DRIVER-KNOWN (vocabQuery's bounded
+    * collect), so the summary folds in-row over the WordCounts kernel
+    * against a map LITERAL — the word explode, the broadcast join, and
+    * the doc_id re-aggregation exchange are gone; the query is
+    * scan-local at any corpus size (the vocab map is id-table-sized,
+    * the class a real tokenizer vocabulary stays in). */
   def encodeQuery(docs: DataFrame): DataFrame = {
-    val vocab = vocabQuery(docs).filter(col("id") >= NumSpecials)
-      .select(col("token"), col("id"))
-    val words = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
-      .filter(col("token") =!= "")
-    words.join(broadcast(vocab), Seq("token"), "left")
-      .groupBy("doc_id")
-      .agg(
-        (count(lit(1)) + 2).as("n_tokens"), // + <bos> and <eos>
-        sum(when(col("id").isNull, 1).otherwise(0)).as("n_unk"),
-        (sum(coalesce(col("id"), lit(UnkId))) + BosId + EosId).as("sum_ids"))
+    val vm: Map[String, Int] = vocabQuery(docs).filter(col("id") >= NumSpecials)
+      .select(col("token"), col("id")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val vmap = typedLit(vm)
+    def idOf(x: org.apache.spark.sql.Column) =
+      element_at(vmap, x.getField("word"))
+    docs.select(col("doc_id"),
+        graft.functions.WordCounts(col("text"), lower = false).as("ws"))
+      .filter(size(col("ws")) > 0) // zero-word docs never entered the join form
+      .select(col("doc_id"),
+        (aggregate(col("ws"), lit(0L), (a, x) => a + x.getField("n")) + 2)
+          .as("n_tokens"), // + <bos> and <eos>
+        aggregate(col("ws"), lit(0L), (a, x) =>
+          a + when(idOf(x).isNull, x.getField("n")).otherwise(lit(0L)))
+          .as("n_unk"),
+        (aggregate(col("ws"), lit(0L), (a, x) =>
+          a + x.getField("n") * coalesce(idOf(x).cast("long"), lit(UnkId.toLong)))
+          + BosId + EosId).as("sum_ids"))
   }
 
   /** T7 corpus stats (TokenizationStats, tokenizer.py:24-55). */

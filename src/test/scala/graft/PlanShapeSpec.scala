@@ -72,7 +72,10 @@ class PlanShapeSpec extends SparkSpec {
     // (Similarity.ivfIndexFor) — the cell-assign/PQ-encode subtree is a
     // checkpoint scan, dropping the shuffle the inline build carried.
     "sim_ivfpq_topk" -> ((1, 1, 2)),
-    "quality_histogram" -> ((2, 0, 0)),
+    // round 11: rides the memoized cascade-verdict checkpoint — the
+    // under-split spread the inline cascade carried is gone; one
+    // ≤12-key rollup exchange remains.
+    "quality_histogram" -> ((1, 0, 0)),
     "corpus_top_bigrams" -> ((2, 0, 0)),
     // round 7: verify stage is a per-bucket min-partner kernel replacing
     // the all-pairs join that shipped both vectors per candidate pair
