@@ -129,12 +129,66 @@ object Chunking {
         expr(s"start_offset div ${w}L").as("pack_window"))
   }
 
+  /** Deterministic global pre-training shuffle: every doc gets a
+    * pseudo-random SHARD and its POSITION within that shard — the final
+    * "shuffle the corpus, write S shard files, stream them in order"
+    * step every training run performs so batches are not source- or
+    * ingestion-ordered. The order key is content-free and reproducible
+    * (first 60 md5 bits of the doc id, the cross-engine hash spelling
+    * the embedding family established); shard = h mod [[ShuffleShards]].
+    *
+    * Scale shape: position-within-shard is a per-shard RANK — the naive
+    * window has parallelism = shard count, a funnel once shards hold
+    * ~TBs. Same cure as [[packAssignmentsQuery]]: rank is associative
+    * under any monotone bucketing, so a `repartitionByRange(buckets,
+    * h, doc_id)` exchange (sampled quantiles — row-balanced whatever
+    * the hash distribution) gives (shard, bkt) shards whose local
+    * row_numbers plus a carried per-shard prefix of bucket counts
+    * reproduce the global rank exactly; the carry frame is
+    * ≤ shards × (buckets+1) rows, broadcast back. Pure integer
+    * arithmetic — hash-exact vs the oracle's per-shard window. */
+  val ShuffleShards = 64
+  val ShuffleBuckets = 64
+
+  def shuffleShardsQuery(docs: DataFrame, shards: Int = ShuffleShards,
+      buckets: Int = ShuffleBuckets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = docs.select(col("doc_id"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+      .withColumn("shard", (col("h") % shards).cast("int")) // h >= 0
+    val hb = h.repartitionByRange(buckets, col("h"), col("doc_id"))
+      .withColumn("bkt", spark_partition_id())
+      .transform(graft.CacheScope.persist) // feeds bucket counts AND the local ranks
+    val totals = hb.groupBy(col("shard"), col("bkt")).agg(count(lit(1)).as("tot"))
+    val winCarry = Window.partitionBy(col("shard")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("off", coalesce(sum(col("tot")).over(winCarry), lit(0L)))
+      .select(col("shard"), col("bkt"), col("off"))
+    val winLocal = Window.partitionBy(col("shard"), col("bkt"))
+      .orderBy(col("h"), col("doc_id"))
+    hb.withColumn("rn", row_number().over(winLocal))
+      .join(broadcast(offsets), Seq("shard", "bkt"))
+      .select(col("doc_id"), col("shard"), (col("off") + col("rn")).as("pos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunks" -> ((s, d) => chunkQuery(Tables.documents(s, d))),
     "pack_padding_stats" -> ((s, d) => packPaddingStatsQuery(Tables.documents(s, d))),
-    "pack_assignments" -> ((s, d) => packAssignmentsQuery(Tables.documents(s, d))))
+    "pack_assignments" -> ((s, d) => packAssignmentsQuery(Tables.documents(s, d))),
+    "pack_shuffle_shards" -> ((s, d) => shuffleShardsQuery(Tables.documents(s, d))))
 
   def oracles: Map[String, String] = Map(
+    "pack_shuffle_shards" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM documents)
+         |SELECT doc_id, CAST(h % $ShuffleShards AS INT) AS shard,
+         |       row_number() OVER (PARTITION BY h % $ShuffleShards
+         |                          ORDER BY h, doc_id) AS pos
+         |FROM h""".stripMargin,
     "pack_assignments" ->
       s"""WITH n AS (
          |  SELECT doc_id, source,

@@ -276,6 +276,37 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < rows.size) // the budget actually bites
   }
 
+  test("shuffle shards: rank matches a local md5-order recomputation; " +
+      "positions are contiguous per shard; bucketing cannot leak into " +
+      "the result") {
+    // clustered ids + far outliers — the distribution that broke the
+    // value-bucketed pack sharding (ADVICE r9)
+    val ids = (100L to 700L) ++ Seq(5L, 9L, 1000000L, 2000000L)
+    val docs = ids.map(i => (i, "t")).toDF("doc_id", "text")
+    val got = Chunking.shuffleShardsQuery(docs)
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    // local reference: shard + rank by (60-bit md5 prefix, doc_id)
+    val hs = ids.map { i =>
+      val h = java.lang.Long.parseLong(md5hex(i.toString).take(15), 16)
+      (i, h)
+    }
+    val want = hs.groupBy(_._2 % Chunking.ShuffleShards).toSeq.flatMap {
+      case (shard, members) =>
+        members.sortBy { case (i, h) => (h, i) }.zipWithIndex.map {
+          case ((i, _), r) => (i, shard.toInt, (r + 1).toLong)
+        }
+    }.sorted
+    assert(got === want)
+    // per-shard positions are exactly 1..n_s
+    got.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted === (1L to rows.length.toLong), s"shard $s")
+    }
+    // associativity: a different bucket count is result-identical
+    val got2 = Chunking.shuffleShardsQuery(docs, buckets = 2)
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(got2 === want)
+  }
+
   test("chunking edges: short doc and empty doc") {
     val docs = Seq((1L, "a b c"), (2L, "   ")).toDF("doc_id", "text")
     val byDoc = Chunking.chunkQuery(docs).collect()
