@@ -267,8 +267,18 @@ object Bpe {
   def wordFrequencies(docs: DataFrame, maxLexicon: Int = MaxLexicon): Map[String, Long] =
     wordFrequenciesWithCoverage(docs, maxLexicon).lexicon
 
-  def trainOn(docs: DataFrame, vocabSize: Int = 64): Model = {
-    val cov = wordFrequenciesWithCoverage(docs)
+  /** One lexicon aggregation per table directory: all THREE trainer
+    * stats queries (BPE / WordPiece / Unigram) start from the same
+    * corpus word-frequency pass — previously each re-ran it. Driver
+    * footprint is [[MaxLexicon]]-bounded by construction (the same
+    * bounded-collect class the trainers already rely on). */
+  private val lexMemo = new graft.pipeline.QueryMemo[LexiconCoverage]()
+  private[pipeline] def lexiconFor(s: SparkSession, d: String): LexiconCoverage =
+    lexMemo.getOrElseUpdate(s, d) {
+      wordFrequenciesWithCoverage(Tables.documents(s, d))
+    }
+
+  private[pipeline] def trainOnCov(cov: LexiconCoverage, vocabSize: Int): Model = {
     if (cov.droppedPairMass > 0)
       System.err.println(
         s"[graft.bpe] lexicon capped at ${cov.lexicon.size} words: " +
@@ -277,14 +287,48 @@ object Bpe {
     train(cov.lexicon, vocabSize)
   }
 
+  def trainOn(docs: DataFrame, vocabSize: Int = 64): Model =
+    trainOnCov(wordFrequenciesWithCoverage(docs), vocabSize)
+
+  /** Token-COUNT udf for any word-based encoder (encode =
+    * whitespace-split `flatMap encodeWord`): per-word encode lengths
+    * memoized in a per-TASK cache (the captured map deserializes fresh
+    * with each task's closure, so models never cross-pollute), so a
+    * Zipf corpus pays `encodeWord` once per distinct word per task
+    * instead of once per occurrence. `Σ length` is exactly
+    * `size(encode(text))`. */
+  private[pipeline] def tokenCountUdf(encodeWord: String => Array[Int])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = udf {
+    val cache = new java.util.HashMap[String, Integer]()
+    (t: String) => {
+      val ws = t.split("[ \t\n\f\r]+")
+      var total = 0
+      var i = 0
+      while (i < ws.length) {
+        val w = ws(i)
+        if (w.nonEmpty) {
+          var c = cache.get(w)
+          if (c == null) {
+            c = Integer.valueOf(encodeWord(w).length)
+            if (cache.size < (1 << 20)) cache.put(w, c)
+          }
+          total += c.intValue()
+        }
+        i += 1
+      }
+      total
+    }
+  }
+
   /** T7 over a BPE model trained on the same corpus: stats of the encoded
     * corpus. Registered rows-only (the merge table isn't SQL-derivable);
     * semantics are pinned by BpeSpec goldens instead. */
-  def statsQuery(spark: SparkSession, docs: DataFrame, vocabSize: Int = 64): DataFrame = {
-    val model = trainOn(docs, vocabSize)
-    val enc = udf((t: String) => model.encode(t))
+  def statsQuery(spark: SparkSession, docs: DataFrame, vocabSize: Int = 64,
+      cov: Option[LexiconCoverage] = None): DataFrame = {
+    val model = trainOnCov(cov.getOrElse(wordFrequenciesWithCoverage(docs)), vocabSize)
+    val nTok = tokenCountUdf(model.encodeWord)
     docs.select(col("doc_id"), length(col("text")).as("n_chars"),
-        size(enc(col("text"))).as("n_tokens"))
+        nTok(col("text")).as("n_tokens"))
       .agg(
         count(lit(1)).as("total_documents"),
         sum(col("n_tokens")).as("total_tokens"),
@@ -298,7 +342,8 @@ object Bpe {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "tok_bpe_stats" -> ((s, d) => statsQuery(s, Tables.documents(s, d))))
+    "tok_bpe_stats" -> ((s, d) =>
+      statsQuery(s, Tables.documents(s, d), cov = Some(lexiconFor(s, d)))))
 
   /** No DuckDB oracle: the learned merge table is not SQL-derivable.
     * The driver records the weaker rows-only check; BpeSpec pins exact

@@ -48,6 +48,10 @@ object Memos {
     // Exact-tier bench gram set: a bench-sized pruned mini-scan +
     // broadcast, shared by the two exact-tier queries.
     timed("bench_grams") { Contamination.benchGramsFor(s, d) }
+    // Tokenizer-trainer lexicon: the shared corpus word-frequency pass
+    // all three trainer stats queries start from (MaxLexicon-bounded
+    // driver collect).
+    timed("lexicon") { Bpe.lexiconFor(s, d) }
     // Per-doc cascade verdicts at the default config: the reason-report
     // family's shared frame; the passed-id set (the DSIR target model)
     // is a filter of it.

@@ -131,11 +131,12 @@ object Unigram {
 
   /** T7 over a unigram model trained on the same corpus. Rows-only check
     * (like tok_bpe_stats: the learned pieces aren't SQL-derivable). */
-  def statsQuery(docs: DataFrame, vocabSize: Int = 64): DataFrame = {
+  def statsQuery(docs: DataFrame, vocabSize: Int = 64,
+      lexicon: Option[Map[String, Long]] = None): DataFrame = {
     import org.apache.spark.sql.functions._
-    val model = trainOn(docs, vocabSize)
-    val enc = udf((t: String) => model.encode(t))
-    docs.select(length(col("text")).as("n_chars"), size(enc(col("text"))).as("n_tokens"))
+    val model = train(lexicon.getOrElse(Bpe.wordFrequencies(docs)), vocabSize)
+    val nTok = Bpe.tokenCountUdf(model.encodeWord)
+    docs.select(length(col("text")).as("n_chars"), nTok(col("text")).as("n_tokens"))
       .agg(
         count(lit(1)).as("total_documents"),
         sum(col("n_tokens")).as("total_tokens"),
@@ -147,7 +148,8 @@ object Unigram {
   }
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
-    "tok_unigram_stats" -> ((s, d) => statsQuery(graft.Tables.documents(s, d))))
+    "tok_unigram_stats" -> ((s, d) => statsQuery(graft.Tables.documents(s, d),
+      lexicon = Some(Bpe.lexiconFor(s, d).lexicon))))
 
   def oracles: Map[String, String] = Map.empty
 }

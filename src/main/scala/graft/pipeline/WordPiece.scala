@@ -225,10 +225,11 @@ object WordPiece {
     * check (like tok_bpe_stats / tok_unigram_stats: the likelihood-
     * learned pieces aren't SQL-derivable); WordPieceSpec pins exact
     * training and encode behavior on golden fixtures. */
-  def statsQuery(docs: DataFrame, vocabSize: Int = 64): DataFrame = {
-    val model = trainOn(docs, vocabSize)
-    val enc = udf((t: String) => model.encode(t))
-    docs.select(length(col("text")).as("n_chars"), size(enc(col("text"))).as("n_tokens"))
+  def statsQuery(docs: DataFrame, vocabSize: Int = 64,
+      lexicon: Option[Map[String, Long]] = None): DataFrame = {
+    val model = train(lexicon.getOrElse(Bpe.wordFrequencies(docs)), vocabSize)
+    val nTok = Bpe.tokenCountUdf(model.encodeWord)
+    docs.select(length(col("text")).as("n_chars"), nTok(col("text")).as("n_tokens"))
       .agg(
         count(lit(1)).as("total_documents"),
         sum(col("n_tokens")).as("total_tokens"),
@@ -240,7 +241,8 @@ object WordPiece {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "tok_wordpiece_stats" -> ((s, d) => statsQuery(graft.Tables.documents(s, d))))
+    "tok_wordpiece_stats" -> ((s, d) => statsQuery(graft.Tables.documents(s, d),
+      lexicon = Some(Bpe.lexiconFor(s, d).lexicon))))
 
   def oracles: Map[String, String] = Map.empty
 }
