@@ -176,6 +176,22 @@ object NearDup {
   def jaccardDuplicateOf(docs: DataFrame): DataFrame =
     jaccardDuplicateOf(docs, PostingChunkLen)
 
+  /** Stage probe, active only under SPARK_GRAFT_JACCARD_PROBE: forces
+    * the named frame through a noop sink and prints the delta. With the
+    * pipeline's persists in place, cumulative marks attribute cost per
+    * stage (gramDict is not persisted — its mark double-counts the one
+    * extra evaluation the join pays; read the two lines together). A
+    * no-op in normal runs. */
+  private def mark(name: String, df: DataFrame): DataFrame = {
+    if (sys.env.contains("SPARK_GRAFT_JACCARD_PROBE")) {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      System.err.println(
+        f"[graft.jaccard] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    df
+  }
+
   private[graft] def jaccardDuplicateOf(docs: DataFrame, chunkLen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Explicit partition counts on the reused frames, each keyed by the
@@ -215,6 +231,7 @@ object NearDup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("gh"), col("ga"))))
       .drop("gh")
       .transform(graft.CacheScope.persist)
+      .transform(mark("withG", _))
     val repsArr = withG.filter(col("doc_id") === col("gid"))
       .select(col("gid").as("doc_id"), col("ga"))
     // PERSISTED: `grams` feeds the df-count and the dictionary join;
@@ -224,6 +241,7 @@ object NearDup {
       .select(col("doc_id"), col("n"), explode(col("ga")).as("g"))
       .repartition(numParts, col("g"))
       .transform(graft.CacheScope.persist)
+      .transform(mark("grams", _))
     // Dictionary-encode grams as dense ints in global rarity order
     // (document frequency, gram) — EXACT (no hash collisions), and gid
     // order *is* the rarity order, so downstream sorts/windows use the
@@ -246,10 +264,12 @@ object NearDup {
           .select(col("g")).as[String].rdd
           .zipWithIndex().map { case (g, idx) => (g, (idx + 1).toInt) })
       .toDF("g", "gid")
+      .transform(mark("gramDict", _))
     val gramsG = grams.join(gramDict, "g")
       .select(col("doc_id"), col("n"), col("gid"))
       .repartition(numParts, col("doc_id"))
       .transform(graft.CacheScope.persist)
+      .transform(mark("gramsG", _))
     val t = JaccardNumer.toDouble / JaccardDenom
     // rk = position of gid in the doc's grams sorted by global rarity; kept
     // past the prefix cut because the positional filter below needs it.
@@ -260,6 +280,7 @@ object NearDup {
       .select(col("doc_id"), col("gid"), col("n"), col("rk"))
       .repartition(numParts, col("gid"))
       .transform(graft.CacheScope.persist)
+      .transform(mark("prefix", _))
     // Candidate generation + verification, MIN-PARTNER KERNEL form
     // (round 9; the TextEmbed.minPartnerUdf idiom ported to set
     // similarity). The dup map only ever consumes ONE fact per
@@ -299,6 +320,7 @@ object NearDup {
     val gidArr = gramsG.groupBy("doc_id")
       .agg(sort_array(collect_list(col("gid"))).as("ga"))
       .transform(graft.CacheScope.persist)
+      .transform(mark("gidArr", _))
     // The explicit repartition pins the kernel's exchange: postings are
     // small in BYTES (AQE's coalescing currency) but the kernel is
     // CPU-dense — the round-2 probe showed byte-based coalescing
@@ -364,7 +386,7 @@ object NearDup {
           col("l.ps"), col("r.ps"), col("l.ci") === col("r.ci"))).as("p"))
       small.union(large)
     }
-    val verified = pairs
+    val verified = mark("pairs", pairs)
       .select(col("p._1").as("rep"), col("p._2").as("mp"))
       .groupBy(col("rep"))
       .agg(min(col("mp")).as("mp"))
