@@ -189,6 +189,11 @@ object MinHash {
     * lesson: the fast path must not pay for the slow path). */
   val BandBucketChunkLen = 4096
 
+  /** Broadcast cap for the hot-bucket key set (see the pre-filter in
+    * [[repGraph]]): 4M (band, bh) keys ≈ 64 MB — comfortably
+    * broadcastable; beyond it the filter falls back to the full frame. */
+  val HotBucketKeysMax = 4000000L
+
   private[pipeline] def repGraph(sigs: DataFrame): (DataFrame, DataFrame) =
     repGraph(sigs, BandBucketChunkLen)
 
@@ -232,13 +237,33 @@ object MinHash {
     // cheap second pass); every gate/bench corpus stays on the
     // single-pass path.
     val numPartsB = sigs.sparkSession.sparkContext.defaultParallelism
-    val bands = reps
+    val allBands = reps
       .withColumn("bhs", expr(bandsExpr))
       .select(col("gid"), col("sig"), col("bhs"),
         posexplode(col("bhs")).as(Seq("band", "bh")))
-    val maxBucket = bands.groupBy(col("band"), col("bh"))
+    // Hot-bucket pre-filter (round 11): a singleton (band, bh) bucket
+    // can produce no pair, yet the payload shuffle shipped its rep's
+    // full signature + band array anyway — ~17 KB per rep across the 16
+    // bands, the dominant bytes of the build. One SKINNY count pass
+    // (column pruning keeps sig out of its exchange; it also feeds the
+    // max-bucket probe) finds the >= 2-member bucket keys, and a
+    // broadcast semi-join drops singleton rows BEFORE the payload
+    // shuffle. Lossless by construction: a pair's every shared band is
+    // a >= 2 bucket, so both the pair set and the first-shared-band
+    // dedup (which reads the kept rows' full `bhs` arrays, not the
+    // bucket list) are unchanged. On a corpus where nearly every rep
+    // collides (or the hot key set would not broadcast), the filter
+    // buys nothing — fall back to the full frame past
+    // [[HotBucketKeysMax]].
+    val counts = allBands.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("c"))
-      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+      .transform(graft.CacheScope.persist) // feeds probe, hot count, hot keys
+    val maxBucket = counts.agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    val nHot = counts.filter(col("c") >= 2).count()
+    val bands = if (nHot <= HotBucketKeysMax)
+      allBands.join(broadcast(counts.filter(col("c") >= 2).select("band", "bh")),
+        Seq("band", "bh"))
+    else allBands
     val pairs = if (maxBucket <= chunkLen) {
       bands
         .repartition(numPartsB, col("band"), col("bh"))

@@ -124,7 +124,8 @@ class PlanShapeSpec extends SparkSpec {
     info(s"clusterEdges -> shuffles=${got._1} broadcasts=${got._2} sorts=${got._3}")
     // round 11: the per-bucket verify kernel (one groupBy on (band, bh))
     // replaced the band self-join + distinct + two broadcast verify
-    // joins — the three broadcasts are gone, one exchange remains.
-    assert(got == ((1, 0, 0)), s"clusterEdges plan shape drifted: got $got")
+    // joins; the one broadcast is the hot-bucket key pre-filter (the
+    // payload shuffle only ships reps whose bucket can pair).
+    assert(got == ((1, 1, 0)), s"clusterEdges plan shape drifted: got $got")
   }
 }
