@@ -191,8 +191,10 @@ object MinHash {
 
   /** Broadcast cap for the hot-bucket key set (see the pre-filter in
     * [[repGraph]]): 4M (band, bh) keys ≈ 64 MB — comfortably
-    * broadcastable; beyond it the filter falls back to the full frame. */
-  val HotBucketKeysMax = 4000000L
+    * broadcastable; beyond it the filter falls back to the full frame.
+    * Env-overridable for A/B probes (0 disables the filter). */
+  val HotBucketKeysMax: Long =
+    sys.env.get("SPARK_GRAFT_HOT_BUCKET_MAX").map(_.toLong).getOrElse(4000000L)
 
   private[pipeline] def repGraph(sigs: DataFrame): (DataFrame, DataFrame) =
     repGraph(sigs, BandBucketChunkLen)
