@@ -82,3 +82,52 @@ object SimHash {
   def apply(c: Column): Column =
     GraftSqlBridge.column(SimHashExpression(GraftSqlBridge.expression(c)))
 }
+
+/** Native band-hash fold over a minhash signature — the
+  * [[MinHashSigExpression]] ladder applied to the D3 banding step: the
+  * `transform(sequence(...), j -> aggregate(slice(sig, ...), ...))`
+  * HOF spelling ran interpreted per element (measured ~half the skinny
+  * bucket-count pass of the rep-graph build); this is the same
+  * `(h * 131 + v) % P` fold in one codegen'd pass. */
+case class BandHashesExpression(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "graft_band_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    BandHashesExpression.compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BandHashesExpression.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): BandHashesExpression =
+    copy(child = newChild)
+}
+
+object BandHashesExpression {
+  def compute(sig: ArrayData): ArrayData = {
+    import graft.pipeline.MinHash.{NumBands, RowsPerBand, HashMult, P}
+    val out = new Array[Long](NumBands)
+    var j = 0
+    while (j < NumBands) {
+      var h = sig.getLong(j * RowsPerBand)
+      var k = 1
+      while (k < RowsPerBand) {
+        h = (h * HashMult + sig.getLong(j * RowsPerBand + k)) % P
+        k += 1
+      }
+      out(j) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object BandHashes {
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(BandHashesExpression(GraftSqlBridge.expression(c)))
+}

@@ -126,11 +126,12 @@ object MinHash {
 
   /** D3: per-band hash over 8 signature slots, as a Spark SQL transform
     * (reduceLeft, same fold as the shingle hash). */
-  private val bandsExpr: String =
-    s"""transform(sequence(0, ${NumBands - 1}), j ->
-       |  aggregate(slice(sig, j * $RowsPerBand + 2, ${RowsPerBand - 1}),
-       |            element_at(sig, j * $RowsPerBand + 1),
-       |            (h, v) -> (h * $HashMult + v) % $P))""".stripMargin
+  // Band hashing is the native BandHashes kernel (round 11): the HOF
+  // spelling `transform(sequence(0, 15), j -> aggregate(slice(sig,
+  // j*8+2, 7), element_at(sig, j*8+1), (h, v) -> (h*131 + v) % P))`
+  // ran interpreted per element; the kernel is the same fold (parity
+  // spec in NativeExprSpec), and the DuckDB oracle keeps its own
+  // independent SQL spelling of it.
 
   /** (doc_id, sig) — the narrow, shuffle-free stage. */
   def signatures(docs: DataFrame): DataFrame =
@@ -140,7 +141,8 @@ object MinHash {
     * the LSH bucket key both the batch self-join and the streaming
     * store join hash on. */
   def bandKeys(sigs: DataFrame): DataFrame =
-    sigs.select(col("doc_id"), posexplode(expr(bandsExpr)).as(Seq("band", "bh")))
+    sigs.select(col("doc_id"),
+      posexplode(graft.functions.BandHashes(col("sig"))).as(Seq("band", "bh")))
 
   /** Column form of [[sigMatchesGE]] for external joins. */
   def sigMatchCol(a: org.apache.spark.sql.Column,
@@ -187,6 +189,19 @@ object MinHash {
     * 1-row max-bucket probe keeps the common case on the single-pass
     * kernel with zero chunk bookkeeping (the jaccard adaptive-path
     * lesson: the fast path must not pay for the slow path). */
+
+  /** Stage probe, active only under SPARK_GRAFT_MINHASH_PROBE (the
+    * NearDup.mark pattern): cumulative noop-forced deltas. */
+  private def mark(name: String, df: DataFrame): DataFrame = {
+    if (sys.env.contains("SPARK_GRAFT_MINHASH_PROBE")) {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      System.err.println(
+        f"[graft.minhash] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    df
+  }
+
   val BandBucketChunkLen = 4096
 
   /** Broadcast cap for the hot-bucket key set (see the pre-filter in
@@ -213,6 +228,7 @@ object MinHash {
       .withColumn("gid", min(col("doc_id")).over(Window.partitionBy(col("gh"), col("sig"))))
       .drop("gh")
       .transform(graft.CacheScope.persist)
+      .transform(mark("collapse", _))
     val reps = withG.filter(col("doc_id") === col("gid"))
       .select(col("gid"), col("sig"))
     // PER-BUCKET verify kernel (round 11; the 100× internal split
@@ -240,7 +256,7 @@ object MinHash {
     // single-pass path.
     val numPartsB = sigs.sparkSession.sparkContext.defaultParallelism
     val allBands = reps
-      .withColumn("bhs", expr(bandsExpr))
+      .withColumn("bhs", graft.functions.BandHashes(col("sig")))
       .select(col("gid"), col("sig"), col("bhs"),
         posexplode(col("bhs")).as(Seq("band", "bh")))
     // Hot-bucket pre-filter (round 11): a singleton (band, bh) bucket
@@ -260,6 +276,7 @@ object MinHash {
     val counts = allBands.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("c"))
       .transform(graft.CacheScope.persist) // feeds probe, hot count, hot keys
+      .transform(mark("bucket_counts", _))
     val maxBucket = counts.agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
     val nHot = counts.filter(col("c") >= 2).count()
     val bands = if (nHot <= HotBucketKeysMax)
@@ -304,7 +321,7 @@ object MinHash {
           col("l.ps"), col("r.ps"), col("l.ci") === col("r.ci"))).as("p"))
       small.union(large)
     }
-    val verifiedPairs = pairs
+    val verifiedPairs = mark("verify_kernel", pairs)
       .select(col("p._1").as("ga"), col("p._2").as("gb"), col("p._3").as("matches"))
     (withG, verifiedPairs)
   }

@@ -55,6 +55,23 @@ class NativeExprSpec extends SparkSpec {
     assert(row.getSeq[String](1) == graft.pipeline.NearDup.trigrams(sample).toSeq)
   }
 
+  test("BandHashes kernel equals the retired HOF banding spelling on random sigs") {
+    val P = MinHash.P
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(50)(i =>
+      (i.toLong, Array.fill(MinHash.NumPerm)(math.abs(rnd.nextLong()) % P)))
+    val df = rows.toDF("doc_id", "sig")
+    val hof = s"""transform(sequence(0, ${MinHash.NumBands - 1}), j ->
+      |  aggregate(slice(sig, j * ${MinHash.RowsPerBand} + 2, ${MinHash.RowsPerBand - 1}),
+      |            element_at(sig, j * ${MinHash.RowsPerBand} + 1),
+      |            (h, v) -> (h * ${MinHash.HashMult} + v) % $P))""".stripMargin
+    val got = df.select(col("doc_id"), graft.functions.BandHashes(col("sig")).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val want = df.select(col("doc_id"), expr(hof).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got === want)
+  }
+
   test("JsonIntField matches get_json_object(..).cast('int') across JSON shapes") {
     val escapedKey = "{\"\\u006b\": 14}" // JSON-escaped spelling of key k
     val rows = Seq(
