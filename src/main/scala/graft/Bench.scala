@@ -61,7 +61,8 @@ object Bench {
       "decontaminate_flags", "decontaminate_overlap",
       "mix_dsir_weights", "mix_dsir_weights_bigram", "quality_passed",
       "quality_histogram", "quality_reason_report", "quality_by_source",
-      "tok_bpe_stats", "tok_wordpiece_stats", "tok_unigram_stats")
+      "tok_bpe_stats", "tok_wordpiece_stats", "tok_unigram_stats",
+      "quality_cascade", "quality_histogram_refdefaults", "lang_distribution")
     val memoMark: Seq[(String, Double)] =
       if (only.nonEmpty && only.intersect(memoConsumers).isEmpty) Nil
       else {

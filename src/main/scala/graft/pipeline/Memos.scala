@@ -52,9 +52,12 @@ object Memos {
     // all three trainer stats queries start from (MaxLexicon-bounded
     // driver collect).
     timed("lexicon") { Bpe.lexiconFor(s, d) }
-    // Per-doc cascade verdicts at the default config: the reason-report
-    // family's shared frame; the passed-id set (the DSIR target model)
-    // is a filter of it.
+    // Per-doc scalar quality metrics (config-independent): the cascade
+    // projection, both histograms, the language report and every reason
+    // spelling derive from this one checkpoint; the default-config
+    // verdicts (reasons) and the passed-id set (the DSIR target model)
+    // are projections/filters of it.
+    timed("metrics") { Quality.metricsFor(s, d) }
     timed("reasons") { Quality.reasonsFor(s, d) }
     timed("passed_ids") { Quality.passedIdsFor(s, d) }
   }

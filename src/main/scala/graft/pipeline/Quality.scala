@@ -176,7 +176,12 @@ object Quality {
   /** Per-doc scores + first-failing reason (Q11: every metric as a column —
     * quality_filter.py:160-253 stashes them in `scores`). */
   def cascadeQuery(docs: DataFrame, cfg: Config = Config()): DataFrame =
-    withMetrics(docs).select(
+    cascadeOver(withMetrics(docs), cfg)
+
+  /** The cascade projection over any frame carrying the scalar metric
+    * columns — the registration passes the memoized [[metricsFor]]. */
+  private def cascadeOver(m: DataFrame, cfg: Config = Config()): DataFrame =
+    m.select(
       col("doc_id"),
       col("m_wc").as("word_count"),
       col("m_awl").as("avg_word_length"),
@@ -239,12 +244,28 @@ object Quality {
     * story as every [[QueryMemo]]. `quality_histogram_refdefaults`
     * (a different config) deliberately does NOT ride it, and
     * `quality_cascade` needs the metric columns themselves. */
+  /** Memoized per-doc SCALAR metrics — the cascade's config-INDEPENDENT
+    * stage (one LangHits kernel pass + the regex counters) with the
+    * array intermediates (lines, stripped lines, hit array) and the
+    * text dropped, so the checkpoint is ~20 numeric columns per doc,
+    * not the corpus again. Every reason spelling (any Config), the
+    * cascade projection, the reference-default histogram and the
+    * language report are projections of this one frame. */
+  private val metricsMemo = new QueryMemo[DataFrame]()
+  private[pipeline] def metricsFor(s: SparkSession, d: String): DataFrame =
+    metricsMemo.getOrElseUpdate(s, d) {
+      withMetrics(Tables.documents(s, d))
+        .drop("text", "m_lines", "m_langhits", "m_stripped_ne")
+        .localCheckpoint(true)
+    }
+
   private val reasonsMemo = new QueryMemo[DataFrame]()
   private[graft] def reasonsFor(s: SparkSession, d: String): DataFrame =
     reasonsMemo.getOrElseUpdate(s, d) {
-      withReason(Tables.documents(s, d))
+      // a projection of the metrics checkpoint — no second checkpoint
+      metricsFor(s, d)
+        .withColumn("reason", expr(reasonOverCols(Config())))
         .select(col("doc_id"), col("source"), col("reason"))
-        .localCheckpoint(true)
     }
 
   /** Memoized quality-passing doc ids at the default config — the DSIR
@@ -298,14 +319,18 @@ object Quality {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_lang_margin" -> ((s, d) => langMarginQuery(Tables.documents(s, d))),
-    "lang_distribution" -> ((s, d) => langDistributionQuery(Tables.documents(s, d))),
-    "quality_cascade" -> ((s, d) => cascadeQuery(Tables.documents(s, d))),
+    "lang_distribution" -> ((s, d) => metricsFor(s, d)
+      .groupBy(col("lang").as("labeled_lang"), col("m_langdet").as("detected_language"))
+      .agg(count(lit(1)).as("n_docs"))),
+    "quality_cascade" -> ((s, d) => cascadeOver(metricsFor(s, d))),
     // the report family rides the memoized default-config verdicts
     // (reasonsFor) — each is a rollup of the same skinny checkpoint.
     "quality_histogram" -> ((s, d) =>
       reasonsFor(s, d).groupBy("reason").agg(count(lit(1)).as("n_docs"))),
     "quality_by_source" -> ((s, d) => bySourceOver(reasonsFor(s, d))),
-    "quality_histogram_refdefaults" -> ((s, d) => histogramReferenceQuery(Tables.documents(s, d))),
+    "quality_histogram_refdefaults" -> ((s, d) => metricsFor(s, d)
+      .withColumn("reason", expr(reasonOverCols(Config.reference)))
+      .groupBy("reason").agg(count(lit(1)).as("n_docs"))),
     // rides the memoized passed-id set (the DSIR consumers' frame):
     // a broadcast semi-join on doc_id against the docs scan replaces a
     // second full cascade evaluation — same rows by construction (the
