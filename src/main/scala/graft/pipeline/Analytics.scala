@@ -410,7 +410,45 @@ object Analytics {
       .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("df"), col("score"))
   }
 
+  /** Per-doc content NOVELTY in ingestion (doc_id) order: the share of
+    * a doc's distinct word trigrams whose FIRST corpus occurrence is in
+    * that doc — the "how much of this batch is actually new material"
+    * curation signal (marginal value of a crawl, freshness per source
+    * batch; the batch-level aggregate is one rollup away). Distinct
+    * from [[NearDup]]'s containment (overlap against the whole corpus,
+    * unordered) — novelty is direction-aware: a doc copied FROM an
+    * earlier one scores 0, the earlier one is unaffected.
+    *
+    * Scale shape: one (gram → min doc_id) aggregation (map-side combine
+    * to the trigram universe) and one join back over the persisted gram
+    * relation — both exchanges keyed on the gram, the
+    * `dedup_lines`/`dedup_paragraphs` class; no window, no all-pairs
+    * anything. Zero-gram docs (< 3 words) drop on both engines. */
+  def noveltyQuery(docs: DataFrame): DataFrame = {
+    // n_novel needs no join back over the gram relation: group the
+    // (gram -> first doc) winners BY the winner. The per-doc denominator
+    // is scan-local (size of the distinct-trigram array), and the final
+    // join is doc-cardinality x doc-cardinality on doc_id — AQE
+    // broadcasts it at small scale, SMJ at 100 TB (a doc-cardinality
+    // frame is NOT broadcast-hinted: it grows with the corpus). The
+    // exploded gram relation ships exactly once.
+    val base = docs
+      .select(col("doc_id"), Stage.once(graft.functions.Trigrams(col("text"))).as("ga"))
+      .filter(size(col("ga")) > 0)
+      .transform(graft.CacheScope.persist) // feeds the explode AND the denominators
+    val novel = base.select(col("doc_id"), explode(col("ga")).as("g"))
+      .groupBy(col("g")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    base.select(col("doc_id"), size(col("ga")).cast("long").as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double")
+          / col("n_grams").cast("double")).as("novelty_frac"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_novelty" -> ((s, d) => noveltyQuery(Tables.documents(s, d))),
     "doc_tfidf_keywords" -> ((s, d) => tfidfKeywordsQuery(Tables.documents(s, d))),
     "lang_script_stats" -> ((s, d) => scriptStatsQuery(Tables.documents(s, d))),
     "corpus_source_overlap" -> ((s, d) => sourceOverlapQuery(Tables.documents(s, d))),
@@ -427,6 +465,18 @@ object Analytics {
     "events_props_extract" -> ((s, d) => eventsPropsQuery(Tables.events(s, d))))
 
   def oracles: Map[String, String] = Map(
+    "corpus_novelty" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(${NearDup.TrigramsD}) AS g FROM documents),
+         |f AS (SELECT g, min(doc_id) AS first_id FROM g GROUP BY g)
+         |SELECT g.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST(sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+         |    / CAST(count(*) AS BIGINT)::DOUBLE AS novelty_frac
+         |FROM g JOIN f USING (g)
+         |GROUP BY g.doc_id""".stripMargin,
     // Same integers by a different route: the engine's sorted run-length
     // fold and this O(L·distinct) count-per-distinct-char spelling both
     // compute Σ n_c² exactly (integer sums are order-independent); the

@@ -94,4 +94,23 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m === Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("corpus novelty: first occurrence in doc-id order wins; a later copy scores 0") {
+    val original = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      10L -> original, // all 3 trigrams first seen here
+      20L -> original, // exact later copy: 0 novel
+      // shares "beta gamma delta" + "gamma delta epsilon"? words:
+      // beta gamma delta zeta -> trigrams: "beta gamma delta",
+      // "gamma delta zeta" — first is seen in doc 10, second is new
+      30L -> "beta gamma delta zeta",
+      40L -> "one two") // < 3 words: no trigrams, absent from output
+    val d = docs.toDF("doc_id", "text")
+    val got = Analytics.noveltyQuery(d)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (10L, 3L, 3L, 1.0),
+      (20L, 3L, 0L, 0.0),
+      (30L, 2L, 1L, 0.5)))
+  }
 }
