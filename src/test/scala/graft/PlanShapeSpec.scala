@@ -108,7 +108,16 @@ class PlanShapeSpec extends SparkSpec {
     // shuffle is the documents under-split spread (Tables.parallelized),
     // which the per-doc gram kernel is exactly the consumer class for.
     "decontaminate_overlap" -> ((1, 0, 0)),
-    "decontaminate_flags" -> ((1, 0, 0)))
+    "decontaminate_flags" -> ((1, 0, 0)),
+    // round 11: shuffle-shard = range bucketing + the bucket-count
+    // rollup + carry exchanges, the broadcast carry join, and the two
+    // sorts (range partitioner sample + in-bucket rank order).
+    "pack_shuffle_shards" -> ((3, 1, 2)),
+    // round 11: novelty = spread + gram-winner groupBy chain; the
+    // doc-cardinality output join plans broadcast from the estimated
+    // aggregate size at this scale (unhinted — SMJ once stats exceed
+    // the threshold at corpus scale).
+    "corpus_novelty" -> ((2, 1, 0)))
 
   for ((name, want) <- pins)
     test(s"plan shape pinned: $name") {
