@@ -59,6 +59,7 @@ object Bench {
       "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivfpq_rerank",
       "decontaminate_fuzzy", "decontaminate_attribution",
       "decontaminate_flags", "decontaminate_overlap",
+      "dedup_jaccard_dupmap", "corpus_novelty",
       "mix_dsir_weights", "mix_dsir_weights_bigram", "quality_passed",
       "quality_histogram", "quality_reason_report", "quality_by_source",
       "tok_bpe_stats", "tok_wordpiece_stats", "tok_unigram_stats",

@@ -424,7 +424,15 @@ object Analytics {
     * relation — both exchanges keyed on the gram, the
     * `dedup_lines`/`dedup_paragraphs` class; no window, no all-pairs
     * anything. Zero-gram docs (< 3 words) drop on both engines. */
-  def noveltyQuery(docs: DataFrame): DataFrame = {
+  def noveltyQuery(docs: DataFrame): DataFrame =
+    noveltyOver(Grams.triFrame(docs)
+      .transform(graft.CacheScope.persist)) // feeds the explode AND the denominators
+
+  /** The novelty rollup over an already-built `(doc_id, ga)` trigram
+    * relation — the registration rides the [[Grams.gramsFor]] checkpoint
+    * (shared with the jaccard dup map and the fuzzy decontamination
+    * index), so the trigram kernel runs once per table directory. */
+  private[graft] def noveltyOver(base: DataFrame): DataFrame = {
     // n_novel needs no join back over the gram relation: group the
     // (gram -> first doc) winners BY the winner. The per-doc denominator
     // is scan-local (size of the distinct-trigram array), and the final
@@ -432,10 +440,6 @@ object Analytics {
     // broadcasts it at small scale, SMJ at 100 TB (a doc-cardinality
     // frame is NOT broadcast-hinted: it grows with the corpus). The
     // exploded gram relation ships exactly once.
-    val base = docs
-      .select(col("doc_id"), Stage.once(graft.functions.Trigrams(col("text"))).as("ga"))
-      .filter(size(col("ga")) > 0)
-      .transform(graft.CacheScope.persist) // feeds the explode AND the denominators
     val novel = base.select(col("doc_id"), explode(col("ga")).as("g"))
       .groupBy(col("g")).agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
@@ -448,7 +452,7 @@ object Analytics {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_novelty" -> ((s, d) => noveltyQuery(Tables.documents(s, d))),
+    "corpus_novelty" -> ((s, d) => noveltyOver(Grams.gramsFor(s, d))),
     "doc_tfidf_keywords" -> ((s, d) => tfidfKeywordsQuery(Tables.documents(s, d))),
     "lang_script_stats" -> ((s, d) => scriptStatsQuery(Tables.documents(s, d))),
     "corpus_source_overlap" -> ((s, d) => sourceOverlapQuery(Tables.documents(s, d))),

@@ -284,13 +284,14 @@ object Contamination {
   private[graft] def fuzzyIxFor(s: SparkSession, d: String)
       : org.apache.spark.broadcast.Broadcast[FuzzyIndex] =
     fuzzyIxMemo.getOrElseUpdate(s, d) {
-      val tri = trigramFrame(Tables.documents(s, d))
-      s.sparkContext.broadcast(buildFuzzyIndex(tri, BenchmarkDocs))
+      // rides the shared Grams checkpoint: the bench collect, the df
+      // pass and the corpus count all re-scan the memoized relation
+      // instead of re-running the trigram kernel over `text`.
+      s.sparkContext.broadcast(buildFuzzyIndex(Grams.gramsFor(s, d), BenchmarkDocs))
     }
 
   private[graft] def trigramFrame(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), Stage.once(graft.functions.Trigrams(col("text"))).as("ga"))
-      .filter(size(col("ga")) > 0)
+    Grams.triFrame(docs)
       .transform(graft.CacheScope.persist) // reused: df pass + kernel pass
 
   /** The driver-built broadcast index: dense gram ids over the BENCH
@@ -450,10 +451,9 @@ object Contamination {
     "decontaminate_overlap" -> ((s, d) => exactOverlap(
       exactTierCounts(Tables.documents(s, d), benchGramsFor(s, d), BenchmarkDocs))),
     "decontaminate_fuzzy" -> ((s, d) =>
-      flagsOf(attributionOf(trigramFrame(Tables.documents(s, d)),
-        fuzzyIxFor(s, d), BenchmarkDocs))),
+      flagsOf(attributionOf(Grams.gramsFor(s, d), fuzzyIxFor(s, d), BenchmarkDocs))),
     "decontaminate_attribution" -> ((s, d) =>
-      attributionOf(trigramFrame(Tables.documents(s, d)), fuzzyIxFor(s, d), BenchmarkDocs)))
+      attributionOf(Grams.gramsFor(s, d), fuzzyIxFor(s, d), BenchmarkDocs)))
 
   def oracles: Map[String, String] = {
     val parts = (0 until GramN).map(k => s"w[i + $k]").mkString(" || ' ' || ")

@@ -27,6 +27,9 @@ object Memos {
   }
 
   def build(s: SparkSession, d: String): Unit = {
+    // Shared trigram relation: one Trigrams-kernel scan feeding the
+    // jaccard dup map, corpus novelty and the fuzzy index build below.
+    timed("grams") { Grams.gramsFor(s, d) }
     // rep graph: eager checkpoints inside the memo build.
     timed("rep_graph") { MinHash.repGraphFor(s, d) }
     // dup map: lazily checkpointed — force materialization.

@@ -149,8 +149,6 @@ object NearDup {
     }
   }
   private val WsSplitJac = java.util.regex.Pattern.compile("\\s+")
-  /** Native codegen'd expression form (graft.functions.TrigramsExpression). */
-  private def trigramsUdf(c: org.apache.spark.sql.Column) = graft.functions.Trigrams(c)
 
   /** Exact set-similarity self-join with PREFIX FILTERING (Bayardo
     * et al.'s All-Pairs): candidates only need to collide on the
@@ -176,6 +174,9 @@ object NearDup {
   def jaccardDuplicateOf(docs: DataFrame): DataFrame =
     jaccardDuplicateOf(docs, PostingChunkLen)
 
+  private[graft] def jaccardDuplicateOf(docs: DataFrame, chunkLen: Int): DataFrame =
+    jaccardOverGrams(Grams.triFrame(docs), chunkLen)
+
   /** Stage probe, active only under SPARK_GRAFT_JACCARD_PROBE: forces
     * the named frame through a noop sink and prints the delta. With the
     * pipeline's persists in place, cumulative marks attribute cost per
@@ -192,7 +193,12 @@ object NearDup {
     df
   }
 
-  private[graft] def jaccardDuplicateOf(docs: DataFrame, chunkLen: Int): DataFrame = {
+  /** The PPJoin chain over an already-built `(doc_id, ga)` trigram
+    * relation ([[Grams.triFrame]] — or the [[Grams.gramsFor]]
+    * checkpoint, which the `dedup_jaccard_dupmap` registration rides so
+    * the trigram kernel + explode run once per table directory, shared
+    * with `corpus_novelty` and the fuzzy decontamination index). */
+  private[graft] def jaccardOverGrams(tri: DataFrame, chunkLen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Explicit partition counts on the reused frames, each keyed by the
     // column its consumers join/group on, serve two purposes: (a) the
@@ -203,19 +209,16 @@ object NearDup {
     // below explodes them into millions of candidate pairs — size-based
     // coalescing once collapsed the whole chain to ONE partition and ran
     // the join single-threaded for 89 s.
-    val numParts = docs.sparkSession.sparkContext.defaultParallelism
+    val numParts = tri.sparkSession.sparkContext.defaultParallelism
     // Hot-cluster skew guard (same argument as MinHash.duplicateOf): docs
     // with an IDENTICAL gram array collapse to one representative before
     // the join — a k-copy boilerplate cluster costs one prefix row, not a
     // k^2 candidate explosion. Jaccard is a pure function of the two gram
     // sets, so group-level verification + the member expansion at the end
     // is result-identical. Docs with NO grams (< 3 words) are dropped
-    // outright: an empty set shares no gram with anything, so they can
-    // never be candidates (identical to the exploded form, where they
-    // contribute zero rows).
-    // Barrier: the size() filter below would otherwise re-inline the
-    // trigram kernel into the filter AND the projection (2x evaluation —
-    // the BarrierExpression failure mode, measured +2.5 s here).
+    // outright by the tri frame: an empty set shares no gram with
+    // anything, so they can never be candidates (identical to the
+    // exploded form, where they contribute zero rows).
     // The collapse exchange is DRIVEN by the 8-byte xxhash64 of the gram
     // array (explicit repartition; HashPartitioning on a subset of the
     // window's ClusteredDistribution keys needs no second exchange), and
@@ -223,8 +226,7 @@ object NearDup {
     // are exact (gh, ga) pairs — a hash collision splits into distinct
     // groups, never merges. The sort comparator short-circuits on the
     // long, so raw ~60-string arrays are compared only within true groups.
-    val withG = docs.select(col("doc_id"), Stage.once(trigramsUdf(col("text"))).as("ga"))
-      .filter(size(col("ga")) > 0)
+    val withG = tri
       .withColumn("gh", xxhash64(col("ga")))
       .repartition(numParts, col("gh"))
       .withColumn("gid", min(col("doc_id")).over(
@@ -255,7 +257,7 @@ object NearDup {
     // only needs SOME consistent total order, and (df, g) is a unique
     // key, so the ids are identical to what a global row_number would
     // assign.
-    val ss = docs.sparkSession
+    val ss = tri.sparkSession
     import ss.implicits._
     val gramDict = ss.createDataFrame(
         grams.groupBy("g").agg(count(lit(1)).as("df"))
@@ -615,7 +617,8 @@ object NearDup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_simhash_dupmap" -> ((s, d) => simhashDuplicateOf(Tables.documents(s, d))),
-    "dedup_jaccard_dupmap" -> ((s, d) => jaccardDuplicateOf(Tables.documents(s, d))),
+    "dedup_jaccard_dupmap" -> ((s, d) =>
+      jaccardOverGrams(Grams.gramsFor(s, d), PostingChunkLen)),
     "doc_fingerprints" -> ((s, d) => fingerprintQuery(Tables.documents(s, d))),
     "dedup_containment" -> ((s, d) => containmentQuery(Tables.documents(s, d))))
 
