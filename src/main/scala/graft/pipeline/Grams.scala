@@ -28,19 +28,39 @@ import org.apache.spark.sql.functions._
   * deliberately different granularity from word trigrams; no other
   * query shares it, so memoizing it would only pin blocks.
   *
-  * Scale shape: the checkpoint is a skinny two-column frame, one row
-  * per doc with a ~60-entry string array — the same order of bytes the
-  * jaccard chain already persisted per query as `withG`. Same
-  * localCheckpoint + LRU + fingerprint policy as every [[QueryMemo]];
-  * on a real cluster the localCheckpoint becomes a reliable checkpoint
-  * or a parquet materialization of the same frame.
+  * Storage: PARQUET on scratch disk, not a localCheckpoint — the one
+  * memo deliberately not in the block manager. The relation is the
+  * fattest shared frame in the engine (one ~60-entry string array per
+  * doc, ~1 GB of heap blocks at the 100x probe), and pinning it
+  * evicted the per-query persists under the bench JVM's 8 GiB heap:
+  * the checkpointed spelling made `dedup_jaccard_dupmap` SLOWER at
+  * 100x (14.4 → 19.8 s, measured) even though its gram stages were
+  * served from the memo. Dictionary-encoded snappy parquet holds the
+  * same relation at a fraction of the bytes, streams on scan without
+  * pinning heap, and is exactly how a production cluster shares a
+  * derived relation across jobs (materialize once to scratch
+  * HDFS/S3, scan many times). The file is keyed by the directory's
+  * data fingerprint, so a regenerated corpus rebuilds it and a
+  * same-data session reuses it across process restarts; the LRU memo
+  * only caches the (cheap) reader frame.
   */
 object Grams {
   private val memo = new QueryMemo[DataFrame]()
 
   def gramsFor(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate(s, d) {
-      triFrame(graft.Tables.documents(s, d)).localCheckpoint(true)
+      val fp = QueryMemo.fingerprint(s, d)
+      if (fp == 0L) { // listing failed — no stable key; fall back to heap
+        triFrame(graft.Tables.documents(s, d)).localCheckpoint(true)
+      } else {
+        val dir = new java.io.File(
+          sys.props("java.io.tmpdir"), f"graft_grams_$fp%016x")
+        if (!new java.io.File(dir, "_SUCCESS").exists()) {
+          triFrame(graft.Tables.documents(s, d))
+            .write.mode("overwrite").parquet(dir.getAbsolutePath)
+        }
+        s.read.parquet(dir.getAbsolutePath)
+      }
     }
 
   /** The relation itself, un-memoized — the building block for callers

@@ -219,15 +219,20 @@ object Quality {
     bySourceOver(withReason(docs, cfg))
 
   /** The rollup over any (source, reason) frame — the registration
-    * passes the memoized [[reasonsFor]] verdicts. */
+    * passes the memoized [[reasonsFor]] verdicts. The source totals are
+    * a window over the AGGREGATED counts frame, which is value-
+    * cardinality-bounded (≤ sources × reasons rows) — so the window is
+    * safe at any corpus size, and the whole query is ONE job over one
+    * exchange. The previous persist + broadcast-self-join spelling paid
+    * three job submissions for the same answer (round-11 verdict
+    * finding #1: fixed overhead dominates this family at sf0.1). */
   private[pipeline] def bySourceOver(reasons: DataFrame): DataFrame = {
     val counts = reasons
       .groupBy(col("source"), col("reason"))
       .agg(count(lit(1)).as("n_docs"))
-      .transform(graft.CacheScope.persist) // tiny; feeds totals AND output
-    val totals = counts.groupBy(col("source"))
-      .agg(sum(col("n_docs")).as("n_source_docs"))
-    counts.join(broadcast(totals), "source")
+    counts
+      .withColumn("n_source_docs", sum(col("n_docs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
       .select(col("source"), col("reason"), col("n_docs"),
         col("n_source_docs"),
         (col("n_docs").cast("double") / col("n_source_docs").cast("double"))
