@@ -30,8 +30,22 @@ import org.apache.spark.sql.functions._
   * dataset. Deterministic (keyed on doc_id), dedup structure preserved
   * (lang/source are not dedup keys).
   *
+  * With `--unique`, documents are REGENERATED rather than replicated:
+  * `factor x baseCount` docs whose text is drawn deterministically
+  * (hash-seeded per (seed, position) — no RNG, rebuilds are identical)
+  * from a shared ~4k-word two-syllable vocabulary with a skew toward
+  * common words, so common trigrams still repeat across docs the way a
+  * real crawl's do, but ~98% of docs are globally unique content. The
+  * remaining ~2% are planted duplicate clusters (half byte-identical,
+  * half suffixed near-dups). This is the realistic post-crawl shape —
+  * the gate corpus's factor-member cliques flatter dedup operators
+  * whose cost scales with bucket density (round-11 hot-bucket A/B:
+  * rep-graph 13.5 s on the gate corpus vs 20.4 s here), so the per-
+  * round sweep runs BOTH corpora. All other tables replicate exactly
+  * as in the gate mode, so the full menu (memo build included) runs.
+  *
   * Usage: runMain graft.ScaleGen <sfDir> <outDir> [factor=10]
-  *        [--skew-events] [--skew-docs]
+  *        [--skew-events] [--skew-docs] [--unique]
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
@@ -39,6 +53,7 @@ object ScaleGen {
     val outDir = args(1)
     val skewEvents = args.contains("--skew-events")
     val skewDocs = args.contains("--skew-docs")
+    val uniqueDocs = args.contains("--unique")
     val factor = args.drop(2).filterNot(_.startsWith("--"))
       .headOption.map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -111,6 +126,12 @@ object ScaleGen {
     // base, odd replicas byte-identical, even replicas near-dup variants.
     val docs = load("documents")
     val docStride = stride(docs, "doc_id")
+    if (uniqueDocs) {
+      write(uniqueCorpus(spark, docs.count() * factor), "documents")
+      println(s"wrote ${factor}x $sfDir -> $outDir (unique documents)")
+      spark.stop()
+      return
+    }
     val replicas = (0 until factor).map { i =>
       val shifted = docs.withColumn("doc_id", col("doc_id") + lit(i * docStride))
       if (i == 0 || i % 2 == 1) shifted
@@ -145,5 +166,65 @@ object ScaleGen {
 
     println(s"wrote ${factor}x $sfDir -> $outDir")
     spark.stop()
+  }
+
+  /** The realistic post-crawl corpus (`--unique`): ~98% globally-unique
+    * docs drawn from a shared ~4k-word vocabulary, ~2% planted duplicate
+    * clusters (even residues byte-identical, odd residues suffixed
+    * near-dups, ~20 members each). Content is a pure function of doc_id
+    * through xxhash64 — no RNG, rebuilds are byte-identical. The
+    * vocabulary index takes the LEAST of two uniform hashes, skewing
+    * mass toward low indices so common words (and therefore common
+    * trigrams) repeat across documents the way a real crawl's do;
+    * indices below 256 map onto 16 true English stopwords so the
+    * quality cascade's stopword/punctuation metrics engage. */
+  private[graft] def uniqueCorpus(spark: SparkSession, n: Long): DataFrame = {
+    import org.apache.spark.sql.Column
+    val syl = Array(
+      "ba", "ce", "di", "fo", "gu", "ha", "je", "ki", "lo", "mu", "na",
+      "pe", "qi", "ro", "su", "ta", "ve", "wi", "xo", "yu", "za", "bre",
+      "cho", "dra", "fle", "gri", "hos", "jun", "kle", "lor", "mon",
+      "nis", "pra", "que", "ril", "ston", "tur", "vel", "wor", "xen",
+      "yor", "zam", "ard", "ber", "cor", "dun", "eth", "fin", "gor",
+      "hul", "ine", "jor", "kan", "lem", "mor", "nor", "ost", "per",
+      "qua", "ris", "sol", "tan", "urn", "ver")
+    require(syl.length == 64)
+    val stop = Array("the", "of", "and", "to", "in", "a", "is", "that",
+      "for", "it", "as", "was", "with", "on", "by", "at")
+    val sylCol = array(syl.toIndexedSeq.map(lit): _*)
+    val stopCol = array(stop.toIndexedSeq.map(lit): _*)
+    val langs = Array("en", "en", "en", "en", "en", "en", "de", "fr", "es", "it")
+    val langCol = array(langs.toIndexedSeq.map(lit): _*)
+
+    def h(seed: Column, j: Column, k: Int): Column = xxhash64(seed, j, lit(k))
+    def wordFor(seed: Column, j: Column): Column = {
+      val idx = least(pmod(h(seed, j, 1), lit(4096L)),
+        pmod(h(seed, j, 2), lit(4096L))).cast("int")
+      val w = when(idx < 256,
+        element_at(stopCol, pmod(idx, lit(16)) + 1))
+        .otherwise(concat(
+          element_at(sylCol, floor(idx / lit(64)).cast("int") + 1),
+          element_at(sylCol, pmod(idx, lit(64)) + 1)))
+      when(pmod(h(seed, j, 3), lit(12L)) === 0, concat(w, lit(".")))
+        .otherwise(w)
+    }
+
+    spark.range(n).select(col("id").as("doc_id"))
+      .withColumn("is_dup", pmod(col("doc_id"), lit(100L)) < 2)
+      .withColumn("seed",
+        when(col("is_dup"), pmod(col("doc_id"), lit(499L)))
+          .otherwise(col("doc_id") + lit(1000000L)))
+      .withColumn("nw", (pmod(h(col("seed"), lit(0), 0), lit(50L)) + 30).cast("int"))
+      .withColumn("text0", concat_ws(" ",
+        transform(sequence(lit(1), col("nw")), j => wordFor(col("seed"), j))))
+      .select(
+        col("doc_id"),
+        when(col("is_dup") && pmod(col("doc_id"), lit(100L)) === 1,
+          concat(col("text0"), lit(" mirrorvariant"), pmod(col("doc_id"), lit(7L))))
+          .otherwise(col("text0")).as("text"),
+        element_at(langCol,
+          pmod(h(col("seed"), lit(0), 9), lit(10L)).cast("int") + 1).as("lang"),
+        concat(lit("src"), pmod(col("doc_id"), lit(20L))).as("source"))
+      .withColumn("n_chars", length(col("text")))
   }
 }

@@ -213,9 +213,10 @@ object Cluster {
       val repCc = connectedComponents(
         pairs.select(col("ga").as("id_a"), col("gb").as("id_b")))
         .select(col("doc_id").as("gid"), col("cluster_id"))
-      val sizes = members.groupBy(col("gid")).agg(count(lit(1)).as("gsz"))
+      // gsz rides the members checkpoint (computed in the collapse
+      // window for free — MinHash.repGraph); the former groupBy+join
+      // here paid a corpus exchange to re-derive it.
       members
-        .join(sizes, "gid")
         .join(repCc, Seq("gid"), "left")
         .filter(col("gsz") >= 2 || col("cluster_id").isNotNull)
         .select(col("doc_id"),

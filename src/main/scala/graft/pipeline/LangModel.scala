@@ -76,15 +76,20 @@ object LangModel {
     * corpus_transitions — same envelope as doc_commonness's total_freq;
     * int64 holds to ~1e6-token docs against ~1e12-transition corpora. */
   def transitionScoreQuery(docs: DataFrame): DataFrame = {
-    val pdb = perDocBigrams(docs).transform(graft.CacheScope.persist)
+    val pdb = perDocBigrams(docs)
     val big = pdb.groupBy(col("prev"), col("cur"))
       .agg(sum(col("n_occ")).as("c_bg"))
       .transform(graft.CacheScope.persist) // feeds ctx, V AND the join
     val ctx = big.groupBy(col("prev")).agg(sum(col("c_bg")).as("c_ctx"))
     val v = ctx.agg(count(lit(1)).as("v"))
-    pdb.join(big, Seq("prev", "cur"))
-      .join(ctx, Seq("prev"))
-      .crossJoin(broadcast(v))
+    // Fold the context totals and V into the MODEL before the corpus
+    // join: big/ctx are vocabulary-cardinality, so their join and the
+    // broadcast cross are model-sized, and the corpus-cardinality pdb
+    // frame crosses the wire for ONE join instead of two (round-12 memo
+    // cut: the second 20M-row exchange was ~a third of lm_scores at
+    // 100x for identical output).
+    val model = big.join(ctx, Seq("prev")).crossJoin(broadcast(v))
+    pdb.join(model, Seq("prev", "cur"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("n_occ")).as("n_transitions"),

@@ -222,10 +222,17 @@ object MinHash {
     // and compare 1 KiB keys per row). The window keeps the full sig next
     // to the hash, so groups are exact: a collision splits, never merges.
     val numParts = sigs.sparkSession.sparkContext.defaultParallelism
+    // gsz rides the SAME window partition as gid (one window exec
+    // computes both — no extra exchange or sort): the member-expansion
+    // consumer (Cluster.clustersFor) needs per-group sizes, and reading
+    // them here is free where a post-hoc groupBy+join over the
+    // checkpointed members costs a corpus exchange (round-12 memo cut).
+    val grpW = Window.partitionBy(col("gh"), col("sig"))
     val withG = sigs
       .withColumn("gh", xxhash64(col("sig")))
       .repartition(numParts, col("gh"))
-      .withColumn("gid", min(col("doc_id")).over(Window.partitionBy(col("gh"), col("sig"))))
+      .withColumn("gid", min(col("doc_id")).over(grpW))
+      .withColumn("gsz", count(lit(1)).over(grpW))
       .drop("gh")
       .transform(graft.CacheScope.persist)
       .transform(mark("collapse", _))
@@ -523,7 +530,8 @@ object MinHash {
       // pairs first: the expensive band-join/verify chain populates
       // withG's cache, the members checkpoint then scans it.
       val pairs = verifiedPairs.localCheckpoint(true)
-      val members = withG.select(col("doc_id"), col("gid")).localCheckpoint(true)
+      val members = withG.select(col("doc_id"), col("gid"), col("gsz"))
+        .localCheckpoint(true)
       (members, pairs)
     }
 

@@ -149,7 +149,38 @@ object Unigram {
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     "tok_unigram_stats" -> ((s, d) => statsQuery(graft.Tables.documents(s, d),
-      lexicon = Some(Bpe.lexiconFor(s, d).lexicon))))
+      lexicon = Some(Bpe.lexiconFor(s, d).lexicon))),
+    // Hash-checked companion for the rows-only tok_unigram_stats (the
+    // tok_bpe_char_baseline idiom): vocabSize=0 sets the prune target to
+    // the char alphabet (chars are never pruned), so the EM loop runs to
+    // a chars-only vocabulary and Viterbi segmentation has exactly one
+    // path — one piece per char. total_tokens = Σ word chars and
+    // vocab_size = specials(4) + distinct word chars, both exactly
+    // SQL-stateable; the seed scoring + prune loop + segmentation
+    // machinery all execute for real on the way there. Only the learned
+    // piece inventory of a non-degenerate target (pinned by UnigramSpec
+    // goldens) is outside the check.
+    "tok_unigram_char_baseline" -> ((s, d) =>
+      statsQuery(graft.Tables.documents(s, d), vocabSize = 0,
+        lexicon = Some(Bpe.lexiconFor(s, d).lexicon))))
 
-  def oracles: Map[String, String] = Map.empty
+  /** tok_unigram_stats stays rows-only (the EM-pruned piece inventory
+    * isn't SQL-derivable; see [[Bpe.oracles]] for the full argument);
+    * the char-baseline companion arbitrates the rest of the chain. */
+  def oracles: Map[String, String] = Map(
+    "tok_unigram_char_baseline" ->
+      """WITH words AS (SELECT unnest(regexp_split_to_array(text, '[ \t\n\f\r]+')) AS w
+        |               FROM documents),
+        |nz AS (SELECT w FROM words WHERE w <> ''),
+        |tok AS (SELECT CAST(sum(length(w)) AS BIGINT) AS total_tokens FROM nz),
+        |alpha AS (SELECT count(DISTINCT c) AS n_alpha
+        |          FROM (SELECT unnest(string_split(w, '')) AS c FROM nz)),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS total_documents,
+        |                CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |         FROM documents)
+        |SELECT base.total_documents, tok.total_tokens, base.total_chars,
+        |       CAST(alpha.n_alpha + 4 AS INT) AS vocab_size,
+        |       base.total_chars::DOUBLE / tok.total_tokens::DOUBLE
+        |         AS compression_ratio
+        |FROM base, tok, alpha""".stripMargin)
 }

@@ -242,7 +242,41 @@ object WordPiece {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tok_wordpiece_stats" -> ((s, d) => statsQuery(graft.Tables.documents(s, d),
-      lexicon = Some(Bpe.lexiconFor(s, d).lexicon))))
+      lexicon = Some(Bpe.lexiconFor(s, d).lexicon))),
+    // Hash-checked companion for the rows-only tok_wordpiece_stats (the
+    // tok_bpe_char_baseline idiom): vocabSize=0 learns ZERO merges, so
+    // the vocab is exactly the position-tagged alphabet and greedy
+    // longest-match emits one piece per char — total_tokens = Σ word
+    // chars, vocab_size = specials(4) + distinct bare first chars +
+    // distinct "##"-tagged continuation chars. Every word is coverable
+    // by construction (the alphabet comes from the same corpus), so the
+    // <unk> collapse never fires. Only the likelihood-scored merge
+    // selection (pinned by WordPieceSpec goldens) is outside the check.
+    "tok_wordpiece_char_baseline" -> ((s, d) =>
+      statsQuery(graft.Tables.documents(s, d), vocabSize = 0,
+        lexicon = Some(Bpe.lexiconFor(s, d).lexicon))))
 
-  def oracles: Map[String, String] = Map.empty
+  /** tok_wordpiece_stats stays rows-only (the likelihood-learned pieces
+    * aren't SQL-derivable; see [[Bpe.oracles]] for the full argument);
+    * the char-baseline companion arbitrates the rest of the chain. */
+  def oracles: Map[String, String] = Map(
+    "tok_wordpiece_char_baseline" ->
+      """WITH words AS (SELECT unnest(regexp_split_to_array(text, '[ \t\n\f\r]+')) AS w
+        |               FROM documents),
+        |nz AS (SELECT w FROM words WHERE w <> ''),
+        |tok AS (SELECT CAST(sum(length(w)) AS BIGINT) AS total_tokens FROM nz),
+        |alpha AS (SELECT count(*) AS n_alpha FROM (
+        |  SELECT DISTINCT substring(w, 1, 1) AS sym FROM nz
+        |  UNION
+        |  SELECT DISTINCT '##' || c AS sym
+        |  FROM (SELECT unnest(string_split(substring(w, 2), '')) AS c
+        |        FROM nz WHERE length(w) > 1))),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS total_documents,
+        |                CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |         FROM documents)
+        |SELECT base.total_documents, tok.total_tokens, base.total_chars,
+        |       CAST(alpha.n_alpha + 4 AS INT) AS vocab_size,
+        |       base.total_chars::DOUBLE / tok.total_tokens::DOUBLE
+        |         AS compression_ratio
+        |FROM base, tok, alpha""".stripMargin)
 }
