@@ -360,11 +360,14 @@ object WordCounts {
     GraftSqlBridge.column(WordCountsExpression(GraftSqlBridge.expression(c), lower))
 }
 
-/** In-row hashed-BoW embedding + sign-LSH bucket →
-  * struct(vec ARRAY<STRUCT<dim BIGINT, weight BIGINT>>, bucket BIGINT),
-  * vec dim-ascending. Kernel: [[graft.pipeline.TextEmbed.hashedBowKernel]];
-  * `np` (a plan-time constant, derived from the corpus count) selects
-  * the plane prefix — 0 skips the bucket. */
+/** In-row hashed-BoW embedding + raw sign-LSH plane projections →
+  * struct(vec ARRAY<STRUCT<dim BIGINT, weight BIGINT>>, projs ARRAY<BIGINT>),
+  * vec dim-ascending, projs one exact ±1-plane dot per plane. Kernel:
+  * [[graft.pipeline.TextEmbed.hashedBowKernel]]; `np` (a plan-time
+  * constant, derived from the corpus count) selects the plane prefix —
+  * 0 skips the projections. The bucket BITS are thresholded by the
+  * caller (corpus-mean centering needs a corpus statistic the row
+  * kernel cannot know). */
 case class HashedBowExpression(child: Expression, np: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -375,7 +378,8 @@ case class HashedBowExpression(child: Expression, np: Int) extends UnaryExpressi
       StructField("dim", LongType, nullable = false),
       StructField("weight", LongType, nullable = false))), containsNull = false),
       nullable = false),
-    StructField("bucket", LongType, nullable = false)))
+    StructField("projs", ArrayType(LongType, containsNull = false),
+      nullable = false)))
   override def foldable: Boolean = child.foldable
   override def prettyName: String = "graft_hashed_bow"
   override protected def nullSafeEval(input: Any): Any =
@@ -388,14 +392,15 @@ case class HashedBowExpression(child: Expression, np: Int) extends UnaryExpressi
 
 object HashedBowExpression {
   def compute(s: UTF8String, np: Int): InternalRow = {
-    val (vec, bucket) = graft.pipeline.TextEmbed.hashedBowKernel(s.toString, np)
+    val (vec, projs) = graft.pipeline.TextEmbed.hashedBowKernel(s.toString, np)
     val arr = new Array[Any](vec.length)
     var i = 0
     while (i < vec.length) {
       arr(i) = new GenericInternalRow(Array[Any](vec(i)._1, vec(i)._2))
       i += 1
     }
-    new GenericInternalRow(Array[Any](new GenericArrayData(arr), bucket))
+    new GenericInternalRow(
+      Array[Any](new GenericArrayData(arr), new GenericArrayData(projs)))
   }
 }
 

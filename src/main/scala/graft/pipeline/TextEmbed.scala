@@ -45,8 +45,10 @@ object TextEmbed {
     * per-bucket occupancy — and the candidate pair join — stays bounded
     * as the corpus grows. Derived from the RAW document count on both
     * sides (Spark counts `docs`, the oracle counts `documents`), so the
-    * two engines always block identically; small corpora clamp to
-    * [[NumPlanes]]. Recall trade documented on [[semanticDedupQuery]]. */
+    * two engines always block identically; occupancy-exact down to one
+    * plane on small corpora (round 12 — see
+    * [[graft.relational.Similarity.planesFor]]). Recall trade documented
+    * on [[semanticDedupQuery]]. */
   private def planesFor(n: Long): Int = graft.relational.Similarity.planesFor(n)
 
   /** Sparse hashed-BoW embedding: one `(doc_id, dim, weight)` row per
@@ -71,14 +73,19 @@ object TextEmbed {
 
   /** JVM kernel behind [[graft.functions.HashedBowExpression]]: one
     * doc's hashed-BoW vector — (dim, weight) pairs dim-ascending — plus
-    * its np-plane sign-LSH bucket, in one pass. dim = first 32 md5 bits
-    * of the (lowercased, Locale.ROOT) word mod [[Dim]], bit-identical
-    * to the `conv(substring(md5(word), 1, 8), 16, 10)` spelling both
-    * engines share; weights are occurrence counts; bucket bit p is set
-    * iff the exact-integer ±1-plane projection is > 0 (the same sum the
-    * plane-join spelling aggregated). np = 0 skips the bucket (the
+    * its np RAW ±1-plane projections (exact integer sums), in one pass.
+    * dim = first 32 md5 bits of the (lowercased, Locale.ROOT) word mod
+    * [[Dim]], bit-identical to the
+    * `conv(substring(md5(word), 1, 8), 16, 10)` spelling both engines
+    * share; weights are occurrence counts. The SIGN threshold is not
+    * taken here: count vectors are non-negative, so the corpus lives in
+    * one orthant and raw `> 0` signs concentrate into a handful of
+    * buckets (the round-12 realistic-corpus sweep measured a 31k-doc
+    * hot bucket and 1.7e9 candidate pairs at 500k docs) —
+    * [[semanticDedupQuery]] centers each plane at its corpus mean
+    * instead, which needs the raw projections. np = 0 skips them (the
     * hash-embedding query's form). */
-  def hashedBowKernel(text: String, np: Int): (Array[(Long, Long)], Long) = {
+  def hashedBowKernel(text: String, np: Int): (Array[(Long, Long)], Array[Long]) = {
     val wcs = LangModel.wordTypeCounts(text, lower = true)
     val (md, dense) = embedScratch.get()
     java.util.Arrays.fill(dense, 0L)
@@ -102,7 +109,7 @@ object TextEmbed {
       if (dense(dd) > 0L) { vec(t) = (dd.toLong, dense(dd)); t += 1 }
       dd += 1
     }
-    var bucket = 0L
+    val projs = new Array[Long](np)
     var p = 0
     while (p < np) {
       var s = 0L
@@ -112,10 +119,10 @@ object TextEmbed {
           s += dense(dd) * graft.relational.Similarity.planes(p)(dd).toLong
         dd += 1
       }
-      if (s > 0L) bucket |= (1L << p)
+      projs(p) = s
       p += 1
     }
-    (vec, bucket)
+    (vec, projs)
   }
 
   /** The ±1 plane entries as integer rows `(p, dim, sign)` — the SAME
@@ -126,9 +133,27 @@ object TextEmbed {
       yield (p, d, graft.relational.Similarity.planes(p)(d).toInt)
 
   /** Semantic near-dup over the hashed vectors: identical-vector
-    * collapse, sign-LSH bucket blocking over the REPRESENTATIVES,
-    * dim-to-dim exact-integer dot verification, cosine >=
-    * [[DedupCosine]]; lowest partner id wins.
+    * collapse, MEAN-CENTERED sign-LSH bucket blocking over the
+    * REPRESENTATIVES, dim-to-dim exact-integer dot verification,
+    * cosine >= [[DedupCosine]]; lowest partner id wins.
+    *
+    * Centering (round 12): count vectors are non-negative, so the whole
+    * corpus lives in one orthant and a through-the-origin sign split
+    * degenerates — most docs land on the SAME side of most planes (the
+    * realistic-corpus sweep measured a 31k-doc hot bucket and 1.7e9
+    * candidate pairs at 500k docs; 361 s). Bucket bit p is therefore
+    * `n·proj_p(v) > Σ_corpus proj_p` — the sign of the projection of
+    * the MEAN-CENTERED vector, in exact integer algebra (multiply
+    * through by n instead of dividing the mean; overflow bound:
+    * n·proj < 2^63 holds to ~10^12 docs of ~10^6 tokens). Centering the
+    * split at the data mean is the standard correction for cosine-LSH
+    * over skewed/non-centered data, and rebalances the same planes:
+    * the 500k-doc probe fills all 4096 buckets (max occupancy 31k→1.2k,
+    * candidate pairs 1.7e9→5.2e7, 33x). The recall trade every LSH
+    * blocking makes (a near-dup pair can straddle a plane) now sits at
+    * the data median rather than in empty space — the oracle spells the
+    * identical centered blocking, so the two engines still compare the
+    * exact same candidate set.
     *
     * The collapse is the same hot-cluster guard every dedup operator
     * here carries (MinHash.repGraph, jaccard, the embedding family):
@@ -155,14 +180,28 @@ object TextEmbed {
     // xxhash64, exact (gh, vec) grouping.
     val base = docs.select(col("doc_id"),
         Stage.once(graft.functions.HashedBow(col("text"), np)).as("vb"))
-      .select(col("doc_id"), col("vb.vec").as("vec"), col("vb.bucket").as("bucket"))
+      .select(col("doc_id"), col("vb.vec").as("vec"), col("vb.projs").as("projs"))
       .filter(size(col("vec")) > 0) // zero-word docs: no vector, never candidates
+      .transform(graft.CacheScope.persist)
+    // Per-plane centering statistics: Σ proj_p over the corpus and the
+    // doc count — np+1 driver scalars off one map-side-combined pass
+    // over the persisted scan (bounded collect: ≤ MaxPlanes rows).
+    val tps: Map[Int, Long] = base
+      .select(posexplode(col("projs")).as(Seq("p", "pv")))
+      .groupBy(col("p")).agg(sum(col("pv")).as("tp"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nVecs = base.count()
+    val bucketCol = (0 until np).map { p =>
+      when(col("projs").getItem(p) * lit(nVecs) > lit(tps.getOrElse(p, 0L)),
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduceOption(_ + _).getOrElse(lit(0L))
     val collapsed = base
+      .withColumn("bucket", bucketCol)
       .withColumn("gh", xxhash64(col("vec")))
       .repartition(numParts, col("gh"))
       .withColumn("gid", min(col("doc_id")).over(
         Window.partitionBy(col("gh"), col("vec"))))
-      .drop("gh")
+      .drop("gh", "projs")
       .transform(graft.CacheScope.persist)
     val members = collapsed.select(col("doc_id"), col("gid"))
     // packed sparse vector: dim << 32 | weight in one Long per entry —
@@ -299,7 +338,7 @@ object TextEmbed {
            |SELECT doc_id, dim, weight FROM e""".stripMargin,
       "dedup_semantic_text" ->
         s"""WITH $embedCte,
-           |params AS (SELECT greatest($NumPlanes, least($MaxPlanes,
+           |params AS (SELECT greatest(1, least($MaxPlanes,
            |  length(bin(greatest(1, (SELECT count(*) FROM documents) // $TargetBucketOccupancy))))) AS np),
            |planes(p, pdim, sign) AS (VALUES $planeVals),
            |pv AS (
@@ -307,10 +346,13 @@ object TextEmbed {
            |  FROM e JOIN planes ON e.dim = planes.pdim
            |  WHERE planes.p < (SELECT np FROM params)
            |  GROUP BY doc_id, p),
+           |tot AS (SELECT p, CAST(sum(pv) AS BIGINT) AS tp FROM pv GROUP BY p),
+           |nv AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM e),
            |bkt AS (
            |  SELECT doc_id,
-           |         CAST(sum(CASE WHEN pv > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
-           |  FROM pv GROUP BY doc_id),
+           |         CAST(sum(CASE WHEN pv.pv * (SELECT n FROM nv) > tot.tp
+           |                       THEN (1 << pv.p) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM pv JOIN tot ON pv.p = tot.p GROUP BY doc_id),
            |nrm AS (SELECT doc_id, CAST(sum(weight * weight) AS BIGINT) AS nn
            |        FROM e GROUP BY doc_id),
            |cand AS (

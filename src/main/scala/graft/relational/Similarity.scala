@@ -76,9 +76,19 @@ object Similarity {
   /** Integer bit length: bitLen(x) = length(bin(x)) for x >= 1. */
   private def bitLen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
 
-  /** Hyperplane count for an n-vector corpus (clamped [NumPlanes, MaxPlanes]). */
+  /** Hyperplane count for an n-vector corpus (clamped [1, MaxPlanes]).
+    * Occupancy-EXACT since round 12: the former [[NumPlanes]] floor
+    * forced 8 planes (256 buckets) onto corpora the
+    * [[TargetBucketOccupancy]] contract says need 1-2 — harmless while
+    * the dedup blockings were sign-degenerate (everything shared a
+    * bucket anyway), actively recall-hostile once the text family's
+    * splits were centered at the data mean (8 balanced cuts across a
+    * 4-doc fixture must sever its near-dup pair). Inactive above
+    * ~2^8 x occupancy ≈ 33k vectors, so gate-scale and 100x blocking
+    * is unchanged; [[NumPlanes]] remains the fixed plane count of the
+    * un-blocked consumers ([[annTopK]]'s probe rings). */
   def planesFor(n: Long): Int =
-    math.max(NumPlanes, math.min(MaxPlanes, bitLen(math.max(1L, n / TargetBucketOccupancy))))
+    math.max(1, math.min(MaxPlanes, bitLen(math.max(1L, n / TargetBucketOccupancy))))
 
   /** IVF/SemDeDup cell count for an n-vector corpus: 2^(bitlen(n)/2) ≈ sqrt(n),
     * clamped [NumCells, MaxCells]. */
@@ -91,7 +101,7 @@ object Similarity {
   private val cellsSql =
     s"greatest($NumCells, least($MaxCells, 1 << (length(bin(greatest(1, (SELECT count(*) FROM embeddings)))) // 2)))"
   private val planesSql =
-    s"greatest($NumPlanes, least($MaxPlanes, length(bin(greatest(1, (SELECT count(*) FROM embeddings) // $TargetBucketOccupancy)))))"
+    s"greatest(1, least($MaxPlanes, length(bin(greatest(1, (SELECT count(*) FROM embeddings) // $TargetBucketOccupancy)))))"
 
   /** Deterministic ±1 hyperplane components, LCG seed 7 — fixed forever.
     * [[MaxPlanes]] rows are drawn; a query built with p < MaxPlanes planes

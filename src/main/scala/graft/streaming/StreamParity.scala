@@ -1,0 +1,316 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.Tables
+import graft.pipeline.{Contamination, Dedup, Quality}
+
+/** Streaming ↔ batch equivalence harness (the round-11 verdict's task
+  * #6): drives the REAL micro-batch pipeline over a file-source replay
+  * of the gate corpus — one file per micro-batch, `processAllAvailable`
+  * between writes, so batch boundaries are exact and deterministic —
+  * and hash-compares each streaming sink against an independently
+  * spelled batch query on the same data. This is the per-round
+  * correctness artifact for the one engine surface the DuckDB oracle
+  * cannot arbitrate (Structured Streaming state semantics): it writes
+  * `STREAMPARITY.md` next to the CORRECTNESS results and exits nonzero
+  * on any mismatch.
+  *
+  * What each check pins, and why the comparison is order-free (a
+  * micro-batch processes its rows in arbitrary partition order, so any
+  * projection that depends on WHICH member of a same-batch duplicate
+  * group arrived first would be flaky, not a parity signal):
+  *
+  *  1. `clean_quality_exact_dedup` — [[StreamPipeline.cleanedDeduped]]
+  *     (clean → min-length → quality reason → state-store exact dedup)
+  *     vs the batch clean/quality transforms + one-per-content-hash.
+  *     Projection drops doc_id: survivors of the same hash group share
+  *     text, hence reason — the (content_hash, reason) SET is invariant.
+  *  2. `dedup_attribution` — [[StreamPipeline.dedupWithAttribution]]
+  *     (flatMapGroupsWithState first-seen-wins) vs batch group sizes:
+  *     every hash group emits EXACTLY one non-duplicate, every duplicate
+  *     attributes to that group's non-duplicate id, group cardinalities
+  *     match the batch groupBy — all invariant to in-batch arrival order.
+  *  3. `windowed_event_counts` — watermarked tumbling windows (append
+  *     mode, state evicted by the watermark) vs the batch
+  *     `groupBy(window(ts), event_type)`. Two far-future sentinel
+  *     batches close and flush every real window (watermark advances
+  *     take effect one batch later), so the streamed APPEND output must
+  *     equal the batch answer EXACTLY, row for row.
+  *  4. `sessionized_events` — native `session_window` gap-merge vs an
+  *     independent batch spelling (lag + cumulative-sum session
+  *     indexing over µs longs, the `Relational.sessionizeEvents`
+  *     shape). `session_window`'s end is last-event + gap, the batch
+  *     twin's is last-event: the harness aligns by subtracting the
+  *     gap. The two spellings differ at an EXACT-gap tie (`>` vs
+  *     window-merge `<`); the harness counts ties and reports them
+  *     (the gate corpora have none).
+  *  5. `decontaminated_stream` — the stateless per-row gram-overlap tag
+  *     vs an exploded join/groupBy batch spelling of the same count.
+  *
+  * The near-dup signature store is NOT re-checked here: its
+  * exactly-once replay/idempotence contract is pinned by
+  * StreamNearDupSpec (dynamic-partition-overwrite per batch_id), and
+  * its within-batch attribution intentionally differs from the global
+  * batch operator (documented at [[StreamPipeline.nearDupStream]]).
+  *
+  * All collects are gate-corpus-bounded (≤ 10k rows at sf0.01) — this
+  * is a correctness harness, not a scale path.
+  *
+  * Usage: runMain graft.streaming.StreamParity <sfDir> [outMd]
+  */
+object StreamParity {
+
+  private val Batches = 5
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outMd = args.lift(1).getOrElse("STREAMPARITY.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val results = Seq(
+      checkCleanDedup(spark, sfDir),
+      checkAttribution(spark, sfDir),
+      checkWindowed(spark, sfDir),
+      checkSessionized(spark, sfDir),
+      checkDecontaminated(spark, sfDir))
+
+    val md = new StringBuilder
+    md.append("# STREAMPARITY — streaming ↔ batch equivalence\n\n")
+    md.append(s"Corpus: `$sfDir` · $Batches micro-batches per stream (one file per\n")
+    md.append("batch, `processAllAvailable` between writes — exact, deterministic\n")
+    md.append("batch boundaries). Regenerate:\n")
+    md.append("`sbt \"runMain graft.streaming.StreamParity <sfDir>\"` — exits\n")
+    md.append("nonzero on any mismatch.\n\n")
+    md.append("| check | stream rows | batch rows | verdict |\n")
+    md.append("|---|---|---|---|\n")
+    results.foreach { r =>
+      md.append(s"| ${r.name} | ${r.streamRows} | ${r.batchRows} | ")
+      md.append(if (r.ok) "MATCH" else s"**MISMATCH** — ${r.detail}")
+      md.append(" |\n")
+    }
+    val notes = results.flatMap(_.note)
+    if (notes.nonEmpty) md.append("\nNotes: " + notes.mkString(" ") + "\n")
+    Files.writeString(java.nio.file.Paths.get(outMd), md.toString)
+    println(md.toString)
+    spark.stop()
+    if (results.exists(!_.ok)) sys.exit(1)
+  }
+
+  private final case class Result(name: String, streamRows: Long, batchRows: Long,
+      ok: Boolean, detail: String = "", note: Option[String] = None)
+
+  /** Canonical multiset hash: fixed column order, sorted row strings. */
+  private def rowsHash(df: DataFrame): (Long, String) = {
+    val rows = df.collect().map(_.mkString("")).sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach(r => md.update((r + "\n").getBytes("UTF-8")))
+    (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
+  }
+
+  private def compare(name: String, stream: DataFrame, batch: DataFrame,
+      note: Option[String] = None): Result = {
+    val (sn, sh) = rowsHash(stream)
+    val (bn, bh) = rowsHash(batch)
+    Result(name, sn, bn, sn == bn && sh == bh,
+      if (sn != bn) s"row counts differ ($sn vs $bn)" else s"value hash differs",
+      note)
+  }
+
+  /** Serialize `df` in `orderCol` order into `Batches` line chunks. */
+  private def jsonBatches(df: DataFrame, orderCol: String): Array[Array[String]] = {
+    val lines = df.orderBy(col(orderCol))
+      .select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)))
+      .collect().map(_.getString(0))
+    val per = math.max(1, (lines.length + Batches - 1) / Batches)
+    lines.grouped(per).toArray
+  }
+
+  /** Write each chunk as one file into `dir`, running the query's
+    * available data to completion between writes — the
+    * StreamPipelineSpec idiom, scaled up: each file IS a micro-batch. */
+  private def feed(dir: Path, q: StreamingQuery, chunks: Array[Array[String]]): Unit =
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      Files.writeString(dir.resolve(f"batch-$i%05d.json"),
+        chunk.mkString("", "\n", "\n"))
+      q.processAllAvailable()
+    }
+
+  // -- 1. clean → quality → exact dedup ------------------------------------
+  private def checkCleanDedup(spark: SparkSession, sfDir: String): Result = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-parity-docs")
+    val out = StreamPipeline.cleanedDeduped(
+      StreamPipeline.readDocs(spark, dir.toString), cfg = Quality.Config.reference)
+    val q = StreamPipeline.toMemorySink(out, "parity_clean").start()
+    try feed(dir, q, jsonBatches(docs, "doc_id")) finally q.stop()
+    val stream = spark.sql(
+      "SELECT content_hash, reason FROM parity_clean")
+    // independent batch spelling: same column transforms, then ONE row
+    // per content hash (the group's doc_ids differ; hash+reason cannot).
+    val batch = Quality.withReason(
+        docs.withColumn("text", graft.pipeline.Clean.cleanText(col("text")))
+          .filter(length(col("text")) >= 100),
+        Quality.Config.reference)
+      .withColumn("content_hash", Dedup.contentHash(col("text")))
+      .select(col("content_hash"), col("reason")).distinct()
+    compare("clean_quality_exact_dedup", stream, batch)
+  }
+
+  // -- 2. first-seen-wins attribution ---------------------------------------
+  private def checkAttribution(spark: SparkSession, sfDir: String): Result = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-parity-attr")
+    val out = StreamPipeline.dedupWithAttribution(
+      StreamPipeline.readDocs(spark, dir.toString))
+    val q = out.writeStream.format("memory").queryName("parity_attr")
+      .outputMode("append").start()
+    try feed(dir, q, jsonBatches(docs, "doc_id")) finally q.stop()
+    // join verdicts back to each doc's hash group, then compare the
+    // order-free group invariant: (group size, one original per group,
+    // every duplicate attributed to THE group original).
+    val hashes = docs
+      .withColumn("content_hash", Dedup.contentHash(col("text")))
+      .select(col("doc_id").as("docId"), col("content_hash"))
+    val verdicts = spark.sql("SELECT docId, isDuplicate, originalId FROM parity_attr")
+      .join(hashes, "docId")
+    val streamGroups = verdicts.groupBy(col("content_hash"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("isDuplicate"), 0L).otherwise(1L)).as("n_originals"),
+        // every duplicate points at the group's (unique) non-duplicate id
+        sum(when(col("isDuplicate"), 1L).otherwise(0L)).as("n_dups"),
+        countDistinct(when(col("isDuplicate"), col("originalId"))).as("n_targets"))
+      .withColumn("attributed_ok",
+        col("n_dups") === 0L || col("n_targets") === 1L)
+      .select(col("content_hash"), col("n_docs"), col("n_originals"),
+        col("attributed_ok"))
+    val originalIds = verdicts.filter(!col("isDuplicate"))
+      .select(col("content_hash"), col("docId").as("orig_id"))
+    val consistent = verdicts.filter(col("isDuplicate"))
+      .join(originalIds, "content_hash")
+      .filter(col("originalId") =!= col("orig_id")).count()
+    val batchGroups = hashes.groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), lit(1L).as("n_originals"),
+        lit(true).as("attributed_ok"))
+    val base = compare("dedup_attribution", streamGroups, batchGroups)
+    if (base.ok && consistent > 0)
+      base.copy(ok = false, detail = s"$consistent duplicates attributed off-original")
+    else base
+  }
+
+  // -- shared event replay ---------------------------------------------------
+  /** Events as µs longs (exact json round-trip), ts-ordered, plus two
+    * far-future sentinel batches that force every real window/session
+    * closed AND flushed (watermark advances take effect one batch
+    * later). Sentinels carry user_id = -1 / event_type = '__sentinel'
+    * and are excluded from both sides of every comparison. */
+  private def eventFeed(spark: SparkSession, sfDir: String,
+      stream: DataFrame => DataFrame, sink: String): DataFrame = {
+    val events = Tables.eventsScan(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"))
+    val maxUs = events.agg(max(col("ts_us"))).head().getLong(0)
+    val dir = Files.createTempDirectory("graft-parity-events")
+    val src = spark.readStream
+      .schema("event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING")
+      .json(dir.toString)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = stream(src).writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    val day = 86400000000L
+    def sentinel(ts: Long) =
+      s"""{"event_id": -1, "ts_us": $ts, "user_id": -1, "event_type": "__sentinel"}"""
+    try {
+      feed(dir, q, jsonBatches(events, "ts_us")
+        ++ Array(Array(sentinel(maxUs + 100 * day)), Array(sentinel(maxUs + 200 * day))))
+    } finally q.stop()
+    spark.table(sink)
+  }
+
+  // -- 3. watermarked tumbling windows --------------------------------------
+  private def checkWindowed(spark: SparkSession, sfDir: String): Result = {
+    val stream = eventFeed(spark, sfDir,
+      StreamPipeline.windowedEventCounts(_), "parity_windows")
+      .filter(col("event_type") =!= "__sentinel")
+    val batch = Tables.eventsScan(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+    compare("windowed_event_counts", stream, batch)
+  }
+
+  // -- 4. session windows ----------------------------------------------------
+  private def checkSessionized(spark: SparkSession, sfDir: String): Result = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60 * 1000000
+    val stream = eventFeed(spark, sfDir,
+      StreamPipeline.sessionizedEvents(_), "parity_sessions")
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        (unix_micros(col("session_end")) - gapUs).as("last_event_us"),
+        col("n_events"))
+    val events = Tables.eventsScan(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val ties = events
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .filter(col("gap") === gapUs).count()
+    val batch = events
+      .withColumn("new_session",
+        when(lag(col("ts_us"), 1).over(w).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(w) >= gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("last_event_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("start_us"), col("last_event_us"), col("n_events"))
+    compare("sessionized_events", stream, batch,
+      note = Some(s"exact-30-min gap ties in corpus: $ties " +
+        "(a tie would split under session_window and merge under the lag spelling)."))
+  }
+
+  // -- 5. stateless decontamination tag --------------------------------------
+  private def checkDecontaminated(spark: SparkSession, sfDir: String): Result = {
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs.filter(pmod(col("doc_id"), lit(50L)) === 0)
+    val dir = Files.createTempDirectory("graft-parity-decon")
+    val out = StreamPipeline.decontaminatedStream(
+      StreamPipeline.readDocs(spark, dir.toString), bench)
+      .select(col("doc_id"), col("n_contaminated_grams"))
+    val q = out.writeStream.format("memory").queryName("parity_decon")
+      .outputMode("append").start()
+    try feed(dir, q, jsonBatches(docs, "doc_id")) finally q.stop()
+    val stream = spark.table("parity_decon")
+    // independent batch spelling: explode distinct doc grams, semi-join
+    // the benchmark gram set, count per doc (vs the stream's in-row
+    // array_intersect against a collected literal).
+    val n = Contamination.GramN
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("w", expr("filter(split(text, '\\\\s+'), x -> x != '')"))
+      .select(col("doc_id"), explode_outer(expr(Contamination.gramsExpr(n))).as("gram"))
+    val benchGrams = grams(bench).select(col("gram")).distinct()
+    val batch = grams(docs).distinct()
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+      .join(docs.select(col("doc_id")), Seq("doc_id"), "right")
+      .select(col("doc_id"), coalesce(col("hits"), lit(0L)).as("n_contaminated_grams"))
+    compare("decontaminated_stream", stream,
+      batch.withColumn("n_contaminated_grams", col("n_contaminated_grams").cast("int")))
+  }
+}
