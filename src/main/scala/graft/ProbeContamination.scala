@@ -18,9 +18,16 @@ import graft.pipeline.Contamination
   * verdict asked for the |bench|-proportional driver cost to be a
   * measured number, not an extrapolation (finding #3 / task #5).
   *
-  * Usage: runMain graft.ProbeContamination <dir> <benchDocs> [--old|--index]
-  * Prints one line: `probe_fuzzy dir=<dir> bench=<n> mode=<new|old> sec=<s> rows=<k>`
-  * or `probe_fuzzy_index dir=<dir> bench=<n> build_sec=<s> grams=<n> ...`.
+  * With `--benchset`, measures the EXACT tier's driver structure the
+  * same way: [[Contamination.buildBenchGramSet]]'s build time and
+  * HashSet footprint at an arbitrary |bench| (the round-11 verdict's
+  * task #7 — the set is eval-bounded by the same argument as the fuzzy
+  * index, but the bound should be a measured row, not an argument).
+  *
+  * Usage: runMain graft.ProbeContamination <dir> <benchDocs> [--old|--index|--benchset]
+  * Prints one line: `probe_fuzzy dir=<dir> bench=<n> mode=<new|old> sec=<s> rows=<k>`,
+  * `probe_fuzzy_index dir=<dir> bench=<n> build_sec=<s> grams=<n> ...`, or
+  * `probe_bench_set dir=<dir> bench=<n> build_sec=<s> grams=<n> est_mb=<m>`.
   */
 object ProbeContamination {
   def main(args: Array[String]): Unit = {
@@ -28,6 +35,7 @@ object ProbeContamination {
     val benchDocs = args.lift(1).map(_.toInt).getOrElse(1000)
     val old = args.contains("--old")
     if (args.contains("--index")) { indexStats(dir, benchDocs); return }
+    if (args.contains("--benchset")) { benchSetStats(dir, benchDocs); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -91,6 +99,31 @@ object ProbeContamination {
     println(f"probe_fuzzy_index dir=$dir bench=$benchDocs build_sec=$buildSec%.2f " +
       f"grams=${ix.nGrams} rare_grams=$rareGrams bench_id_ints=$benchIdInts " +
       f"posting_ints=$postInts est_mb=${(mapBytes + arrBytes) / 1e6}%.1f")
+    spark.stop()
+  }
+
+  /** Build-only probe for the exact tier's broadcast gram set: build
+    * time + HashSet footprint (same deliberately-rough JVM estimate as
+    * [[indexStats]]: entry ≈ 40 B + String 40 B header + 2 B/char —
+    * the point is the growth law in |bench|, not exact bytes). */
+  private def benchSetStats(dir: String, benchDocs: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, dir)
+    docs.count() // pull the scan outside the mark (parity with indexStats)
+    val t0 = System.nanoTime()
+    val set = Contamination.buildBenchGramSet(docs, benchDocs)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    var chars = 0L
+    set.forEach(g => chars += g.length)
+    val estMb = (set.size.toLong * (40 + 40) + chars * 2) / 1e6
+    println(f"probe_bench_set dir=$dir bench=$benchDocs build_sec=$buildSec%.2f " +
+      f"grams=${set.size} est_mb=$estMb%.1f")
     spark.stop()
   }
 }

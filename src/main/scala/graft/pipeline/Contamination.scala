@@ -69,7 +69,17 @@ object Contamination {
     * EVAL-SET-bounded (the [[buildFuzzyIndex]] collect class: a
     * benchmark is thousands of items, never corpus-scale) and cheap to
     * produce: the `doc_id < benchDocs` predicate reaches the parquet
-    * scan, so the build reads bench-sized data, not the corpus. */
+    * scan, so the build reads bench-sized data, not the corpus.
+    *
+    * MEASURED bound (`ProbeContamination --benchset`, round 12, on the
+    * mostly-unique 500k corpus — worst case: every doc contributes ~50
+    * distinct grams): |bench| 10^3 / 10^4 / 10^5 docs → 50k / 0.5M /
+    * 5.0M grams ≈ 7 / 69 / 685 MB, build 3.0 / 3.5 / 7.1 s. Linear in
+    * benchmark gram mass; a 10^5-item suite broadcasts in the hundreds
+    * of MB — acceptable against multi-GiB executors, and the
+    * documented escape hatch past that is the stream-static broadcast
+    * JOIN spelling ([[graft.streaming.StreamPipeline.decontaminatedStream]]
+    * notes the same trade). */
   private[graft] def buildBenchGramSet(docs: DataFrame, benchDocs: Int)
       : java.util.HashSet[String] = {
     val ss = docs.sparkSession
