@@ -34,10 +34,16 @@ import org.apache.spark.sql.functions._
   * `factor x baseCount` docs whose text is drawn deterministically
   * (hash-seeded per (seed, position) — no RNG, rebuilds are identical)
   * from a shared ~4k-word two-syllable vocabulary with a skew toward
-  * common words, so common trigrams still repeat across docs the way a
-  * real crawl's do, but ~98% of docs are globally unique content. The
-  * remaining ~2% are planted duplicate clusters (half byte-identical,
-  * half suffixed near-dups). This is the realistic post-crawl shape —
+  * common words, plus STOCK PHRASES: ~20% of 3-word blocks come from a
+  * fixed 64-phrase table, so common word TRIGRAMS repeat across docs
+  * with a heavy-tailed df the way a crawl's boilerplate fragments do
+  * (independent word draws alone share words but essentially no
+  * trigrams — which flatters every gram-indexed operator with
+  * df=1 posting lists). Still ~98% globally-unique docs (a shared
+  * phrase is ~4 of ~52 distinct trigrams — far below any near-dup
+  * threshold); the remaining ~2% are planted duplicate clusters (half
+  * byte-identical, half suffixed near-dups). This is the realistic
+  * post-crawl shape —
   * the gate corpus's factor-member cliques flatter dedup operators
   * whose cost scales with bucket density (round-11 hot-bucket A/B:
   * rep-graph 13.5 s on the gate corpus vs 20.4 s here), so the per-
@@ -196,15 +202,30 @@ object ScaleGen {
     val langs = Array("en", "en", "en", "en", "en", "en", "de", "fr", "es", "it")
     val langCol = array(langs.toIndexedSeq.map(lit): _*)
 
+    // 64 fixed 3-word stock phrases (any deterministic choice works —
+    // their job is giving common trigrams a real document frequency).
+    val phrases: Array[String] = Array.tabulate(64 * 3) { i =>
+      val (p, k) = (i / 3, i % 3)
+      syl((p * 7 + k * 3) % 64) + syl((p * 11 + k * 5 + 1) % 64)
+    }
+    val phraseCol = array(phrases.toIndexedSeq.map(lit): _*)
+
     def h(seed: Column, j: Column, k: Int): Column = xxhash64(seed, j, lit(k))
     def wordFor(seed: Column, j: Column): Column = {
       val idx = least(pmod(h(seed, j, 1), lit(4096L)),
         pmod(h(seed, j, 2), lit(4096L))).cast("int")
-      val w = when(idx < 256,
+      val base = when(idx < 256,
         element_at(stopCol, pmod(idx, lit(16)) + 1))
         .otherwise(concat(
           element_at(sylCol, floor(idx / lit(64)).cast("int") + 1),
           element_at(sylCol, pmod(idx, lit(64)) + 1)))
+      // stock-phrase blocks: position block j div 3; ~20% of blocks emit
+      // 3 consecutive words of one fixed phrase
+      val block = floor((j - 1) / lit(3)).cast("long")
+      val pid = pmod(h(seed, block, 7), lit(64L)).cast("int")
+      val w = when(pmod(h(seed, block, 6), lit(5L)) === 0,
+        element_at(phraseCol, pid * 3 + pmod(j - 1, lit(3)).cast("int") + 1))
+        .otherwise(base)
       when(pmod(h(seed, j, 3), lit(12L)) === 0, concat(w, lit(".")))
         .otherwise(w)
     }
