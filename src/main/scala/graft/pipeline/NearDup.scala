@@ -343,10 +343,37 @@ object NearDup {
     // machinery. Both branches are hash-identical by the dup-map
     // algebra (NearDupPropertySpec forces chunkLen=2 to pin the chunk
     // branch against the single-pass one).
-    val maxPosting = prefix.groupBy(col("gid")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    val pcounts = prefix.groupBy(col("gid")).agg(count(lit(1)).as("c"))
+      .transform(graft.CacheScope.persist) // feeds the probe AND the filter
+    // One 1-row scalar pass over the persisted counts decides BOTH
+    // adaptive shapes below (the chunk-path probe idiom, widened).
+    val pst = pcounts.agg(
+      coalesce(max(col("c")), lit(0L)),
+      coalesce(sum(col("c")), lit(0L)),
+      coalesce(sum(when(col("c") === 1, 1L).otherwise(0L)), lit(0L))).head()
+    val (maxPosting, prefixRows, singleRows) =
+      (pst.getLong(0), pst.getLong(1), pst.getLong(2))
+    // Singleton-posting pre-filter (round 12; the MinHash hot-bucket idea
+    // applied to the PPJoin index). A pair with jaccard >= t shares a gram
+    // within BOTH prefixes (the prefix lemma), so the gram where any pair
+    // is found has a >= 2-row posting list in THIS relation — a singleton
+    // posting can never produce a candidate, yet it still rode the fat
+    // join-with-gidArr exchange (one full int gram array per prefix row)
+    // and materialized a collect_list group for the kernel to skip. On a
+    // mostly-unique corpus the rarest-first prefix is dominated by df=1
+    // grams, all singletons here (the realistic 500k sweep: ~94% of
+    // prefix rows; standalone REPS=3 52.3 → 32.9 s). Both the groupBy
+    // and this join ride the persisted gid partitioning — no new
+    // exchange; LOSSLESS by the lemma, arbitrated as ever by the
+    // unpruned DuckDB oracle. ADAPTIVE like the chunk path: a dense
+    // corpus whose postings nearly all collide (< 25% singleton rows)
+    // skips the extra pass — the filter would drop little.
+    val prefixM = if (singleRows * 4L >= prefixRows)
+      prefix.join(pcounts.filter(col("c") >= 2).select(col("gid")), Seq("gid"))
+        .transform(mark("prefix_multi", _))
+    else prefix
     val pairs = if (maxPosting <= chunkLen) {
-      prefix.join(gidArr, "doc_id")
+      prefixM.join(gidArr, "doc_id")
         .repartition(numParts, col("gid"))
         .groupBy(col("gid"))
         .agg(sort_array(collect_list(
@@ -357,7 +384,7 @@ object NearDup {
       // sort) split the lists into the bounded-single-row fast path vs
       // the chunk-pair path; both groupBys run exchange-free on top of
       // the pinned layout.
-      val posted = prefix.join(gidArr, "doc_id")
+      val posted = prefixM.join(gidArr, "doc_id")
         .repartition(numParts, col("gid"))
         .withColumn("pp", row_number().over(
           Window.partitionBy(col("gid")).orderBy(col("doc_id"))))
