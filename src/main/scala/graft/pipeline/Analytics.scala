@@ -402,6 +402,12 @@ object Analytics {
     val scored = tf.join(df, "word").crossJoin(broadcast(nd))
       .withColumn("score",
         (col("tf") * col("nd")).cast("double") / col("df").cast("double"))
+    // Probed round 12: a broadcast-model + in-row collect/sort/slice
+    // top-k spelling (one fewer exchange on paper) measured SLOWER at
+    // 100x on both standing corpora (4.05 -> 4.93 s gate) — the rank
+    // window's shuffle+sort beats ObjectHashAggregate's per-doc array
+    // building at these row widths, and the model-count probe job isn't
+    // free. Kept the window.
     scored
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id"))

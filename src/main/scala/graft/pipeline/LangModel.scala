@@ -327,20 +327,28 @@ object LangModel {
         .agg(sum(col("n_occ")).as("n_occ")))
       .transform(graft.CacheScope.persist)
     val raw = pdw.groupBy(col("feat")).agg(sum(col("n_occ")).as("c_raw"))
-      .transform(graft.CacheScope.persist) // feeds the join and both scalars
     val tgt = pdw.join(passedIds, Seq("doc_id"), "left_semi")
       .groupBy(col("feat")).agg(sum(col("n_occ")).as("c_tgt"))
-    val mass = raw.join(tgt, Seq("feat"), "left")
-      .agg(
-        sum(col("c_raw")).as("t_raw"),
-        sum(coalesce(col("c_tgt"), lit(0L))).as("t_tgt"),
-        count(lit(1)).as("v"))
-    pdw.join(raw, Seq("feat"))
-      .join(tgt, Seq("feat"), "left")
+    // ONE merged vocabulary-sized model frame (round 12): raw⋈tgt is a
+    // model-cardinality join, and folding them before the corpus join
+    // means pdw crosses the wire ONCE, not twice (the lm transition
+    // model's round-12 cut, ported; realistic 100x mix_dsir_weights
+    // 8.9 -> 7.7 s). The persist serves the mass scalars and the join.
+    // (A broadcast-hint variant was probed and is NOT kept: the model-
+    // count probe job + persist materialization cost more than the
+    // saved exchange at both standing 100x corpora.)
+    val model = graft.CacheScope.persist(raw.join(tgt, Seq("feat"), "left")
+      .select(col("feat"), col("c_raw"),
+        coalesce(col("c_tgt"), lit(0L)).as("c_tgt")))
+    val mass = model.agg(
+      sum(col("c_raw")).as("t_raw"),
+      sum(col("c_tgt")).as("t_tgt"),
+      count(lit(1)).as("v"))
+    pdw.join(model, Seq("feat"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("n_occ")).as(nName),
-        sum(col("n_occ") * (coalesce(col("c_tgt"), lit(0L)) + lit(1L))).as("sum_tgt"),
+        sum(col("n_occ") * (col("c_tgt") + lit(1L))).as("sum_tgt"),
         sum(col("n_occ") * (col("c_raw") + lit(1L))).as("sum_raw"))
       .crossJoin(broadcast(mass))
       .select(
