@@ -210,8 +210,15 @@ object Cluster {
       // is its own component labeled gid. Vertex set unchanged: a
       // member row appears iff its group has ≥ 2 members (star edge in
       // the old spelling) or its rep sits in a verified pair.
+      // Round 12: iterate over the kernel's spanning-forest pairs only
+      // (tree=true) — same components (per-scan forest argument at
+      // MinHash.ScanUF), same vertex set (a rep's FIRST verified pair
+      // in any scan always merges two singleton roots, so every paired
+      // rep keeps >= 1 tree pair), a fraction of the edge rows where
+      // buckets are dense.
       val repCc = connectedComponents(
-        pairs.select(col("ga").as("id_a"), col("gb").as("id_b")))
+        pairs.filter(col("tree"))
+          .select(col("ga").as("id_a"), col("gb").as("id_b")))
         .select(col("doc_id").as("gid"), col("cluster_id"))
       // gsz rides the members checkpoint (computed in the collapse
       // window for free — MinHash.repGraph); the former groupBy+join

@@ -329,7 +329,8 @@ object MinHash {
       small.union(large)
     }
     val verifiedPairs = mark("verify_kernel", pairs)
-      .select(col("p._1").as("ga"), col("p._2").as("gb"), col("p._3").as("matches"))
+      .select(col("p._1").as("ga"), col("p._2").as("gb"),
+        col("p._3").as("matches"), col("p._4").as("tree"))
     (withG, verifiedPairs)
   }
 
@@ -351,17 +352,49 @@ object MinHash {
     (ids, bhs, sigs)
   }
 
+  /** Scan-local union-find for the spanning-forest tag (round 12): as
+    * pairs verify inside one kernel invocation, union their indices; a
+    * pair whose endpoints were ALREADY connected by this scan's earlier
+    * verified pairs is redundant FOR CONNECTIVITY and gets tree=false.
+    * [[Cluster]] consumes only tree edges — a k-member clique found in
+    * one bucket feeds CC k-1 edges instead of k(k-1)/2 — while the dup
+    * map and the pair report keep every verified pair. Lossless for
+    * components: per scan, tree edges span exactly the components of
+    * that scan's emitted subgraph, and the global graph is the union of
+    * the per-scan subgraphs, so replacing each by its own spanning
+    * forest preserves the transitive closure. (Pairs SKIPPED by the
+    * first-shared-band rule are never unioned — they were emitted, and
+    * spanned, in their own earlier bucket.) */
+  private final class ScanUF(n: Int) {
+    private val parent = Array.tabulate(n)(identity)
+    private def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    /** Union a and b; true iff they were in distinct components. */
+    def merge(a: Int, b: Int): Boolean = {
+      val ra = find(a); val rb = find(b)
+      if (ra == rb) false else { parent(ra) = rb; true }
+    }
+  }
+
   /** Shared verify core: the pair (a, b) with ids(a) < ids(b) survives
     * iff NO band before `band` already collided for it (its first
     * shared band — exactly-once across buckets) AND the signatures
-    * verify; emits (ga, gb, exact match count). */
+    * verify; emits (ga, gb, exact match count, spanning-forest tag).
+    * `ua`/`ub` are the pair's indices in the scan's union-find space. */
   private def verifyAt(p1: BandPosting, a: Int, p2: BandPosting, b: Int, band: Int,
-      out: scala.collection.mutable.Builder[(Long, Long, Int), Seq[(Long, Long, Int)]]): Unit = {
+      uf: ScanUF, ua: Int, ub: Int,
+      out: scala.collection.mutable.Builder[(Long, Long, Int, Boolean), Seq[(Long, Long, Int, Boolean)]]): Unit = {
     var e = 0
     var earlier = false
     while (e < band && !earlier) { earlier = p1._2(a)(e) == p2._2(b)(e); e += 1 }
     if (!earlier && sigMatchesGE(p1._3(a), p2._3(b)))
-      out += ((p1._1(a), p2._1(b), sigMatchCount(p1._3(a), p2._3(b))))
+      out += ((p1._1(a), p2._1(b), sigMatchCount(p1._3(a), p2._3(b)),
+        uf.merge(ua, ub)))
   }
 
   /** In-bucket pair verification: enumerate postings pairs, orient by
@@ -369,13 +402,14 @@ object MinHash {
   private val verifyBucketUdf = udf { (band: Int, ps: Seq[Row]) =>
     val p = decodeBandPosting(ps)
     val ids = p._1
-    val out = Seq.newBuilder[(Long, Long, Int)]
+    val uf = new ScanUF(ids.length)
+    val out = Seq.newBuilder[(Long, Long, Int, Boolean)]
     var i = 0
     while (i < ids.length) {
       var j = i + 1
       while (j < ids.length) {
-        if (ids(i) < ids(j)) verifyAt(p, i, p, j, band, out)
-        else verifyAt(p, j, p, i, band, out)
+        if (ids(i) < ids(j)) verifyAt(p, i, p, j, band, uf, i, j, out)
+        else verifyAt(p, j, p, i, band, uf, j, i, out)
         j += 1
       }
       i += 1
@@ -385,26 +419,33 @@ object MinHash {
 
   /** Chunk-pair form for oversized buckets ([[BandBucketChunkLen]]):
     * chunks are gid-sorted, and ci < cj ⇒ every left gid precedes every
-    * right gid, so cross-chunk pairs orient (left, right) directly. */
+    * right gid, so cross-chunk pairs orient (left, right) directly. The
+    * union-find space is per chunk-pair scan (left ++ right) — a forest
+    * per scan, still lossless by the per-scan argument above. */
   private val verifyBucketChunkUdf = udf { (band: Int, lps: Seq[Row], rps: Seq[Row], same: Boolean) =>
     if (same) {
       val p = decodeBandPosting(lps)
-      val out = Seq.newBuilder[(Long, Long, Int)]
+      val uf = new ScanUF(p._1.length)
+      val out = Seq.newBuilder[(Long, Long, Int, Boolean)]
       var i = 0
       while (i < p._1.length) {
         var j = i + 1
-        while (j < p._1.length) { verifyAt(p, i, p, j, band, out); j += 1 }
+        while (j < p._1.length) { verifyAt(p, i, p, j, band, uf, i, j, out); j += 1 }
         i += 1
       }
       out.result()
     } else {
       val l = decodeBandPosting(lps)
       val r = decodeBandPosting(rps)
-      val out = Seq.newBuilder[(Long, Long, Int)]
+      val uf = new ScanUF(l._1.length + r._1.length)
+      val out = Seq.newBuilder[(Long, Long, Int, Boolean)]
       var i = 0
       while (i < l._1.length) {
         var j = 0
-        while (j < r._1.length) { verifyAt(l, i, r, j, band, out); j += 1 }
+        while (j < r._1.length) {
+          verifyAt(l, i, r, j, band, uf, i, l._1.length + j, out)
+          j += 1
+        }
         i += 1
       }
       out.result()
@@ -432,7 +473,12 @@ object MinHash {
       verifiedPairs: DataFrame): DataFrame =
     members.filter(col("doc_id") =!= col("gid"))
       .select(col("gid").as("id_a"), col("doc_id").as("id_b"))
-      .union(verifiedPairs.select(col("ga").as("id_a"), col("gb").as("id_b")))
+      // CC needs connectivity, not multiplicity: the kernel's
+      // spanning-forest tag drops in-scan-redundant pairs (a k-clique
+      // found in one bucket ships k-1 edges, not k²/2) — same
+      // components by the per-scan forest argument at [[ScanUF]].
+      .union(verifiedPairs.filter(col("tree"))
+        .select(col("ga").as("id_a"), col("gb").as("id_b")))
 
   /** [[duplicateOf]] over a precomputed `(doc_id, sig)` frame — lets the
     * streaming path share one signature-kernel evaluation between the

@@ -153,12 +153,55 @@ class MinHashSpec extends SparkSpec {
       variants.zipWithIndex.map { case (w, i) => (100L + i, other.replace("databases", w)) } :+
       (500L, "an entirely different short standalone text about nothing else")
     val d = docs(rows: _*)
+    // (ga, gb, matches) only: the spanning-forest `tree` tag is
+    // layout-dependent by design (a forest per kernel scan — chunking
+    // changes WHICH pairs are redundant, never the components).
     def pairsAt(chunkLen: Int) =
       MinHash.verifiedPairsOf(d, chunkLen)
+        .select("ga", "gb", "matches")
         .as[(Long, Long, Int)].collect().toSet
     val fast = pairsAt(Int.MaxValue)
     val chunked = pairsAt(2)
     assert(fast.nonEmpty, "fixture invalid: no verified near-dup pairs")
     assert(chunked === fast)
+  }
+
+  test("tree-tagged pairs span the same components as the full verified " +
+      "pair set, on both kernel paths") {
+    val variants = Seq("jumps", "leaps", "hops", "bounds", "vaults")
+    val rows =
+      variants.zipWithIndex.map { case (w, i) => (i.toLong, longA.replace("jumps", w)) } ++
+      variants.zipWithIndex.map { case (w, i) => (100L + i, other.replace("databases", w)) } :+
+      (500L, "an entirely different short standalone text about nothing else")
+    val d = docs(rows: _*)
+    def components(edges: Set[(Long, Long)]): Map[Long, Long] = {
+      // driver-side union-find over the tiny fixture
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+      // normalize: component = min member
+      val byRoot = parent.keys.groupBy(find)
+      byRoot.flatMap { case (_, ms) => val m = ms.min; ms.map(_ -> m) }.toMap
+    }
+    for (chunkLen <- Seq(Int.MaxValue, 2)) {
+      val ps = MinHash.verifiedPairsOf(d, chunkLen)
+        .select("ga", "gb", "tree").as[(Long, Long, Boolean)].collect()
+      val all = ps.map { case (a, b, _) => (a, b) }.toSet
+      val tree = ps.collect { case (a, b, true) => (a, b) }.toSet
+      assert(tree.subsetOf(all))
+      // tiny chunk-pair scans (2x2) may legitimately find no in-scan
+      // redundancy; the single-pass kernel must (5-member clusters).
+      if (chunkLen == Int.MaxValue)
+        assert(tree.size < all.size,
+          "fixture invalid: no redundant pair for the tag to drop")
+      assert(components(tree) === components(all),
+        s"tree edges change components at chunkLen=$chunkLen")
+    }
   }
 }

@@ -53,7 +53,15 @@ class PlanShapeSpec extends SparkSpec {
     // plan is the round-9 single-pass kernel shape; the chunk branch
     // (only taken when a posting list exceeds PostingChunkLen) stays
     // pinned by NearDupPropertySpec's forced chunkLen=2 run.
-    "dedup_jaccard_dupmap" -> ((3, 2, 0)),
+    // Round 12: the singleton-posting pre-filter joins the persisted
+    // posting counts back into `prefix` before the gidArr payload join
+    // (lossless by the prefix lemma; kernel stage 17.8 -> 1.7 s on the
+    // realistic 100x corpus). At THIS fixture scale the filter's BHJ
+    // inflates the size estimate of its output, so the gidArr join
+    // plans SMJ (+2 shuffles, +2 sorts) where it used to broadcast the
+    // tiny prefix side — a small-scale estimation artifact; at 100x
+    // that join is SMJ either way and the query got 2x faster.
+    "dedup_jaccard_dupmap" -> ((5, 2, 2)),
     // round 9: the minhash family rides the memoized localCheckpoint
     // dupmap (MinHash.dupsFor) — the signature/band/verify subtree runs
     // once per (session, dir), so the per-query plans are a checkpoint
