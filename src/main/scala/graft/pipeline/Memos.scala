@@ -26,42 +26,45 @@ object Memos {
       f"[graft.memos] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
   }
 
+  /** The builds form independent DEPENDENCY CHAINS and run concurrently
+    * (round 12): Spark's scheduler interleaves jobs submitted from
+    * multiple threads, and most builds leave cores idle in their scan
+    * or driver-collect phases — sequentially the memo was the top mark
+    * of every 100x sweep while the cluster sat underutilized. Each
+    * chain is sequential within itself (dupmap/cc consume the rep
+    * graph; reasons/passed derive from metrics; fuzzy consumes grams),
+    * so every shared [[QueryMemo]] is populated before its dependents
+    * look it up, and each memo's own lock serializes any residual race
+    * to a single evaluation. Results are build-order independent; the
+    * per-build `timed` lines now overlap in wall-clock. */
+  private val chains: Seq[Seq[(String, (SparkSession, String) => Any)]] = Seq(
+    Seq( // rep graph: eager checkpoints; dup map + CC labels derive.
+      "rep_graph" -> ((s, d) => MinHash.repGraphFor(s, d)),
+      "dupmap" -> ((s, d) =>
+        MinHash.dupsFor(s, d).write.format("noop").mode("overwrite").save()),
+      "cc_labels" -> ((s, d) => Cluster.clustersFor(s, d))),
+    Seq( // shared trigram relation; the fuzzy index derives from it.
+      "grams" -> ((s, d) => Grams.gramsFor(s, d)),
+      "fuzzy_index" -> ((s, d) => Contamination.fuzzyIxFor(s, d))),
+    Seq( // config-independent scalar metrics; verdicts + passed ids derive.
+      "metrics" -> ((s, d) => Quality.metricsFor(s, d)),
+      "reasons" -> ((s, d) => Quality.reasonsFor(s, d)),
+      "passed_ids" -> ((s, d) => Quality.passedIdsFor(s, d))),
+    Seq("lm_scores" -> ((s, d) =>
+      LangModel.scoresFor(s, d).write.format("noop").mode("overwrite").save())),
+    Seq("ivf_index" -> ((s, d) => graft.relational.Similarity.ivfIndexFor(s, d))),
+    Seq("bench_grams" -> ((s, d) => Contamination.benchGramsFor(s, d))),
+    Seq("lexicon" -> ((s, d) => Bpe.lexiconFor(s, d))))
+
   def build(s: SparkSession, d: String): Unit = {
-    // Shared trigram relation: one Trigrams-kernel scan feeding the
-    // jaccard dup map, corpus novelty and the fuzzy index build below.
-    timed("grams") { Grams.gramsFor(s, d) }
-    // rep graph: eager checkpoints inside the memo build.
-    timed("rep_graph") { MinHash.repGraphFor(s, d) }
-    // dup map: lazily checkpointed — force materialization.
-    timed("dupmap") {
-      MinHash.dupsFor(s, d).write.format("noop").mode("overwrite").save()
-    }
-    // CC labels: the CC loop materializes each round eagerly at call time.
-    timed("cc_labels") { Cluster.clustersFor(s, d) }
-    // LM scores: lazily checkpointed — force materialization.
-    timed("lm_scores") {
-      LangModel.scoresFor(s, d).write.format("noop").mode("overwrite").save()
-    }
-    // IVF/PQ index: the eager localCheckpoint inside the memo build
-    // materializes the encoded corpus frame for the three sim_ivf* queries.
-    timed("ivf_index") { graft.relational.Similarity.ivfIndexFor(s, d) }
-    // Fuzzy decontamination index: bench collect + corpus df pass +
-    // broadcast, shared by the two fuzzy-tier queries.
-    timed("fuzzy_index") { Contamination.fuzzyIxFor(s, d) }
-    // Exact-tier bench gram set: a bench-sized pruned mini-scan +
-    // broadcast, shared by the two exact-tier queries.
-    timed("bench_grams") { Contamination.benchGramsFor(s, d) }
-    // Tokenizer-trainer lexicon: the shared corpus word-frequency pass
-    // all three trainer stats queries start from (MaxLexicon-bounded
-    // driver collect).
-    timed("lexicon") { Bpe.lexiconFor(s, d) }
-    // Per-doc scalar quality metrics (config-independent): the cascade
-    // projection, both histograms, the language report and every reason
-    // spelling derive from this one checkpoint; the default-config
-    // verdicts (reasons) and the passed-id set (the DSIR target model)
-    // are projections/filters of it.
-    timed("metrics") { Quality.metricsFor(s, d) }
-    timed("reasons") { Quality.reasonsFor(s, d) }
-    timed("passed_ids") { Quality.passedIdsFor(s, d) }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.size)
+    try {
+      val futs = chains.map { steps =>
+        pool.submit(new Runnable {
+          def run(): Unit = steps.foreach { case (n, f) => timed(n)(f(s, d)) }
+        })
+      }
+      futs.foreach(_.get()) // propagate the first failing chain
+    } finally pool.shutdown()
   }
 }
