@@ -368,7 +368,19 @@ object Bpe {
     * Char-count convention: the oracle counts code points (DuckDB
     * `length`/`string_split`) while `encodeWord` symbols are UTF-16
     * units — identical unless the corpus has non-BMP chars (the gate
-    * corpora have none at any scale; verified per round). */
+    * corpora have none at any scale; verified per round).
+    *
+    * Lexicon-coverage assumption: the oracle's alphabet spans EVERY
+    * corpus word, but the engine's alphabet (and WordPiece's
+    * every-word-coverable property) comes from the [[MaxLexicon]]-capped
+    * lexicon — a character appearing ONLY in words ranked past the cap
+    * would make `vocab_size` diverge (a spurious hash mismatch, not an
+    * engine bug). Valid while distinct corpus words ≤ [[MaxLexicon]],
+    * true of every gate corpus by orders of magnitude (the synthetic
+    * generator's vocabulary is dozens of words, measured 31 at sf0.1);
+    * [[trainOnCov]] prints the `lexicon capped` warning the moment the
+    * assumption stops holding, so a divergence is pre-announced on
+    * stderr rather than silent. */
   def oracles: Map[String, String] = Map(
     "tok_bpe_char_baseline" ->
       """WITH words AS (SELECT unnest(regexp_split_to_array(text, '[ \t\n\f\r]+')) AS w

@@ -43,6 +43,19 @@ import org.apache.spark.sql.functions._
   * data fingerprint, so a regenerated corpus rebuilds it and a
   * same-data session reuses it across process restarts; the LRU memo
   * only caches the (cheap) reader frame.
+  *
+  * Scratch hygiene (round 13): the cache dir is named
+  * `graft_grams_<corpusKey>_<fp>` — `corpusKey` hashes the table
+  * DIRECTORY PATH (stable across regenerations), `fp` its data
+  * fingerprint (changes on regeneration). A build writes to a
+  * process-unique `.tmp-*` sibling and ATOMICALLY renames it into
+  * place, so a concurrent JVM either sees the complete generation or
+  * none — never a half-written one — and a lost install race simply
+  * discards the loser's temp. After install, every OTHER generation
+  * of the SAME corpus (same corpusKey, different fp — i.e. superseded
+  * data) is deleted, as are orphaned temp dirs older than an hour, so
+  * regenerating a corpus leaves exactly one generation on disk; the
+  * live footprint and GC count are logged next to the memo split.
   */
 object Grams {
   private val memo = new QueryMemo[DataFrame]()
@@ -53,15 +66,72 @@ object Grams {
       if (fp == 0L) { // listing failed — no stable key; fall back to heap
         triFrame(graft.Tables.documents(s, d)).localCheckpoint(true)
       } else {
-        val dir = new java.io.File(
-          sys.props("java.io.tmpdir"), f"graft_grams_$fp%016x")
-        if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
+        val corpusKey = f"${scala.util.hashing.MurmurHash3.stringHash(d)}%08x"
+        val target = new java.io.File(tmpRoot, f"graft_grams_${corpusKey}_$fp%016x")
+        if (!new java.io.File(target, "_SUCCESS").exists()) {
+          val tmp = new java.io.File(tmpRoot,
+            target.getName + f".tmp-${ProcessHandle.current.pid}-${System.nanoTime}%x")
           triFrame(graft.Tables.documents(s, d))
-            .write.mode("overwrite").parquet(dir.getAbsolutePath)
+            .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+          install(tmp, target)
         }
-        s.read.parquet(dir.getAbsolutePath)
+        gc(tmpRoot, corpusKey, target)
+        s.read.parquet(target.getAbsolutePath)
       }
     }
+
+  /** Atomically promote a complete temp generation to `target`. If a
+    * half-written `target` exists (crashed writer under the pre-round-13
+    * non-atomic scheme) it is cleared first; if a concurrent JVM wins
+    * the rename race with a complete generation, ours is discarded. */
+  private def install(tmp: java.io.File, target: java.io.File): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    if (target.exists() && !new java.io.File(target, "_SUCCESS").exists())
+      deleteRec(target)
+    try Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.FileSystemException
+          if new java.io.File(target, "_SUCCESS").exists() =>
+        deleteRec(tmp) // lost the race to a complete install — fine
+    }
+  }
+
+  /** Delete superseded generations of THIS corpus (same path key,
+    * different fingerprint — their data no longer exists), legacy
+    * pre-round-13 `graft_grams_<fp16>` dirs, and stale temps from
+    * crashed writers. Other corpora's caches (different key) and
+    * temps younger than an hour (a live writer) are untouched. */
+  private def gc(tmpRoot: java.io.File, corpusKey: String,
+                 target: java.io.File): Unit = {
+    val legacy = ("graft_grams_[0-9a-f]{16}").r
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    val stale = Option(tmpRoot.listFiles()).getOrElse(Array.empty).filter { f =>
+      val n = f.getName
+      n != target.getName && (
+        (n.startsWith(s"graft_grams_${corpusKey}_") &&
+          (!n.contains(".tmp-") || f.lastModified() < cutoff)) ||
+        legacy.matches(n))
+    }
+    val freed = stale.map(sizeRec).sum
+    stale.foreach(deleteRec)
+    System.err.println(
+      f"[graft.memos] grams scratch ${sizeRec(target) / 1048576.0}%.1f MB" +
+        f" at ${target.getName} (gc ${stale.length} stale," +
+        f" ${freed / 1048576.0}%.1f MB freed)")
+  }
+
+  private def sizeRec(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).map(sizeRec).sum
+    else f.length()
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(): Unit
+  }
 
   /** The relation itself, un-memoized — the building block for callers
     * holding an arbitrary docs frame (tests, library users). The

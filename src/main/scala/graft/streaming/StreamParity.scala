@@ -112,9 +112,13 @@ object StreamParity {
   private final case class Result(name: String, streamRows: Long, batchRows: Long,
       ok: Boolean, detail: String = "", note: Option[String] = None)
 
-  /** Canonical multiset hash: fixed column order, sorted row strings. */
+  /** Canonical multiset hash: fixed column order, sorted row strings.
+    * Fields are joined with \u0001 (a control char the pipeline's text
+    * cleaners strip, so it cannot appear in values) so value boundaries
+    * cannot shift across columns — an empty separator would hash
+    * (12,3) and (1,23) identically. */
   private def rowsHash(df: DataFrame): (Long, String) = {
-    val rows = df.collect().map(_.mkString("")).sorted
+    val rows = df.collect().map(_.mkString("\u0001")).sorted
     val md = java.security.MessageDigest.getInstance("MD5")
     rows.foreach(r => md.update((r + "\n").getBytes("UTF-8")))
     (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)

@@ -47,4 +47,26 @@ class QueryMemoSpec extends SparkSpec {
     writeDocs(dir, Seq(0L -> "six seven eight nine ten eleven"))
     assert(f1 !== QueryMemo.fingerprint(spark, dir))
   }
+
+  test("gram scratch cache: in-place regeneration leaves exactly one " +
+      "generation on disk (superseded fingerprints are GC'd)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo-g").toString
+    val key = f"${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x"
+    def gens: Seq[java.io.File] =
+      Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith(s"graft_grams_${key}_")).toSeq
+    writeDocs(dir, Seq(0L -> "one two three four five"))
+    graft.pipeline.Grams.gramsFor(spark, dir).count()
+    assert(gens.map(_.getName).size === 1)
+    val g1 = gens.head.getName
+    assert(new java.io.File(gens.head, "_SUCCESS").exists(),
+      "generation must be installed complete (atomic rename)")
+    Thread.sleep(1100) // parquet mtime granularity can be 1 s
+    writeDocs(dir, Seq(0L -> "six seven eight nine ten eleven"))
+    graft.pipeline.Grams.gramsFor(spark, dir).count()
+    assert(gens.map(_.getName).size === 1,
+      "stale generation not GC'd on regeneration")
+    assert(gens.head.getName !== g1, "new fingerprint must get a new dir")
+  }
 }
