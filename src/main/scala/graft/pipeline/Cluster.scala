@@ -146,6 +146,89 @@ object Cluster {
     labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"))
   }
 
+  /** Driver-collect bound for [[componentsOfPairs]]' central solve:
+    * 4M edges = two longs each ≈ 64 MB collected — comfortable driver
+    * headroom; beyond it the distributed iteration takes over.
+    * Env-tunable for A/B probes (0 forces the distributed path). */
+  val DriverCcMaxEdges: Long =
+    sys.env.get("SPARK_GRAFT_CC_DRIVER_MAX").map(_.toLong).getOrElse(4000000L)
+
+  /** Components of an already-CONTRACTED pair graph, adaptively:
+    * count the edges (a scan — callers pass checkpointed pair frames)
+    * and, when the graph fits [[DriverCcMaxEdges]], solve it with a
+    * driver-side union-find instead of the iterative rounds. This is
+    * the second half of the two-phase CC pattern (Kiveris et al.
+    * SoCC'14 run distributed contraction until the remainder fits one
+    * machine, then finish centrally): the engine's contraction is the
+    * identical-signature collapse + per-scan spanning forest, which
+    * shrinks the edge list to ~#clustered-reps — at gate scale the
+    * distributed iteration's 3-5 rounds were pure per-round scheduling
+    * cost over a few thousand edges (12.5 s of the round-12 memo
+    * critical path). A corpus whose contracted graph still exceeds the
+    * bound (billions of near-dup reps) takes the unchanged
+    * [[connectedComponents]] path. Both paths emit identical labels
+    * (ClusterSpec pins it). */
+  private[graft] def componentsOfPairs(pairs: DataFrame): DataFrame = {
+    val skinny = pairs.select(col("id_a"), col("id_b"))
+    val n = skinny.count()
+    if (n > DriverCcMaxEdges) connectedComponents(skinny)
+    else {
+      val edges = skinny.collect()
+      // index-compressed union-find over the edge endpoints
+      val idx = new java.util.HashMap[Long, Integer](edges.length * 2)
+      val ids = new scala.collection.mutable.ArrayBuffer[Long](edges.length)
+      def slot(v: Long): Int = {
+        val got = idx.get(v)
+        if (got != null) got.intValue()
+        else { val s = ids.length; idx.put(v, s); ids += v; s }
+      }
+      val ends = new Array[(Int, Int)](edges.length)
+      var i = 0
+      while (i < edges.length) {
+        ends(i) = (slot(edges(i).getLong(0)), slot(edges(i).getLong(1)))
+        i += 1
+      }
+      val parent = Array.tabulate(ids.length)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      i = 0
+      while (i < ends.length) {
+        val ra = find(ends(i)._1); val rb = find(ends(i)._2)
+        if (ra != rb) parent(ra) = rb
+        i += 1
+      }
+      // component label = min vertex id of the component
+      val minOf = new Array[Long](ids.length)
+      java.util.Arrays.fill(minOf, Long.MaxValue)
+      i = 0
+      while (i < ids.length) {
+        val r = find(i)
+        if (ids(i) < minOf(r)) minOf(r) = ids(i)
+        i += 1
+      }
+      System.err.println(
+        s"[graft.cc] solved ${edges.length} edges / ${ids.length} vertices on driver")
+      val ss = pairs.sparkSession
+      val rows = (0 until ids.length).map { v =>
+        org.apache.spark.sql.Row(ids(v), minOf(find(v)))
+      }
+      ss.createDataFrame(
+        ss.sparkContext.parallelize(rows,
+          math.max(1, math.min(ss.sparkContext.defaultParallelism,
+            ids.length / 10000 + 1))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster_id",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+  }
+
   /** Transitive MinHash near-dup clusters over `documents`: one row per
     * doc that has at least one verified near-duplicate. */
   def minhashClusters(docs: DataFrame): DataFrame =
@@ -193,43 +276,29 @@ object Cluster {
     * queries clears SQL-cached relations, not these), so sibling
     * queries are a cached-partition scan. Capacity-bound + fingerprint
     * invalidation: [[QueryMemo]]. */
-  private val ccMemo = new QueryMemo[DataFrame]()
+  // Round 11 (verdict r10 task #1b, stronger form): CC runs over the
+  // REP-pair graph only, not the member-level star union — the label
+  // state shrinks from corpus cardinality to the verified near-dup rep
+  // graph, and the member stars become ONE post-hoc join. Lossless
+  // relabeling: gid is already the MIN doc_id of its identical-
+  // signature group, so the min member id of a mixed component equals
+  // the min gid over its reps — exactly the rep-CC label; a group with
+  // no verified pair is its own component labeled gid. Vertex set
+  // unchanged: a member row appears iff its group has ≥ 2 members
+  // (star edge in the old spelling) or its rep sits in a verified
+  // pair. Round 12: only the kernel's spanning-forest pairs
+  // (tree=true) feed CC — same components (per-scan forest argument at
+  // MinHash.ScanUF), same vertex set, a fraction of the edge rows.
+  // Round 13: the rep-CC itself is solved adaptively
+  // ([[componentsOfPairs]] — driver union-find under the bound), and
+  // the member expansion + checkpoint are SHARED with the dup map in
+  // [[MinHash.memberAttrsFor]]; this query is a filter-projection of
+  // that one member-level checkpoint.
   private[pipeline] def clustersFor(s: SparkSession, d: String): DataFrame =
-    ccMemo.getOrElseUpdate(s, d) {
-      val (members, pairs) = MinHash.repGraphFor(s, d)
-      // Round 11 (verdict r10 task #1b, stronger form): iterate CC over
-      // the REP-pair graph only, not the member-level star union — the
-      // per-round label state shrinks from corpus cardinality to the
-      // verified near-dup rep graph (at the adversarial 100× dataset,
-      // half of each planted cluster is identical copies that collapse
-      // to reps, so this is a many-fold cut), and the member stars
-      // become ONE post-hoc join. Lossless relabeling: gid is already
-      // the MIN doc_id of its identical-signature group, so the min
-      // member id of a mixed component equals the min gid over its
-      // reps — exactly the rep-CC label; a group with no verified pair
-      // is its own component labeled gid. Vertex set unchanged: a
-      // member row appears iff its group has ≥ 2 members (star edge in
-      // the old spelling) or its rep sits in a verified pair.
-      // Round 12: iterate over the kernel's spanning-forest pairs only
-      // (tree=true) — same components (per-scan forest argument at
-      // MinHash.ScanUF), same vertex set (a rep's FIRST verified pair
-      // in any scan always merges two singleton roots, so every paired
-      // rep keeps >= 1 tree pair), a fraction of the edge rows where
-      // buckets are dense.
-      val repCc = connectedComponents(
-        pairs.filter(col("tree"))
-          .select(col("ga").as("id_a"), col("gb").as("id_b")))
-        .select(col("doc_id").as("gid"), col("cluster_id"))
-      // gsz rides the members checkpoint (computed in the collapse
-      // window for free — MinHash.repGraph); the former groupBy+join
-      // here paid a corpus exchange to re-derive it.
-      members
-        .join(repCc, Seq("gid"), "left")
-        .filter(col("gsz") >= 2 || col("cluster_id").isNotNull)
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("gid")).as("cluster_id"))
-        .localCheckpoint(true)
-    }
+    MinHash.memberAttrsFor(s, d)
+      .filter(col("gsz") >= 2 || col("cluster_id").isNotNull)
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("gid")).as("cluster_id"))
 
   /** Quality-aware dedup: within each near-dup cluster KEEP THE BEST
     * DOCUMENT (longest n_chars, ties to the smallest id) instead of the

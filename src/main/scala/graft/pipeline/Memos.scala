@@ -38,11 +38,11 @@ object Memos {
     * to a single evaluation. Results are build-order independent; the
     * per-build `timed` lines now overlap in wall-clock. */
   private val chains: Seq[Seq[(String, (SparkSession, String) => Any)]] = Seq(
-    Seq( // rep graph: eager checkpoints; dup map + CC labels derive.
+    Seq( // rep graph: eager checkpoints; ONE member-attribution pass
+      // (round 13) materializes dup-map + cluster labels together —
+      // dupsFor / clustersFor are filter-projections of its checkpoint.
       "rep_graph" -> ((s, d) => MinHash.repGraphFor(s, d)),
-      "dupmap" -> ((s, d) =>
-        MinHash.dupsFor(s, d).write.format("noop").mode("overwrite").save()),
-      "cc_labels" -> ((s, d) => Cluster.clustersFor(s, d))),
+      "member_attrs" -> ((s, d) => MinHash.memberAttrsFor(s, d))),
     Seq( // shared trigram relation; the fuzzy index derives from it.
       "grams" -> ((s, d) => Grams.gramsFor(s, d)),
       "fuzzy_index" -> ((s, d) => Contamination.fuzzyIxFor(s, d))),

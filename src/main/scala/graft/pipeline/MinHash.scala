@@ -488,23 +488,46 @@ object MinHash {
     duplicateOfRepGraph(withG.select(col("doc_id"), col("gid")), verifiedPairs)
   }
 
-  /** The dup-map algebra over an already-derived skinny rep graph. */
-  private def duplicateOfRepGraph(members: DataFrame,
-      verifiedPairs: DataFrame): DataFrame = {
-    // partner list per group: every other group that collides + verifies
-    // (both orientations — a member may exceed a partner group's min even
-    // when its own group's min does not).
-    val partners = verifiedPairs.select(col("ga").as("gid"), col("gb").as("cand"))
+  /** Per-group min verified partner: `pm(gid)` = the smallest gid among
+    * groups that collide + verify with `gid` (both pair orientations).
+    * Rep-graph-cardinality — two scans of the skinny pair checkpoint
+    * and one tiny groupBy. */
+  private def minPartners(verifiedPairs: DataFrame): DataFrame =
+    verifiedPairs.select(col("ga").as("gid"), col("gb").as("cand"))
       .union(verifiedPairs.select(col("gb").as("gid"), col("ga").as("cand")))
-    val crossCands = members.join(partners, "gid")
-      .filter(col("cand") < col("doc_id"))
-      .select(col("doc_id"), col("cand"))
-    val inGroupCands = members.filter(col("doc_id") =!= col("gid"))
-      .select(col("doc_id"), col("gid").as("cand"))
-    crossCands.union(inGroupCands)
-      .groupBy(col("doc_id").as("duplicate_id"))
-      .agg(min(col("cand")).as("original_id"))
-  }
+      .groupBy(col("gid")).agg(min(col("cand")).as("pm"))
+
+  /** The duplicate→original column in closed form over `(doc_id, gid,
+    * pm)` — provably the old member×partner explode + groupBy(doc_id)
+    * min (round 13; the explode shipped k×p rows per group and paid a
+    * corpus-cardinality aggregation):
+    *
+    * A member's candidate set is {cand ∈ partners(gid) : cand < doc_id}
+    * ∪ {gid | doc_id ≠ gid}, and its original is the set's min.
+    *  - doc_id ≠ gid: gid < doc_id (gid is the group MIN), so gid is a
+    *    candidate. If pm < gid then pm < doc_id too, so pm survives the
+    *    filter and min = pm = least(gid, pm). If pm ≥ gid, every
+    *    filtered partner ≥ pm ≥ gid, so min = gid = least(gid, pm).
+    *    (pm null ⇒ least skips it ⇒ gid.)
+    *  - doc_id = gid: candidates are partners < gid. pm < gid ⇒ min =
+    *    pm (pm is the global partner min); pm ≥ gid ⇒ empty ⇒ null
+    *    (not a duplicate).
+    * So original = IF(doc_id ≠ gid, least(gid, pm), IF(pm < gid, pm)).
+    */
+  private def originalIdCol: org.apache.spark.sql.Column =
+    when(col("doc_id") =!= col("gid"), least(col("gid"), col("pm")))
+      .otherwise(when(col("pm") < col("gid"), col("pm")))
+
+  /** The dup-map algebra over an already-derived skinny rep graph:
+    * members join the per-group [[minPartners]] frame once and the
+    * original falls out of [[originalIdCol]] — no member×partner
+    * explode, no corpus-wide groupBy. */
+  private def duplicateOfRepGraph(members: DataFrame,
+      verifiedPairs: DataFrame): DataFrame =
+    members.join(minPartners(verifiedPairs), Seq("gid"), "left")
+      .select(col("doc_id"), originalIdCol.as("original_id"))
+      .filter(col("original_id").isNotNull)
+      .select(col("doc_id").as("duplicate_id"), col("original_id"))
 
   /** `matches(a, b) >= MinMatches` with early exit both ways — the JVM
     * form of `size(filter(zip_with(sig_a, sig_b, (x,y) -> x = y), v -> v))
@@ -581,19 +604,51 @@ object MinHash {
       (members, pairs)
     }
 
-  /** The duplicate_id → original_id map derived from [[repGraphFor]],
-    * itself memoized: the dupmap algebra (partner join + min) is cheap
-    * next to the rep graph but still corpus-shaped, and four queries
-    * consume the identical result. (`pipeline_unique_docs` deduplicates
-    * the UNCLEANED documents table — reference parity,
-    * src/main.py:250-256 — which is why it can share this memo while
-    * `pipeline_summary`'s post-clean exact dedup cannot.) */
-  private val dupMemo = new QueryMemo[DataFrame]()
-  def dupsFor(s: SparkSession, d: String): DataFrame =
-    dupMemo.getOrElseUpdate(s, d) {
+  /** ONE member-level attribution pass per table directory, shared by
+    * the dup-map family (`dedup_minhash*`, `pipeline_unique_docs`) AND
+    * the CC clustering family (`dedup_minhash_clusters`,
+    * `_cluster_stats`, `dedup_cluster_histogram`, `dedup_keep_best`) —
+    * round 13: both families join the corpus-cardinality members frame
+    * against per-GROUP attributes (min verified partner for the dup
+    * map, transitive component label for clustering), and before this
+    * memo each paid its own members join + corpus-level checkpoint.
+    * Per-gid frames ([[minPartners]] and the contracted-graph CC
+    * labels) are rep-graph-sized, so ONE members join emits
+    * `(doc_id, gid, gsz, original_id, cluster_id)` — the dup map is
+    * `original_id IS NOT NULL` ([[originalIdCol]]'s closed form) and
+    * the cluster labels are `gsz ≥ 2 OR cluster_id IS NOT NULL` with
+    * `coalesce(cluster_id, gid)` (the rep-CC relabeling argument at
+    * [[Cluster.clustersFor]]) — one corpus exchange and one checkpoint
+    * where round 12 paid two of each.
+    * (`pipeline_unique_docs` deduplicates the UNCLEANED documents
+    * table — reference parity, src/main.py:250-256 — which is why it
+    * can share this memo while `pipeline_summary`'s post-clean exact
+    * dedup cannot.) */
+  private val attrsMemo = new QueryMemo[DataFrame]()
+  private[pipeline] def memberAttrsFor(s: SparkSession, d: String): DataFrame =
+    attrsMemo.getOrElseUpdate(s, d) {
       val (members, pairs) = repGraphFor(s, d)
-      duplicateOfRepGraph(members, pairs).localCheckpoint()
+      val repCc = Cluster.componentsOfPairs(
+          pairs.filter(col("tree"))
+            .select(col("ga").as("id_a"), col("gb").as("id_b")))
+        .select(col("doc_id").as("gid"), col("cluster_id"))
+      // pm and cluster_id have identical support (a gid has a verified
+      // partner iff it sits in a tree pair's component — the forest
+      // keeps every paired rep), but full_outer costs nothing and
+      // leaves the invariant to the data rather than the reader.
+      val gidAttrs = minPartners(pairs).join(repCc, Seq("gid"), "full_outer")
+      members.join(gidAttrs, Seq("gid"), "left")
+        .select(col("doc_id"), col("gid"), col("gsz"),
+          originalIdCol.as("original_id"), col("cluster_id"))
+        .localCheckpoint(true)
     }
+
+  /** The duplicate_id → original_id map — a filter-projection of the
+    * [[memberAttrsFor]] checkpoint (no second materialization). */
+  def dupsFor(s: SparkSession, d: String): DataFrame =
+    memberAttrsFor(s, d)
+      .filter(col("original_id").isNotNull)
+      .select(col("doc_id").as("duplicate_id"), col("original_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash" -> ((s, d) =>

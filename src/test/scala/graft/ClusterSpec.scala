@@ -70,4 +70,29 @@ class ClusterSpec extends SparkSpec {
     assert(rddDirs.size == 1,
       s"expected exactly the final round's checkpoint, found: $rddDirs")
   }
+
+  test("componentsOfPairs: driver union-find matches distributed CC " +
+      "(fixture + seeded random graphs)") {
+    def driverLabels(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+      Cluster.componentsOfPairs(pairs.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    assert(driverLabels(graph) == want) // fixture, via the driver path
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 1 to 3) {
+      val pairs = Seq.fill(60)(
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      assert(driverLabels(pairs) == labelsOf(pairs),
+        s"driver UF diverged from distributed CC on $pairs")
+    }
+  }
+
+  test("componentsOfPairs: empty pair frame yields an empty, " +
+      "correctly-typed label frame") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = Cluster.componentsOfPairs(empty)
+    assert(out.columns.toSeq == Seq("doc_id", "cluster_id"))
+    assert(out.count() == 0L)
+  }
 }
