@@ -570,3 +570,50 @@ object DsirBigramFeats {
   def apply(c: Column): Column =
     GraftSqlBridge.column(DsirBigramFeatsExpression(GraftSqlBridge.expression(c)))
 }
+
+/** Per-doc HASHED-transition-model features →
+  * array<struct<hp INT, hb INT, n BIGINT>>, (hp, hb) ascending.
+  * With h(w) = first 32 md5 bits of w:
+  * hp = h(prev) mod [[graft.pipeline.LangModel.LmCtxDim]];
+  * hb = (h(prev)·31 + h(cur)) mod [[graft.pipeline.LangModel.LmBigDim]]
+  * — the DSIR feature map applied to BOTH key spaces of the
+  * CCNet-style bigram transition score, bit-identical to the oracle's
+  * `CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)` arithmetic spelling.
+  * Kernel: [[graft.pipeline.LangModel.lmBigramFeatCounts]]. */
+case class LmBigramFeatsExpression(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("hp", IntegerType, nullable = false),
+    StructField("hb", IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def foldable: Boolean = child.foldable
+  override def prettyName: String = "graft_lm_bigram_feats"
+  override protected def nullSafeEval(input: Any): Any =
+    LmBigramFeatsExpression.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LmBigramFeatsExpression.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): LmBigramFeatsExpression =
+    copy(child = newChild)
+}
+
+object LmBigramFeatsExpression {
+  def compute(s: UTF8String): ArrayData = {
+    val counts = graft.pipeline.LangModel.lmBigramFeatCounts(s.toString)
+    val out = new Array[Any](counts.length)
+    var i = 0
+    while (i < counts.length) {
+      out(i) = new GenericInternalRow(Array[Any](
+        counts(i)._1, counts(i)._2, counts(i)._3))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object LmBigramFeats {
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(LmBigramFeatsExpression(GraftSqlBridge.expression(c)))
+}

@@ -278,6 +278,69 @@ object LangModel {
     out
   }
 
+  /** Feature-hash dimensions for the HASHED transition model (round 13;
+    * see [[transitionScoreHashedQuery]]). The bigram space hashes to
+    * 2^20 buckets and the context (prev-word) space to 2^18 — both
+    * md5-first-32-bits mod dim, the cross-engine-exact map the DSIR
+    * bigram features established. The corpus model is then ≤ 2^20 +
+    * 2^18 rows AT ANY CORPUS SIZE (the realistic 100× corpus has ~16M
+    * distinct bigram types — the model frames were the memo's top
+    * component), which makes both model sides broadcastable and drops
+    * every corpus-cardinality model exchange. */
+  val LmBigDim = 1 << 20
+  val LmCtxDim = 1 << 18
+
+  /** In-row collapsed HASHED bigram type counts, (hp, hb) ascending —
+    * the kernel behind [[graft.functions.LmBigramFeatsExpression]]:
+    * with h(w) = first-32-md5-bits(w),
+    * hp = h(prev) % [[LmCtxDim]] and
+    * hb = (h(prev)·31 + h(cur)) % [[LmBigDim]] — the bigram bucket is
+    * ARITHMETIC over the two word hashes, not a second digest, so md5
+    * runs once per DISTINCT WORD per row (cached below) instead of
+    * twice per bigram occurrence; the oracle spells the identical
+    * two-md5 expression. (h < 2^32, so h·31 + h < 2^38 — exact in
+    * BIGINT on both engines.) */
+  def lmBigramFeatCounts(text: String): Array[(Int, Int, Long)] = {
+    val words = tokenizeWords(text)
+    val nw = words.length
+    if (nw < 2) return Array.empty
+    val md = bigramScratch.get()._1
+    def h32(s: String): Long = {
+      md.reset()
+      md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val wordH = new java.util.HashMap[String, java.lang.Long]()
+    def hOf(w: String): Long = {
+      var h = wordH.get(w)
+      if (h == null) { h = java.lang.Long.valueOf(h32(w)); wordH.put(w, h) }
+      h.longValue()
+    }
+    val m = new java.util.TreeMap[java.lang.Long, Long]()
+    var i = 0
+    while (i < nw - 1) {
+      val hPrev = hOf(words(i))
+      val hp = (hPrev % LmCtxDim).toInt
+      val hb = ((hPrev * 31L + hOf(words(i + 1))) % LmBigDim).toInt
+      val key = java.lang.Long.valueOf((hp.toLong << 20) | hb)
+      val prev = m.get(key) // null unboxes to 0 for an absent key
+      m.put(key, prev + 1L)
+      i += 1
+    }
+    val out = new Array[(Int, Int, Long)](m.size)
+    val it = m.entrySet().iterator()
+    var t = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val k = e.getKey.longValue()
+      out(t) = ((k >>> 20).toInt, (k & 0xfffff).toInt, e.getValue)
+      t += 1
+    }
+    out
+  }
+
   def dsirBigramFeatCounts(text: String): Array[(Int, Long)] = {
     val words = tokenizeWords(text)
     val nw = words.length
@@ -358,6 +421,56 @@ object LangModel {
           .as("dsir_weight"))
   }
 
+  /** [[transitionScoreQuery]] under the DSIR hashing trick (round 13) —
+    * the gate-registered spelling behind `quality_lm_transition` /
+    * `quality_lm_buckets` and the [[scoresFor]] memo.
+    *
+    * SEMANTICS: identical estimator, HASHED key spaces. c(prev,cur)
+    * becomes c(hb) with hb = md5-hash(prev+" "+cur) mod [[LmBigDim]];
+    * c(prev) becomes c(hp) with hp = md5-hash(prev) mod [[LmCtxDim]];
+    * V becomes the count of distinct OCCUPIED context buckets.
+    * Collisions merge rare transitions' counts (Xie et al. 2023 make
+    * exactly this memory-for-noise trade for DSIR's n-gram features;
+    * at 2^20/2^18 buckets the realistic 100× corpus sees ~16:1 bigram
+    * collision, dominated by count-1 tails). The DuckDB oracle spells
+    * the identical hashed model, so the hash check still arbitrates
+    * every row bit-for-bit.
+    *
+    * WHY (the 100 TB story): the exact model is corpus-vocabulary-
+    * shaped — ~16M distinct (prev,cur) string keys on the realistic
+    * 100× corpus made `lm_scores` the memo build's top component
+    * (string-keyed model groupBys, a model⋈context join, and a 25M-row
+    * sort-merge join against the corpus frame). The hashed model is
+    * ≤ 2^20 + 2^18 INT-keyed rows AT ANY CORPUS SIZE: both model
+    * sides `broadcast()` (bounded by construction — no size probe
+    * needed), the corpus-side frame never shuffles for the model
+    * joins, and map-side partial aggregation over bounded key spaces
+    * caps the model-build exchanges. The exact-vocabulary
+    * [[transitionScoreQuery]] stays as library surface. */
+  def transitionScoreHashedQuery(docs: DataFrame): DataFrame = {
+    val pdb = docs
+      .select(col("doc_id"),
+        explode(graft.functions.LmBigramFeats(col("text"))).as("f"))
+      .select(col("doc_id"), col("f.hp").as("hp"), col("f.hb").as("hb"),
+        col("f.n").as("n_occ"))
+      .transform(graft.CacheScope.persist) // feeds both model builds + the score join
+    val big = pdb.groupBy(col("hb")).agg(sum(col("n_occ")).as("c_bg"))
+    val ctxv = pdb.groupBy(col("hp")).agg(sum(col("n_occ")).as("c_ctx"))
+    val v = ctxv.agg(count(lit(1)).as("v"))
+    pdb.join(broadcast(big), Seq("hb"))
+      .join(broadcast(ctxv.crossJoin(broadcast(v))), Seq("hp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n_occ")).as("n_transitions"),
+        sum(col("n_occ") * (col("c_bg") + lit(1L))).as("sum_smoothed_bigram"),
+        sum(col("n_occ") * (col("c_ctx") + col("v"))).as("sum_smoothed_context"))
+      .select(
+        col("doc_id"), col("n_transitions"),
+        col("sum_smoothed_bigram"), col("sum_smoothed_context"),
+        (col("sum_smoothed_bigram").cast("double")
+          / col("sum_smoothed_context").cast("double")).as("transition_score"))
+  }
+
   /** CCNet's deployment shape for the LM score: split each language's
     * docs into perplexity terciles — `head` (most fluent/common),
     * `middle`, `tail` (the noise CCNet drops or down-weights) — with the
@@ -436,7 +549,7 @@ object LangModel {
   private val lmMemo = new QueryMemo[DataFrame]()
   private[pipeline] def scoresFor(s: SparkSession, d: String): DataFrame =
     lmMemo.getOrElseUpdate(s, d) {
-      transitionScoreQuery(Tables.documents(s, d)).localCheckpoint()
+      transitionScoreHashedQuery(Tables.documents(s, d)).localCheckpoint()
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -453,7 +566,10 @@ object LangModel {
   // -----------------------------------------------------------------------
 
   /** The transition-score oracle body, shared verbatim by the score
-    * query and the per-language bucket query built on top of it. */
+    * query and the per-language bucket query built on top of it.
+    * Round 13: spells the HASHED model ([[transitionScoreHashedQuery]])
+    * — same md5-mod feature map as the Spark kernel, independently
+    * derived from the raw text. */
   private val transitionOracleSql: String =
     s"""WITH w AS (
        |  SELECT doc_id,
@@ -461,16 +577,22 @@ object LangModel {
        |                     x -> x <> '') AS w
        |  FROM documents),
        |pdb AS (
-       |  SELECT doc_id, prev, cur, count(*) AS n_occ FROM (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(prev), 1, 8) AS BIGINT)
+       |           % $LmCtxDim AS hp,
+       |         (CAST('0x' || substr(md5(prev), 1, 8) AS BIGINT) * 31
+       |            + CAST('0x' || substr(md5(cur), 1, 8) AS BIGINT))
+       |           % $LmBigDim AS hb,
+       |         CAST(count(*) AS BIGINT) AS n_occ FROM (
        |    SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
        |    FROM w, unnest(range(1, len(w))) AS r(i))
-       |  GROUP BY doc_id, prev, cur),
+       |  GROUP BY doc_id, hp, hb),
        |big AS (
-       |  SELECT prev, cur, CAST(sum(n_occ) AS BIGINT) AS c_bg
-       |  FROM pdb GROUP BY prev, cur),
+       |  SELECT hb, CAST(sum(n_occ) AS BIGINT) AS c_bg
+       |  FROM pdb GROUP BY hb),
        |ctx AS (
-       |  SELECT prev, CAST(sum(c_bg) AS BIGINT) AS c_ctx
-       |  FROM big GROUP BY prev),
+       |  SELECT hp, CAST(sum(n_occ) AS BIGINT) AS c_ctx
+       |  FROM pdb GROUP BY hp),
        |v AS (SELECT count(*) AS v FROM ctx)
        |SELECT p.doc_id,
        |  CAST(sum(p.n_occ) AS BIGINT) AS n_transitions,
@@ -480,8 +602,8 @@ object LangModel {
        |    / CAST(sum(p.n_occ * (c.c_ctx + v.v)) AS BIGINT)::DOUBLE
        |    AS transition_score
        |FROM pdb p
-       |JOIN big b ON p.prev = b.prev AND p.cur = b.cur
-       |JOIN ctx c ON p.prev = c.prev, v
+       |JOIN big b USING (hb)
+       |JOIN ctx c USING (hp), v
        |GROUP BY p.doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(

@@ -63,6 +63,51 @@ class LangModelSpec extends SparkSpec {
     assert(got == want)
   }
 
+  private def md5h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  test("hashed lm-feature kernel equals an independent md5 recomputation") {
+    val t = "The cat sat  on the cat mat\tthe cat"
+    val ws = words(t)
+    val want = ws.sliding(2).filter(_.size == 2).toSeq
+      .map { case Seq(a, b) =>
+        ((md5h32(a) % LangModel.LmCtxDim).toInt,
+          ((md5h32(a) * 31L + md5h32(b)) % LangModel.LmBigDim).toInt) }
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      .toSeq.sortBy(x => (x._1, x._2))
+    assert(LangModel.lmBigramFeatCounts(t).toSeq == want)
+    assert(LangModel.lmBigramFeatCounts("one").isEmpty)
+    assert(LangModel.lmBigramFeatCounts("").isEmpty)
+  }
+
+  test("hashed transition score equals the exact model when the fixture's " +
+      "hashes are injective (deterministic for fixed md5)") {
+    // 8-word vocab: 8 contexts and <= 49 bigram types hashed into 2^18 /
+    // 2^20 buckets — verify injectivity explicitly, then the hashed and
+    // exact estimators must agree row-for-row (same counts, same V).
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("the", "cat", "sat", "on", "mat", "dog", "ran", "zap")
+    assert(vocab.map(w => md5h32(w) % LangModel.LmCtxDim).distinct.size == vocab.size)
+    val pairs = for (a <- vocab; b <- vocab) yield (a, b)
+    assert(pairs.map { case (a, b) =>
+      (md5h32(a) * 31L + md5h32(b)) % LangModel.LmBigDim
+    }.distinct.size == pairs.size)
+    val rows = (1L to 30L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_transitions", "sum_smoothed_bigram",
+        "sum_smoothed_context", "transition_score")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map { case (id, a, b, c, d) => id -> ((a, b, c, d)) }.toMap
+    assert(rowsOf(LangModel.transitionScoreHashedQuery(docsDF(rows)))
+      == rowsOf(LangModel.transitionScoreQuery(docsDF(rows))))
+  }
+
   test("in-row bigram type-count kernel equals an independent sliding " +
       "grouping (mixed case, repeated whitespace, repeats, short docs)") {
     val texts = Seq(
