@@ -67,6 +67,7 @@ object Bench {
     val memoMark: Seq[(String, Double)] =
       if (only.nonEmpty && only.intersect(memoConsumers).isEmpty) Nil
       else {
+        graft.pipeline.QueryMemo.phase = "memo_build"
         val t0 = System.nanoTime()
         val ok =
           try { graft.pipeline.Memos.build(spark, sfDir); true }
@@ -90,6 +91,7 @@ object Bench {
     val results = memoMark ++ SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      graft.pipeline.QueryMemo.phase = name
       val marks = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -124,8 +126,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val nFail = results.count(_._2 < 0)
+    // Attribution audit (round-12 verdict #1): shared-memo builds that
+    // ran INSIDE a query mark instead of memo_build_shared. A non-empty
+    // map means those query marks absorbed index-construction cost —
+    // the map says exactly which mark and how much, so round-over-round
+    // totals decompose into real changes vs accounting shifts. (Two
+    // classes land here by design and cost what they cost: memos for
+    // queries outside `memoConsumers`, and rebuilds after an LRU/
+    // fingerprint eviction mid-sweep.)
+    val late = graft.pipeline.QueryMemo.lateBuilds()
+    late.foreach { case (k, s) =>
+      System.err.println(f"[bench] late memo build $k ${s}%.1f s")
+    }
+    val lateJson = late.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"reps":$reps,"late_memo_builds":$lateJson,"sf":"$sfDir"}"""
     println(json)
     // stdout goes through sbt's [info] prefix, which broke the driver's
     // parser in round 1 — also drop the raw line where it can be read back.

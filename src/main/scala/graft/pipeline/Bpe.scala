@@ -272,7 +272,7 @@ object Bpe {
     * corpus word-frequency pass — previously each re-ran it. Driver
     * footprint is [[MaxLexicon]]-bounded by construction (the same
     * bounded-collect class the trainers already rely on). */
-  private val lexMemo = new graft.pipeline.QueryMemo[LexiconCoverage]()
+  private val lexMemo = new graft.pipeline.QueryMemo[LexiconCoverage](name = "lexicon")
   private[pipeline] def lexiconFor(s: SparkSession, d: String): LexiconCoverage =
     lexMemo.getOrElseUpdate(s, d) {
       wordFrequenciesWithCoverage(Tables.documents(s, d))

@@ -100,7 +100,7 @@ object Contamination {
   /** One bench-gram-set build + broadcast per table directory (the
     * [[fuzzyIxFor]] memo story); both exact-tier registrations share it. */
   private val benchGramsMemo =
-    new QueryMemo[org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]]]()
+    new QueryMemo[org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]]](name = "bench_grams")
   private[graft] def benchGramsFor(s: SparkSession, d: String)
       : org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]] =
     benchGramsMemo.getOrElseUpdate(s, d) {
@@ -290,7 +290,7 @@ object Contamination {
     * the bench's cache barrier, so warm queries pay only their own
     * probe pass. */
   private val fuzzyIxMemo =
-    new QueryMemo[org.apache.spark.broadcast.Broadcast[FuzzyIndex]]()
+    new QueryMemo[org.apache.spark.broadcast.Broadcast[FuzzyIndex]](name = "fuzzy_index")
   private[graft] def fuzzyIxFor(s: SparkSession, d: String)
       : org.apache.spark.broadcast.Broadcast[FuzzyIndex] =
     fuzzyIxMemo.getOrElseUpdate(s, d) {

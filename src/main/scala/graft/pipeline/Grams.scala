@@ -58,7 +58,7 @@ import org.apache.spark.sql.functions._
   * live footprint and GC count are logged next to the memo split.
   */
 object Grams {
-  private val memo = new QueryMemo[DataFrame]()
+  private val memo = new QueryMemo[DataFrame](name = "grams")
 
   def gramsFor(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate(s, d) {

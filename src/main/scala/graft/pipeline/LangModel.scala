@@ -546,7 +546,7 @@ object LangModel {
     * per-doc score rows into block storage that survives the bench
     * harness's per-query `CacheScope.drain()`/`clearCache()`; capacity
     * bound + data-fingerprint invalidation: [[QueryMemo]]. */
-  private val lmMemo = new QueryMemo[DataFrame]()
+  private val lmMemo = new QueryMemo[DataFrame](name = "lm_scores")
   private[pipeline] def scoresFor(s: SparkSession, d: String): DataFrame =
     lmMemo.getOrElseUpdate(s, d) {
       transitionScoreHashedQuery(Tables.documents(s, d)).localCheckpoint()

@@ -592,7 +592,7 @@ object MinHash {
     * members frame is corpus-cardinality × 16 bytes in executor block
     * storage — the price of sharing; a deployment with flaky executors
     * would swap in reliable `checkpoint()` (the [[Cluster]] pattern). */
-  private val repMemo = new QueryMemo[(DataFrame, DataFrame)]()
+  private val repMemo = new QueryMemo[(DataFrame, DataFrame)](name = "rep_graph")
   private[graft] def repGraphFor(s: SparkSession, d: String): (DataFrame, DataFrame) =
     repMemo.getOrElseUpdate(s, d) {
       val (withG, verifiedPairs) = repGraph(signatures(Tables.documents(s, d)))
@@ -624,7 +624,7 @@ object MinHash {
     * table — reference parity, src/main.py:250-256 — which is why it
     * can share this memo while `pipeline_summary`'s post-clean exact
     * dedup cannot.) */
-  private val attrsMemo = new QueryMemo[DataFrame]()
+  private val attrsMemo = new QueryMemo[DataFrame](name = "member_attrs")
   private[pipeline] def memberAttrsFor(s: SparkSession, d: String): DataFrame =
     attrsMemo.getOrElseUpdate(s, d) {
       val (members, pairs) = repGraphFor(s, d)

@@ -256,7 +256,7 @@ object Quality {
     * not the corpus again. Every reason spelling (any Config), the
     * cascade projection, the reference-default histogram and the
     * language report are projections of this one frame. */
-  private val metricsMemo = new QueryMemo[DataFrame]()
+  private val metricsMemo = new QueryMemo[DataFrame](name = "metrics")
   private[pipeline] def metricsFor(s: SparkSession, d: String): DataFrame =
     metricsMemo.getOrElseUpdate(s, d) {
       withMetrics(Tables.documents(s, d))
@@ -264,7 +264,7 @@ object Quality {
         .localCheckpoint(true)
     }
 
-  private val reasonsMemo = new QueryMemo[DataFrame]()
+  private val reasonsMemo = new QueryMemo[DataFrame](name = "reasons")
   private[graft] def reasonsFor(s: SparkSession, d: String): DataFrame =
     reasonsMemo.getOrElseUpdate(s, d) {
       // a projection of the metrics checkpoint — no second checkpoint
@@ -277,7 +277,7 @@ object Quality {
     * target-model definition, consumed by both importance-weight
     * queries and `quality_passed`. A filter over the [[reasonsFor]]
     * checkpoint (no second checkpoint needed — the scan is the cost). */
-  private val passedMemo = new QueryMemo[DataFrame]()
+  private val passedMemo = new QueryMemo[DataFrame](name = "passed_ids")
   private[graft] def passedIdsFor(s: SparkSession, d: String): DataFrame =
     passedMemo.getOrElseUpdate(s, d) {
       reasonsFor(s, d).filter(col("reason") === "passed").select(col("doc_id"))

@@ -29,7 +29,7 @@ import org.apache.spark.sql.SparkSession
   * would want per-key futures with the lock held only for map access;
   * nothing here depends on the global lock beyond single evaluation.
   */
-final class QueryMemo[V](capacity: Int = 4) {
+final class QueryMemo[V](capacity: Int = 4, name: String = "") {
   private val m =
     new java.util.LinkedHashMap[(SparkSession, String, Long), V](8, 0.75f, true) {
       override def removeEldestEntry(
@@ -39,11 +39,40 @@ final class QueryMemo[V](capacity: Int = 4) {
 
   def getOrElseUpdate(s: SparkSession, d: String)(build: => V): V = m.synchronized {
     val k = (s, d, QueryMemo.fingerprint(s, d))
-    Option(m.get(k)).getOrElse { val v = build; m.put(k, v); v }
+    Option(m.get(k)).getOrElse {
+      val t0 = System.nanoTime()
+      val v = build
+      QueryMemo.recordBuild(name, (System.nanoTime() - t0) / 1e9)
+      m.put(k, v)
+      v
+    }
   }
 }
 
 object QueryMemo {
+  /** Cost-attribution hooks (round-12 verdict #1): [[graft.Bench]]
+    * labels execution phases ("memo_build", then each query name), and
+    * every memo MISS — an inline build — records `(phase, memo,
+    * seconds)`. A build landing in a QUERY phase means that query's
+    * mark silently absorbed shared-index construction (the round-12
+    * driver sweep moved ~3.4 s of materialization into ~15 consumer
+    * marks this way); Bench reports such late builds in its JSON so
+    * round-over-round totals decompose into real changes vs accounting
+    * shifts. Phase unset (Verify, tests, library use) records under
+    * "" and is not reported. */
+  @volatile private[graft] var phase: String = ""
+  private[graft] val buildLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Double)]()
+  private def recordBuild(name: String, sec: Double): Unit =
+    if (phase.nonEmpty && name.nonEmpty) buildLog.add((phase, name, sec)): Unit
+
+  /** Builds recorded OUTSIDE the memo_build phase, `query.memo -> s`. */
+  private[graft] def lateBuilds(): Seq[(String, Double)] = {
+    import scala.jdk.CollectionConverters._
+    buildLog.asScala.toSeq.collect {
+      case (ph, n, sec) if ph != "memo_build" => (s"$ph.$n", sec)
+    }
+  }
   /** Order-independent-input, deterministic hash of the directory's
     * recursive `(path, mtime, len)` listing (sorted by path before
     * folding). Returns 0 on any listing failure so memoization still

@@ -388,7 +388,7 @@ object Similarity {
   /** Cross-query memo of the built index (same localCheckpoint + LRU +
     * data-fingerprint story as MinHash.repGraphFor): the encoded frame is
     * checkpointed once and all three IVF consumers read its blocks. */
-  private val ivfMemo = new graft.pipeline.QueryMemo[IvfIndex]()
+  private val ivfMemo = new graft.pipeline.QueryMemo[IvfIndex](name = "ivf_index")
   private[graft] def ivfIndexFor(s: SparkSession, d: String): IvfIndex =
     ivfMemo.getOrElseUpdate(s, d) {
       val ix = buildIvfIndex(Tables.embeddings(s, d))
