@@ -40,6 +40,45 @@ object TextEmbed {
   val NumPlanes = 8
   val DedupCosine = 0.9
 
+  /** Margin-directed multi-probe flips per vector (round 13; the
+    * query-directed probing idea of Lv et al. 2007, "Multi-Probe LSH",
+    * adapted to symmetric dedup blocking): besides its own bucket,
+    * each vector probes the buckets reached by flipping its
+    * [[ProbeFlips]] SMALLEST-|margin| planes — margin = |n·proj_p −
+    * Σproj_p|, the exact-integer distance to plane p's centered
+    * boundary. A near-dup pair that straddles a plane straddles it
+    * NEAR the boundary (the pair's vectors are close), so the
+    * straddled plane is precisely a low-margin plane for both — the
+    * probe set recovers most single-flip misses at (1+T)+1 keys
+    * instead of full Hamming-1's (1+np)×, and the extra CO-FLIP key
+    * (both smallest margins XORed together) extends coverage to two-
+    * and three-plane straddles, whose XORs compose across the pair.
+    * To keep the bucket join occupancy-neutral in TOTAL KEYS, the
+    * plane count is derived from n·(T+2): more, finer buckets, with
+    * the probes covering the extra straddle risk exactly where it
+    * concentrates.
+    *
+    * Measured by [[graft.ProbeRecall]] (planted near-pairs, both
+    * standing 100× corpora, round 13): exact-bucket recall was 0.39
+    * realistic / 0.52 gate; at T=4 the probed blocking reads 0.94 /
+    * 0.97, costing dedup_semantic_text 5.3 → 10.9 s realistic and
+    * 5.3 → 13.2 s gate at 100× — the measured realistic T sweep
+    * (T = 2/3/4/5, with co-flip → 0.84/0.90/0.94/0.96) picked T=4 as
+    * the knee (gate cost is flat in T: 13.3 s at T=3 vs 13.2 at T=4);
+    * an extra-plane "sharpen" probe (halving occupancy) did NOT
+    * reduce the cost, so the price is candidate verification, not
+    * bucket scans. The oracle spells the identical probe set, so the
+    * candidate net stays bit-comparable. */
+  val ProbeFlips: Int =
+    sys.env.get("SPARK_GRAFT_TEXTLSH_FLIPS").map(_.toInt.max(0)).getOrElse(4)
+
+  /** Extra bucket sharpening beyond key-count occupancy neutrality:
+    * each doubling halves expected occupancy (quartering in-bucket
+    * pair work) at the cost of one more straddleable plane — the
+    * probes absorb most of that risk. Env-tunable for A/B probes. */
+  val OccSharpen: Int =
+    sys.env.get("SPARK_GRAFT_TEXTLSH_SHARPEN").map(_.toInt.max(1)).getOrElse(1)
+
   /** Corpus-proportional plane count (round-6 scale rule, same formula
     * and clamps as the float-embedding family): buckets track n/128 so
     * per-bucket occupancy — and the candidate pair join — stays bounded
@@ -165,12 +204,83 @@ object TextEmbed {
     * the group's global min, so rep-level verification + the standard
     * member expansion reproduces the all-pairs answer the oracle
     * computes). */
+  /** Stage probe, active only under SPARK_GRAFT_TEXTLSH_PROBE (the
+    * NearDup.mark pattern): cumulative noop-forced deltas. */
+  private def mark(name: String, df: DataFrame): DataFrame = {
+    if (sys.env.contains("SPARK_GRAFT_TEXTLSH_PROBE")) {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      System.err.println(
+        f"[graft.textlsh] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    df
+  }
+
   def semanticDedupQuery(docs: DataFrame, threshold: Double = DedupCosine): DataFrame = {
+    val collapsed = mark("collapsed", bucketedVectors(docs))
+    val members = collapsed.select(col("doc_id"), col("gid"))
+    // packed sparse vector: dim << 32 | weight in one Long per entry —
+    // the verify kernel reads a primitive array instead of deserializing
+    // a struct Row per entry per candidate pair.
+    val repVecs = collapsed.filter(col("doc_id") === col("gid"))
+      .select(col("doc_id"),
+        expr("transform(vec, x -> x.dim * 4294967296L + x.weight)").as("pv"),
+        // one kernel bucket per probe key; a pair found through several
+        // shared keys emits several (gid, bucket-min-partner) rows —
+        // harmless, the dup-map algebra below takes the min over all.
+        explode(col("keys")).as("bucket"))
+    // verification, min-partner form: the final dup map only ever reads
+    // ONE fact per rep — its MINIMUM qualifying smaller-id co-bucket
+    // partner. (Proof over the old all-pairs spelling: a non-rep member
+    // always carries its own gid as an in-group candidate, and every
+    // cross-group candidate b of group a with b > a is dominated by that
+    // gid a; a rep's in-group row is filtered by cand < doc_id. So only
+    // min-partner rows survive the final min either way — results are
+    // bit-identical, the per-pair cosine being a pure function of the
+    // two vectors.) That licenses a per-bucket kernel over the id-sorted
+    // rep list with an ASCENDING EARLY-EXIT scan: the first qualifying
+    // smaller partner IS the min, so a planted k-member near-dup cluster
+    // costs O(k) kernel calls, not the k²/2 of the pair-join form — the
+    // 30x→100x probe measured exponent 1.43 on the join spelling (the
+    // generator grows cluster size with the factor, so true pair count
+    // grows quadratically) vs sub-linear on this one. It also ships each
+    // packed vector once per bucket instead of once per candidate pair.
+    // Worst case (a bucket of mutual non-duplicates) degrades to the
+    // same k²/2 merges the join form always paid — with k capped near
+    // 128 by the occupancy-targeted plane count.
+    val verified = mark("verified", repVecs
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pv")))).as("rs"))
+      .select(explode(minPartnerUdf(threshold)(col("rs"))).as("p"))
+      .select(col("p._1").as("gid"), col("p._2").as("cand")))
+    // member expansion (the shared algebra of MinHash.duplicateOfSigs /
+    // Similarity.dedupFromRepPairs): in-group members attribute to their
+    // gid; cross-group to the smallest verified partner gid below them.
+    members.join(verified, "gid")
+      .filter(col("cand") < col("doc_id"))
+      .select(col("doc_id"), col("cand"))
+      .union(members.filter(col("doc_id") =!= col("gid"))
+        .select(col("doc_id"), col("gid").as("cand")))
+      .groupBy(col("doc_id").as("duplicate_id"))
+      .agg(min(col("cand")).as("original_id"))
+  }
+
+  /** The blocking relation of [[semanticDedupQuery]], extracted (round
+    * 13) so [[graft.ProbeRecall]] can measure the blocking's recall
+    * against brute-force cosine on a sample: `(doc_id, vec, bucket,
+    * gid)` — zero-word docs dropped, identical vectors collapsed to
+    * their min-id gid, bucket = full-corpus MEAN-CENTERED sign-LSH over
+    * [[planesFor]] planes. Persisted (two consumers inside the dedup
+    * query; the probe collects a sample). */
+  private[graft] def bucketedVectors(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ss = docs.sparkSession
-    import ss.implicits._
     val numParts = ss.sparkContext.defaultParallelism
-    val np = planesFor(docs.count())
+    // Occupancy-neutral in total keys under multi-probe: each vector
+    // emits 1 + ProbeFlips + 1 keys (own bucket, T single flips, one
+    // co-flip), so the plane count targets TargetBucketOccupancy
+    // against that many keys per vector (see [[ProbeFlips]]).
+    val np = planesFor(docs.count() * (ProbeFlips + 2) * OccSharpen)
     // Round 11: vector AND bucket come off the scan in one native
     // kernel pass (HashedBow) — the exploded (doc, dim, weight) frame,
     // its (doc_id, dim) exchange, the collect_list re-assembly, and the
@@ -195,57 +305,43 @@ object TextEmbed {
       when(col("projs").getItem(p) * lit(nVecs) > lit(tps.getOrElse(p, 0L)),
         lit(1L << p)).otherwise(lit(0L))
     }.reduceOption(_ + _).getOrElse(lit(0L))
-    val collapsed = base
+    // Probe keys: own bucket, flips of the T smallest-|margin| planes,
+    // plus ONE co-flip of the two smallest together (ties to the lower
+    // plane index — array_sort on (m, p) structs; the oracle's
+    // ORDER BY m, p row_number spells the same order). The co-flip is
+    // what breaks the single-flip ceiling: a pair straddling TWO planes
+    // {p, q} is caught when one side co-flips {p, q} against the
+    // other's true bucket, and a THREE-plane straddle when a co-flip
+    // meets a single flip (the XORs compose to the full diff). All
+    // integer-exact, so both engines emit the identical key set.
+    val t = math.min(ProbeFlips, np)
+    val marginSql = (0 until np).map { p =>
+      s"named_struct('m', abs(projs[$p] * ${nVecs}L - ${tps.getOrElse(p, 0L)}L), 'p', $p)"
+    }.mkString("array(", ", ", ")")
+    val coflipSql = if (np >= 2)
+      s"""array(bucket
+         |  ^ shiftleft(CAST(1 AS BIGINT), element_at(array_sort($marginSql), 1).p)
+         |  ^ shiftleft(CAST(1 AS BIGINT), element_at(array_sort($marginSql), 2).p))"""
+        .stripMargin
+    else "array()"
+    base
       .withColumn("bucket", bucketCol)
+      .withColumn("keys", expr(
+        s"""concat(array(bucket),
+           |  transform(slice(array_sort($marginSql), 1, $t),
+           |    s -> bucket ^ shiftleft(CAST(1 AS BIGINT), s.p)),
+           |  $coflipSql)""".stripMargin))
       .withColumn("gh", xxhash64(col("vec")))
       .repartition(numParts, col("gh"))
       .withColumn("gid", min(col("doc_id")).over(
         Window.partitionBy(col("gh"), col("vec"))))
       .drop("gh", "projs")
       .transform(graft.CacheScope.persist)
-    val members = collapsed.select(col("doc_id"), col("gid"))
-    // packed sparse vector: dim << 32 | weight in one Long per entry —
-    // the verify kernel reads a primitive array instead of deserializing
-    // a struct Row per entry per candidate pair.
-    val repVecs = collapsed.filter(col("doc_id") === col("gid"))
-      .select(col("doc_id"),
-        expr("transform(vec, x -> x.dim * 4294967296L + x.weight)").as("pv"),
-        col("bucket"))
-    // verification, min-partner form: the final dup map only ever reads
-    // ONE fact per rep — its MINIMUM qualifying smaller-id co-bucket
-    // partner. (Proof over the old all-pairs spelling: a non-rep member
-    // always carries its own gid as an in-group candidate, and every
-    // cross-group candidate b of group a with b > a is dominated by that
-    // gid a; a rep's in-group row is filtered by cand < doc_id. So only
-    // min-partner rows survive the final min either way — results are
-    // bit-identical, the per-pair cosine being a pure function of the
-    // two vectors.) That licenses a per-bucket kernel over the id-sorted
-    // rep list with an ASCENDING EARLY-EXIT scan: the first qualifying
-    // smaller partner IS the min, so a planted k-member near-dup cluster
-    // costs O(k) kernel calls, not the k²/2 of the pair-join form — the
-    // 30x→100x probe measured exponent 1.43 on the join spelling (the
-    // generator grows cluster size with the factor, so true pair count
-    // grows quadratically) vs sub-linear on this one. It also ships each
-    // packed vector once per bucket instead of once per candidate pair.
-    // Worst case (a bucket of mutual non-duplicates) degrades to the
-    // same k²/2 merges the join form always paid — with k capped near
-    // 128 by the occupancy-targeted plane count.
-    val verified = repVecs
-      .groupBy(col("bucket"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("pv")))).as("rs"))
-      .select(explode(minPartnerUdf(threshold)(col("rs"))).as("p"))
-      .select(col("p._1").as("gid"), col("p._2").as("cand"))
-    // member expansion (the shared algebra of MinHash.duplicateOfSigs /
-    // Similarity.dedupFromRepPairs): in-group members attribute to their
-    // gid; cross-group to the smallest verified partner gid below them.
-    members.join(verified, "gid")
-      .filter(col("cand") < col("doc_id"))
-      .select(col("doc_id"), col("cand"))
-      .union(members.filter(col("doc_id") =!= col("gid"))
-        .select(col("doc_id"), col("gid").as("cand")))
-      .groupBy(col("doc_id").as("duplicate_id"))
-      .agg(min(col("cand")).as("original_id"))
   }
+
+  /** [[cosineGe]] for the probe (packed sparse vectors). */
+  private[graft] def cosineGeProbe(a: Array[Long], b: Array[Long],
+      threshold: Double): Boolean = cosineGe(a, b, threshold)
 
   /** Per-bucket min-partner kernel: `rs` is the bucket's reps as
     * (doc_id, packed vector) structs, PRE-SORTED ascending by doc_id
@@ -339,7 +435,7 @@ object TextEmbed {
       "dedup_semantic_text" ->
         s"""WITH $embedCte,
            |params AS (SELECT greatest(1, least($MaxPlanes,
-           |  length(bin(greatest(1, (SELECT count(*) FROM documents) // $TargetBucketOccupancy))))) AS np),
+           |  length(bin(greatest(1, ((SELECT count(*) FROM documents) * ${(ProbeFlips + 2) * OccSharpen}) // $TargetBucketOccupancy))))) AS np),
            |planes(p, pdim, sign) AS (VALUES $planeVals),
            |pv AS (
            |  SELECT doc_id, p, CAST(sum(weight * sign) AS BIGINT) AS pv
@@ -353,11 +449,29 @@ object TextEmbed {
            |         CAST(sum(CASE WHEN pv.pv * (SELECT n FROM nv) > tot.tp
            |                       THEN (1 << pv.p) ELSE 0 END) AS BIGINT) AS bucket
            |  FROM pv JOIN tot ON pv.p = tot.p GROUP BY doc_id),
+           |mrg AS (
+           |  SELECT pv.doc_id, pv.p,
+           |         row_number() OVER (PARTITION BY pv.doc_id
+           |           ORDER BY abs(pv.pv * (SELECT n FROM nv) - tot.tp), pv.p) AS rn
+           |  FROM pv JOIN tot ON pv.p = tot.p),
+           |keys AS (
+           |  SELECT doc_id, bucket AS key FROM bkt
+           |  UNION ALL
+           |  SELECT b.doc_id, CAST(xor(b.bucket, CAST(1 << m.p AS BIGINT)) AS BIGINT)
+           |  FROM bkt b JOIN mrg m ON m.doc_id = b.doc_id
+           |  WHERE m.rn <= least($ProbeFlips, (SELECT np FROM params))
+           |  UNION ALL
+           |  SELECT b.doc_id,
+           |         CAST(xor(xor(b.bucket, CAST(1 << m1.p AS BIGINT)),
+           |                  CAST(1 << m2.p AS BIGINT)) AS BIGINT)
+           |  FROM bkt b
+           |  JOIN mrg m1 ON m1.doc_id = b.doc_id AND m1.rn = 1
+           |  JOIN mrg m2 ON m2.doc_id = b.doc_id AND m2.rn = 2),
            |nrm AS (SELECT doc_id, CAST(sum(weight * weight) AS BIGINT) AS nn
            |        FROM e GROUP BY doc_id),
            |cand AS (
-           |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
-           |  FROM bkt x JOIN bkt y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+           |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM keys x JOIN keys y ON x.key = y.key AND x.doc_id < y.doc_id),
            |dots AS (
            |  SELECT id_a, id_b, CAST(sum(ea.weight * eb.weight) AS BIGINT) AS dot
            |  FROM cand

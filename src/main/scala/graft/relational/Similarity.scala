@@ -627,6 +627,33 @@ object Similarity {
     dedupFromRepPairs(withG, verified)
   }
 
+  /** Probe hooks (round 13, [[graft.ProbeRecall]]): the blocking
+    * relations of the three embedding-dedup families, exposed so the
+    * recall artifact measures exactly the buckets/cells the operators
+    * join on. MEMBER-level `(vec_id, bucket)` / `(vec_id, cell)`: a
+    * member inherits its identical-vector group's rep bucket — the
+    * collapse means a non-rep member is caught whenever its rep is
+    * (identical vector ⇒ identical blocking key). A multi-probe pair
+    * is caught iff its buckets differ in ≤ 1 bit, an exact-bucket pair
+    * iff they are equal, a SemDeDup pair iff the cells match. */
+  private[graft] def bucketedRepsProbe(emb: DataFrame): DataFrame = {
+    val np = planesFor(emb.count())
+    val (withG, reps) = collapseIdenticalVectors(emb)
+    withG.select(col("vec_id"), col("gid"))
+      .join(reps.select(col("gid"),
+        expr(bucketS("embedding", np)).as("bucket")), "gid")
+      .select(col("vec_id"), col("bucket"))
+  }
+
+  private[graft] def cellRepsProbe(emb: DataFrame): DataFrame = {
+    val (withG, reps) = collapseIdenticalVectors(emb)
+    val cents = codebook(emb, cellsFor(emb.count()))
+    withG.select(col("vec_id"), col("gid"))
+      .join(reps.select(col("gid"),
+        graft.functions.IvfCell(col("embedding"), cents).as("cell")), "gid")
+      .select(col("vec_id"), col("cell"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> ((s, d) => topK(Tables.embeddings(s, d))),
     "sim_ivfpq_topk" -> ((s, d) => ivfPqTopKIx(ivfIndexFor(s, d), TopK)),

@@ -51,15 +51,27 @@ import graft.pipeline.{Contamination, Dedup, Quality}
   *     (the gate corpora have none).
   *  5. `decontaminated_stream` — the stateless per-row gram-overlap tag
   *     vs an exploded join/groupBy batch spelling of the same count.
+  *  6. `realistic_neardup_store` (round 13) — the STATEFUL near-dup
+  *     signature store, driven over a deterministic 20k-doc
+  *     realistic-shape slice (`ScaleGen.uniqueCorpus`: ~98% unique,
+  *     195 planted 2-member near-dup clusters, some straddling
+  *     micro-batch boundaries so the cross-batch store join engages)
+  *     vs the global batch `MinHash.duplicateOf`. STRICT dupmap
+  *     equality is expected HERE because this corpus's near-dup
+  *     relation is a union of cliques and the doc_id-ordered replay
+  *     puts each clique's minimum first — on such corpora
+  *     first-seen-wins ≡ min-id-wins. (On transitive CHAINS the two
+  *     operators genuinely differ — documented at
+  *     [[StreamPipeline.nearDupStream]] — which is why the gate corpus
+  *     could not carry this check.)
+  *  7. `realistic_quality_histogram` (round 13) — the reason cascade +
+  *     exact-dedup store over the same realistic slice (~20k distinct
+  *     content hashes of state, vs the gate corpus's 463), compared as
+  *     the (reason, n_docs) histogram — arrival-order-free because
+  *     same-hash survivors share text, hence reason.
   *
-  * The near-dup signature store is NOT re-checked here: its
-  * exactly-once replay/idempotence contract is pinned by
-  * StreamNearDupSpec (dynamic-partition-overwrite per batch_id), and
-  * its within-batch attribution intentionally differs from the global
-  * batch operator (documented at [[StreamPipeline.nearDupStream]]).
-  *
-  * All collects are gate-corpus-bounded (≤ 10k rows at sf0.01) — this
-  * is a correctness harness, not a scale path.
+  * All collects are slice-bounded (≤ 20k rows) — this is a
+  * correctness harness, not a scale path.
   *
   * Usage: runMain graft.streaming.StreamParity <sfDir> [outMd]
   */
@@ -85,7 +97,9 @@ object StreamParity {
       checkAttribution(spark, sfDir),
       checkWindowed(spark, sfDir),
       checkSessionized(spark, sfDir),
-      checkDecontaminated(spark, sfDir))
+      checkDecontaminated(spark, sfDir),
+      checkRealisticNearDup(spark),
+      checkRealisticQualityHistogram(spark))
 
     val md = new StringBuilder
     md.append("# STREAMPARITY — streaming ↔ batch equivalence\n\n")
@@ -287,6 +301,65 @@ object StreamParity {
     compare("sessionized_events", stream, batch,
       note = Some(s"exact-30-min gap ties in corpus: $ties " +
         "(a tie would split under session_window and merge under the lag spelling)."))
+  }
+
+  // -- 6/7. realistic-shape slice: stateful near-dup store + reason
+  //         cascade under non-trivial state ---------------------------------
+  /** Deterministic realistic-shape corpus (the standing 100× sweep's
+    * `--unique` generator at n = 20k), materialized once to scratch
+    * parquet so the stream feed and every batch twin read identical
+    * bytes. ~98% globally-unique docs, 195 planted 2-member near-dup
+    * clusters (content a pure function of doc_id — no RNG). */
+  private var sliceDir: Option[Path] = None
+  private def realisticSlice(spark: SparkSession): DataFrame = {
+    val dir = sliceDir.getOrElse {
+      val d = Files.createTempDirectory("graft-parity-slice")
+      graft.ScaleGen.uniqueCorpus(spark, 20000)
+        .coalesce(4).write.mode("overwrite").parquet(d.toString)
+      sliceDir = Some(d)
+      d
+    }
+    spark.read.parquet(dir.toString)
+  }
+
+  private def checkRealisticNearDup(spark: SparkSession): Result = {
+    import graft.pipeline.MinHash
+    val slice = realisticSlice(spark)
+    val dir = Files.createTempDirectory("graft-parity-nd-src")
+    val state = Files.createTempDirectory("graft-parity-nd-state")
+    val out = Files.createTempDirectory("graft-parity-nd-out")
+    val ckpt = Files.createTempDirectory("graft-parity-nd-ckpt")
+    val q = StreamPipeline.nearDupStream(
+      StreamPipeline.readDocs(spark, dir.toString),
+      state.toString, out.toString, ckpt.toString)
+    try feed(dir, q, jsonBatches(slice, "doc_id")) finally q.stop()
+    val stream = spark.read.parquet(out.toString)
+      .filter(col("is_duplicate"))
+      .select(col("doc_id").as("duplicate_id"), col("original_id"))
+    val batch = MinHash.duplicateOf(slice)
+    compare("realistic_neardup_store", stream, batch,
+      note = Some("realistic_neardup_store compares STRICT dupmap equality " +
+        "(valid on this clique-shaped, id-ordered replay; chains would " +
+        "legitimately diverge — see StreamPipeline.nearDupStream)."))
+  }
+
+  private def checkRealisticQualityHistogram(spark: SparkSession): Result = {
+    val slice = realisticSlice(spark)
+    val dir = Files.createTempDirectory("graft-parity-qh")
+    val out = StreamPipeline.cleanedDeduped(
+      StreamPipeline.readDocs(spark, dir.toString), cfg = Quality.Config.reference)
+    val q = StreamPipeline.toMemorySink(out, "parity_qhist").start()
+    try feed(dir, q, jsonBatches(slice, "doc_id")) finally q.stop()
+    val stream = spark.sql(
+      "SELECT reason, count(*) AS n_docs FROM parity_qhist GROUP BY reason")
+    val batch = Quality.withReason(
+        slice.withColumn("text", graft.pipeline.Clean.cleanText(col("text")))
+          .filter(length(col("text")) >= 100),
+        Quality.Config.reference)
+      .withColumn("content_hash", Dedup.contentHash(col("text")))
+      .select(col("content_hash"), col("reason")).distinct()
+      .groupBy(col("reason")).agg(count(lit(1)).as("n_docs"))
+    compare("realistic_quality_histogram", stream, batch)
   }
 
   // -- 5. stateless decontamination tag --------------------------------------
