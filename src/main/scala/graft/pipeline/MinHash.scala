@@ -227,14 +227,47 @@ object MinHash {
     // consumer (Cluster.clustersFor) needs per-group sizes, and reading
     // them here is free where a post-hoc groupBy+join over the
     // checkpointed members costs a corpus exchange (round-12 memo cut).
+    //
+    // Round 13 — unique-row bypass: on a realistic (~98%-unique)
+    // corpus the collapse exchange shipped every row's 1 KiB signature
+    // into a window that then grouped almost nothing (14.9 s of the
+    // realistic rep_graph's 27 s). One NARROW pass (8-byte gh keys,
+    // map-side combined) finds the duplicate-hash groups; rows whose
+    // gh is unique ARE their own group (gid = doc_id, gsz = 1 —
+    // xxhash64 collisions only ever SPLIT groups, and a unique gh
+    // means no other row could share this sig) and skip the wide
+    // exchange via a broadcast anti-join, so only duplicate
+    // candidates take the window. Guarded by the same broadcast bound
+    // as the hot-bucket filter: a corpus whose duplicate-hash key set
+    // would not broadcast falls back to the round-12 full-window path.
+    // Adaptive, the jaccard singleton-filter pattern: the 1-row stats
+    // probe below reads the dup-ROW share; a corpus that collapses
+    // heavily (the gate corpus: ~every row is in a duplicate group)
+    // would pay two broadcast joins to bypass nothing, so it takes the
+    // full-window path directly and pays only the narrow count pass.
+    val hashed = sigs.withColumn("gh", xxhash64(col("sig")))
+      .transform(graft.CacheScope.persist)
+    val ghCounts = hashed.groupBy(col("gh")).agg(count(lit(1)).as("n"))
+      .transform(graft.CacheScope.persist)
+    val stats = ghCounts.agg(
+      coalesce(sum(col("n")), lit(0L)).as("total"),
+      coalesce(sum(when(col("n") >= 2, col("n"))), lit(0L)).as("dup_rows"),
+      count(when(col("n") >= 2, lit(1))).as("dup_keys")).head()
+    val (nTotal, nDupRows, nDupKeys) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
     val grpW = Window.partitionBy(col("gh"), col("sig"))
-    val withG = sigs
-      .withColumn("gh", xxhash64(col("sig")))
+    def windowed(df: DataFrame): DataFrame = df
       .repartition(numParts, col("gh"))
       .withColumn("gid", min(col("doc_id")).over(grpW))
       .withColumn("gsz", count(lit(1)).over(grpW))
-      .drop("gh")
-      .transform(graft.CacheScope.persist)
+      .select(col("doc_id"), col("sig"), col("gid"), col("gsz"))
+    val withG = (if (nDupKeys <= HotBucketKeysMax && nDupRows * 2 <= nTotal) {
+      val dupGh = ghCounts.filter(col("n") >= 2).select(col("gh"))
+      hashed.join(broadcast(dupGh), Seq("gh"), "left_anti")
+        .select(col("doc_id"), col("sig"),
+          col("doc_id").as("gid"), lit(1L).as("gsz"))
+        .union(windowed(hashed.join(broadcast(dupGh), Seq("gh"), "left_semi")))
+    } else windowed(hashed))
       .transform(mark("collapse", _))
     val reps = withG.filter(col("doc_id") === col("gid"))
       .select(col("gid"), col("sig"))
