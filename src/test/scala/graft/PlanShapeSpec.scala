@@ -143,6 +143,13 @@ class PlanShapeSpec extends SparkSpec {
     // replaced the band self-join + distinct + two broadcast verify
     // joins; the one broadcast is the hot-bucket key pre-filter (the
     // payload shuffle only ships reps whose bucket can pair).
-    assert(got == ((1, 1, 0)), s"clusterEdges plan shape drifted: got $got")
+    // Round 13: the adaptive unique-row collapse bypass (this corpus
+    // takes it) adds the narrow gh-count shuffle + the dup-branch
+    // window repartition (its window sorts are the two sorts) and two
+    // broadcasts for the dup-key anti/semi joins — the trade that
+    // keeps corpus-wide SIGNATURE BYTES out of the collapse exchange
+    // (only the narrow 8-byte key pass and the duplicate-candidate
+    // subset shuffle).
+    assert(got == ((3, 4, 2)), s"clusterEdges plan shape drifted: got $got")
   }
 }
