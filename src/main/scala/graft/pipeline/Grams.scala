@@ -100,18 +100,25 @@ object Grams {
 
   /** Delete superseded generations of THIS corpus (same path key,
     * different fingerprint — their data no longer exists), legacy
-    * pre-round-13 `graft_grams_<fp16>` dirs, and stale temps from
-    * crashed writers. Other corpora's caches (different key) and
-    * temps younger than an hour (a live writer) are untouched. */
+    * pre-round-13 `graft_grams_<fp16>` dirs, stale temps from crashed
+    * writers, and ANY generation older than a week — the week sweep
+    * bounds the tail of single-use corpora (every ScalaTest temp
+    * directory is a distinct path key that is never superseded; one
+    * tiny orphan per suite run would otherwise accumulate forever).
+    * A week-old cache still in use is simply rebuilt — it is a cache.
+    * Other corpora's fresh caches (different key) and temps younger
+    * than an hour (a live writer) are untouched. */
   private def gc(tmpRoot: java.io.File, corpusKey: String,
                  target: java.io.File): Unit = {
     val legacy = ("graft_grams_[0-9a-f]{16}").r
     val cutoff = System.currentTimeMillis() - 3600L * 1000
+    val weekOld = System.currentTimeMillis() - 7L * 86400 * 1000
     val stale = Option(tmpRoot.listFiles()).getOrElse(Array.empty).filter { f =>
       val n = f.getName
       n != target.getName && (
         (n.startsWith(s"graft_grams_${corpusKey}_") &&
           (!n.contains(".tmp-") || f.lastModified() < cutoff)) ||
+        (n.startsWith("graft_grams_") && f.lastModified() < weekOld) ||
         legacy.matches(n))
     }
     val freed = stale.map(sizeRec).sum

@@ -318,25 +318,39 @@ object LangModel {
       if (h == null) { h = java.lang.Long.valueOf(h32(w)); wordH.put(w, h) }
       h.longValue()
     }
-    val m = new java.util.TreeMap[java.lang.Long, Long]()
+    // primitive packed keys + sort + run-length collapse (the boxed
+    // TreeMap spelling allocated a node per bigram; this is the hot
+    // per-row loop of the lm memo's dominant stage)
+    val keys = new Array[Long](nw - 1)
+    var hPrev = hOf(words(0))
     var i = 0
     while (i < nw - 1) {
-      val hPrev = hOf(words(i))
-      val hp = (hPrev % LmCtxDim).toInt
-      val hb = ((hPrev * 31L + hOf(words(i + 1))) % LmBigDim).toInt
-      val key = java.lang.Long.valueOf((hp.toLong << 20) | hb)
-      val prev = m.get(key) // null unboxes to 0 for an absent key
-      m.put(key, prev + 1L)
+      val hCur = hOf(words(i + 1))
+      val hp = hPrev % LmCtxDim
+      val hb = (hPrev * 31L + hCur) % LmBigDim
+      keys(i) = (hp << 20) | hb
+      hPrev = hCur
       i += 1
     }
-    val out = new Array[(Int, Int, Long)](m.size)
-    val it = m.entrySet().iterator()
+    java.util.Arrays.sort(keys)
+    var distinct = 1
+    i = 1
+    while (i < keys.length) {
+      if (keys(i) != keys(i - 1)) distinct += 1
+      i += 1
+    }
+    val out = new Array[(Int, Int, Long)](distinct)
     var t = 0
-    while (it.hasNext) {
-      val e = it.next()
-      val k = e.getKey.longValue()
-      out(t) = ((k >>> 20).toInt, (k & 0xfffff).toInt, e.getValue)
-      t += 1
+    var runStart = 0
+    i = 1
+    while (i <= keys.length) {
+      if (i == keys.length || keys(i) != keys(runStart)) {
+        val k = keys(runStart)
+        out(t) = ((k >>> 20).toInt, (k & 0xfffff).toInt, (i - runStart).toLong)
+        t += 1
+        runStart = i
+      }
+      i += 1
     }
     out
   }
@@ -447,6 +461,18 @@ object LangModel {
     * joins, and map-side partial aggregation over bounded key spaces
     * caps the model-build exchanges. The exact-vocabulary
     * [[transitionScoreQuery]] stays as library surface. */
+  /** Stage probe, active only under SPARK_GRAFT_LM_PROBE (the
+    * NearDup.mark pattern): cumulative noop-forced deltas. */
+  private def mark(name: String, df: DataFrame): DataFrame = {
+    if (sys.env.contains("SPARK_GRAFT_LM_PROBE")) {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      System.err.println(
+        f"[graft.lm] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    df
+  }
+
   def transitionScoreHashedQuery(docs: DataFrame): DataFrame = {
     val pdb = docs
       .select(col("doc_id"),
@@ -454,8 +480,9 @@ object LangModel {
       .select(col("doc_id"), col("f.hp").as("hp"), col("f.hb").as("hb"),
         col("f.n").as("n_occ"))
       .transform(graft.CacheScope.persist) // feeds both model builds + the score join
-    val big = pdb.groupBy(col("hb")).agg(sum(col("n_occ")).as("c_bg"))
-    val ctxv = pdb.groupBy(col("hp")).agg(sum(col("n_occ")).as("c_ctx"))
+      .transform(mark("pdb", _))
+    val big = mark("big", pdb.groupBy(col("hb")).agg(sum(col("n_occ")).as("c_bg")))
+    val ctxv = mark("ctx", pdb.groupBy(col("hp")).agg(sum(col("n_occ")).as("c_ctx")))
     val v = ctxv.agg(count(lit(1)).as("v"))
     pdb.join(broadcast(big), Seq("hb"))
       .join(broadcast(ctxv.crossJoin(broadcast(v))), Seq("hp"))
