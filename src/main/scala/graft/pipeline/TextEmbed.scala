@@ -251,6 +251,9 @@ object TextEmbed {
     val verified = mark("verified", repVecs
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("pv")))).as("rs"))
+      // singleton buckets (common under multi-probe keys) can emit no
+      // pair — skip the kernel row decode for them
+      .filter(size(col("rs")) >= 2)
       .select(explode(minPartnerUdf(threshold)(col("rs"))).as("p"))
       .select(col("p._1").as("gid"), col("p._2").as("cand")))
     // member expansion (the shared algebra of MinHash.duplicateOfSigs /
