@@ -455,47 +455,107 @@ object LangModel {
     * 100× corpus made `lm_scores` the memo build's top component
     * (string-keyed model groupBys, a model⋈context join, and a 25M-row
     * sort-merge join against the corpus frame). The hashed model is
-    * ≤ 2^20 + 2^18 INT-keyed rows AT ANY CORPUS SIZE: both model
-    * sides `broadcast()` (bounded by construction — no size probe
-    * needed), the corpus-side frame never shuffles for the model
-    * joins, and map-side partial aggregation over bounded key spaces
-    * caps the model-build exchanges. The exact-vocabulary
+    * ≤ 2^20 + 2^18 INT-keyed rows AT ANY CORPUS SIZE, which licenses
+    * the two-pass broadcast shape below: pass 1 aggregates both
+    * marginals (bounded exchange, bounded driver collect — a model
+    * download, not a corpus read), pass 2 scores every doc IN-ROW
+    * against the broadcast count arrays. The corpus side is never
+    * persisted, joined, or shuffled. The exact-vocabulary
     * [[transitionScoreQuery]] stays as library surface. */
-  /** Stage probe, active only under SPARK_GRAFT_LM_PROBE (the
-    * NearDup.mark pattern): cumulative noop-forced deltas. */
-  private def mark(name: String, df: DataFrame): DataFrame = {
-    if (sys.env.contains("SPARK_GRAFT_LM_PROBE")) {
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      System.err.println(
-        f"[graft.lm] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+  def transitionScoreHashedQuery(docs: DataFrame): DataFrame = {
+    val ss = docs.sparkSession
+    // Pass 1 — BOTH model marginals in ONE kernel scan, GROUPING SETS
+    // ((hb),(hp)): map-side partial aggregation caps each task's output
+    // at the occupied-bucket count, and the grand total is ≤ LmBigDim +
+    // LmCtxDim rows AT ANY CORPUS SIZE — bounded by construction, so the
+    // driver collect is a model download, not a corpus read. (Round 13,
+    // second cut: the previous shape persisted the corpus-cardinality
+    // (doc, hp, hb, n) frame and broadcast-JOINED it back — the persist
+    // materialization and the 25M-row join were ~2/3 of lm_scores on the
+    // realistic 100x corpus for output the fold below reproduces with
+    // zero exchanges on the corpus side.)
+    val t0 = System.nanoTime()
+    val modelRows = docs
+      .select(explode(graft.functions.LmBigramFeats(col("text"))).as("f"))
+      .select(col("f.hp").as("hp"), col("f.hb").as("hb"), col("f.n").as("n_occ"))
+      .groupingSets(Seq(Seq(col("hb")), Seq(col("hp"))), col("hb"), col("hp"))
+      .agg(sum(col("n_occ")).as("c"))
+      .collect()
+    val bigArr = new Array[Long](LmBigDim)
+    val ctxArr = new Array[Long](LmCtxDim)
+    var v = 0L
+    modelRows.foreach { r =>
+      if (!r.isNullAt(0)) bigArr(r.getInt(0)) = r.getLong(2)
+      else { ctxArr(r.getInt(1)) = r.getLong(2); v += 1 }
     }
-    df
+    if (sys.env.contains("SPARK_GRAFT_LM_PROBE"))
+      System.err.println(f"[graft.lm] models ${(System.nanoTime() - t0) / 1e9}%.1f s" +
+        s" (${modelRows.length} buckets, v=$v)")
+    // Pass 2 — in-row fold against the broadcast model: each executor
+    // fetches the <=10 MB count arrays once, and every doc's sums come
+    // straight off the scan — no persist, no join, no doc-keyed
+    // exchange. Sums are exact integer totals over OCCURRENCES, equal to
+    // the old per-type n_occ-weighted sums by distributivity, so rows
+    // (and the oracle hash) are bit-identical to the join spelling.
+    val bcBig = ss.sparkContext.broadcast(bigArr)
+    val bcCtx = ss.sparkContext.broadcast(ctxArr)
+    val vv = v
+    val fold = udf { text: String =>
+      lmScoreFold(text, bcBig.value, bcCtx.value, vv)
+    }
+    // Stage.once: the struct output is referenced by the null filter and
+    // four field projections — without the barrier, CollapseProject
+    // inlines the UDF into every reference and the fold runs ~6x per row
+    // (the quality_passed lesson, Stage.scala).
+    docs.select(col("doc_id"), Stage.once(fold(col("text"))).as("s"))
+      .filter(col("s").isNotNull)
+      .select(
+        col("doc_id"),
+        col("s._1").as("n_transitions"),
+        col("s._2").as("sum_smoothed_bigram"),
+        col("s._3").as("sum_smoothed_context"),
+        (col("s._2").cast("double") / col("s._3").cast("double"))
+          .as("transition_score"))
   }
 
-  def transitionScoreHashedQuery(docs: DataFrame): DataFrame = {
-    val pdb = docs
-      .select(col("doc_id"),
-        explode(graft.functions.LmBigramFeats(col("text"))).as("f"))
-      .select(col("doc_id"), col("f.hp").as("hp"), col("f.hb").as("hb"),
-        col("f.n").as("n_occ"))
-      .transform(graft.CacheScope.persist) // feeds both model builds + the score join
-      .transform(mark("pdb", _))
-    val big = mark("big", pdb.groupBy(col("hb")).agg(sum(col("n_occ")).as("c_bg")))
-    val ctxv = mark("ctx", pdb.groupBy(col("hp")).agg(sum(col("n_occ")).as("c_ctx")))
-    val v = ctxv.agg(count(lit(1)).as("v"))
-    pdb.join(broadcast(big), Seq("hb"))
-      .join(broadcast(ctxv.crossJoin(broadcast(v))), Seq("hp"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("n_occ")).as("n_transitions"),
-        sum(col("n_occ") * (col("c_bg") + lit(1L))).as("sum_smoothed_bigram"),
-        sum(col("n_occ") * (col("c_ctx") + col("v"))).as("sum_smoothed_context"))
-      .select(
-        col("doc_id"), col("n_transitions"),
-        col("sum_smoothed_bigram"), col("sum_smoothed_context"),
-        (col("sum_smoothed_bigram").cast("double")
-          / col("sum_smoothed_context").cast("double")).as("transition_score"))
+  /** The fold kernel of [[transitionScoreHashedQuery]]'s pass 2: per-doc
+    * (n_transitions, Σ(c_bg(hb)+1), Σ(c_ctx(hp)+V)) over bigram
+    * OCCURRENCES — the same word hashing as [[lmBigramFeatCounts]]
+    * (md5 once per distinct word per row, arithmetic bigram bucket), but
+    * with no type collapse: summing per occurrence equals the per-type
+    * n_occ-weighted sum exactly. Returns null for docs with < 2 tokens
+    * (inner semantics, as the model pass's explode). */
+  private[graft] def lmScoreFold(text: String, big: Array[Long],
+      ctx: Array[Long], v: Long): (Long, Long, Long) = {
+    val words = tokenizeWords(text)
+    val nw = words.length
+    if (nw < 2) return null
+    val md = bigramScratch.get()._1
+    def h32(s: String): Long = {
+      md.reset()
+      md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val wordH = new java.util.HashMap[String, java.lang.Long]()
+    def hOf(w: String): Long = {
+      var h = wordH.get(w)
+      if (h == null) { h = java.lang.Long.valueOf(h32(w)); wordH.put(w, h) }
+      h.longValue()
+    }
+    var sumBg = 0L
+    var sumCtx = 0L
+    var hPrev = hOf(words(0))
+    var i = 0
+    while (i < nw - 1) {
+      val hCur = hOf(words(i + 1))
+      sumBg += big(((hPrev * 31L + hCur) % LmBigDim).toInt) + 1L
+      sumCtx += ctx((hPrev % LmCtxDim).toInt) + v
+      hPrev = hCur
+      i += 1
+    }
+    ((nw - 1).toLong, sumBg, sumCtx)
   }
 
   /** CCNet's deployment shape for the LM score: split each language's
