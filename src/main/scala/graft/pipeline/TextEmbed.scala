@@ -211,7 +211,10 @@ object TextEmbed {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       System.err.println(
-        f"[graft.textlsh] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        f"[graft.textlsh] $name ${(System.nanoTime() - t0) / 1e9}%.1f s" +
+          (if (name == "verified")
+            s" pairs=${scannedPairs.getAndSet(0L)}"
+          else ""))
     }
     df
   }
@@ -228,6 +231,11 @@ object TextEmbed {
         // one kernel bucket per probe key; a pair found through several
         // shared keys emits several (gid, bucket-min-partner) rows —
         // harmless, the dup-map algebra below takes the min over all.
+        // (A canonical-bucket gate — verify a pair only in its minimum
+        // shared key's bucket — was probed in round 13 and REJECTED:
+        // counters showed it breaks the early exit on dup-dense buckets
+        // (gate-corpus scans 31M -> 238M pairs) to save only 16% of
+        // cosines on the realistic corpus.)
         explode(col("keys")).as("bucket"))
     // verification, min-partner form: the final dup map only ever reads
     // ONE fact per rep — its MINIMUM qualifying smaller-id co-bucket
@@ -351,33 +359,53 @@ object TextEmbed {
     * (sort_array on the struct; doc_id is the leading field). For each
     * rep, scan earlier reps in id order and emit (rep, partner) for the
     * FIRST cosine-qualifying one — ascending first = minimum, which is
-    * the only row the dup-map algebra consumes. */
-  private def minPartnerUdf(threshold: Double) =
+    * the only row the dup-map algebra consumes.
+    *
+    * Norms are precomputed ONCE PER REP (round 13): the cosine merge
+    * recomputed both squared norms per CANDIDATE PAIR — two ~|vec| loops
+    * against the merge's one, i.e. ~2/3 of kernel work on buckets where
+    * the early exit rarely fires (the realistic corpus runs ~254M cosine
+    * calls over ~60k reps). Same exact integers, same final IEEE
+    * expression — verdicts are bit-identical. */
+  private val scannedPairs = new java.util.concurrent.atomic.AtomicLong
+
+  private def minPartnerUdf(threshold: Double) = {
+    val probe = sys.env.contains("SPARK_GRAFT_TEXTLSH_PROBE")
     udf { rs: Seq[Row] =>
       val n = rs.length
       val ids = new Array[Long](n)
       val vecs = new Array[Array[Long]](n)
+      val norms = new Array[Long](n)
       var i = 0
       while (i < n) {
         ids(i) = rs(i).getLong(0)
-        vecs(i) = rs(i).getSeq[Long](1).toArray
+        val v = rs(i).getSeq[Long](1).toArray
+        vecs(i) = v
+        var nn = 0L
+        var k = 0
+        while (k < v.length) { val w = v(k) & 0xFFFFFFFFL; nn += w * w; k += 1 }
+        norms(i) = nn
         i += 1
       }
+      var scanned = 0L
       val out = Seq.newBuilder[(Long, Long)]
       var b = 1
       while (b < n) {
         var a = 0
         var found = false
         while (a < b && !found) {
-          if (cosineGe(vecs(a), vecs(b), threshold)) {
+          scanned += 1
+          if (cosineGe(vecs(a), vecs(b), norms(a), norms(b), threshold)) {
             out += ((ids(b), ids(a))); found = true
           }
           a += 1
         }
         b += 1
       }
+      if (probe) scannedPairs.addAndGet(scanned)
       out.result()
     }
+  }
 
   /** cosine(a, b) >= t over two dim-SORTED packed sparse vectors
     * (entry = dim << 32 | weight), by linear merge: dot over shared dims
@@ -387,6 +415,20 @@ object TextEmbed {
     * bit-identical. Packing keeps dim-order sorting (dim is the high
     * word) and weights positive 32-bit (counts). */
   private def cosineGe(a: Array[Long], b: Array[Long], threshold: Double): Boolean = {
+    val M = 0xFFFFFFFFL
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < a.length) { val w = a(i) & M; na += w * w; i += 1 }
+    var j = 0
+    while (j < b.length) { val w = b(j) & M; nb += w * w; j += 1 }
+    cosineGe(a, b, na, nb, threshold)
+  }
+
+  /** Merge-only form with the exact squared norms precomputed by the
+    * caller — identical integers, identical final IEEE expression. */
+  private def cosineGe(a: Array[Long], b: Array[Long], na: Long, nb: Long,
+      threshold: Double): Boolean = {
     val M = 0xFFFFFFFFL
     var i = 0
     var j = 0
@@ -398,12 +440,6 @@ object TextEmbed {
       else if (da < db) i += 1
       else j += 1
     }
-    var na = 0L
-    var nb = 0L
-    i = 0
-    while (i < a.length) { val w = a(i) & M; na += w * w; i += 1 }
-    j = 0
-    while (j < b.length) { val w = b(j) & M; nb += w * w; j += 1 }
     dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)) >= threshold
   }
 
