@@ -68,7 +68,13 @@ object Similarity {
   // ---------------------------------------------------------------------
 
   val NumCells = 16 // minimum cell count (small-corpus clamp)
-  val NProbe = 2
+
+  /** IVF probe width — the serving family's recall/latency knob (raising
+    * it scans linearly more cells). Env-tunable so [[graft.ProbeRecall]]
+    * can MEASURE the knob's recall curve per corpus; the oracle reads the
+    * same value, so engine and oracle stay in lockstep at any setting. */
+  val NProbe: Int =
+    sys.env.get("SPARK_GRAFT_NPROBE").map(_.toInt.max(1)).getOrElse(2)
   val MaxPlanes = 20
   val MaxCells = 1024
   val TargetBucketOccupancy = 128
