@@ -343,4 +343,30 @@ class LangModelSpec extends SparkSpec {
     }
     assert(windows == 0, s"expected a window-free plan, found $windows WindowExec nodes")
   }
+
+  test("lmScoreFold equals an independent occurrence-sum recomputation " +
+      "against explicit hashed models") {
+    val texts = Seq(
+      "The cat sat on the cat mat\tthe cat",
+      "a  b\nc a b", "one", "", "x y x y x")
+    // independent model build over the fixture corpus (occurrence sums)
+    val big = new Array[Long](LangModel.LmBigDim)
+    val ctx = new Array[Long](LangModel.LmCtxDim)
+    def hp(w: String) = (md5h32(w) % LangModel.LmCtxDim).toInt
+    def hb(a: String, b: String) =
+      ((md5h32(a) * 31L + md5h32(b)) % LangModel.LmBigDim).toInt
+    val bigrams = texts.flatMap(t => words(t).sliding(2).filter(_.size == 2))
+      .map { case Seq(a, b) => (a, b) }
+    bigrams.foreach { case (a, b) => big(hb(a, b)) += 1L; ctx(hp(a)) += 1L }
+    val v = ctx.count(_ != 0L).toLong
+    texts.foreach { t =>
+      val bgs = words(t).sliding(2).filter(_.size == 2)
+        .map { case Seq(a, b) => (a, b) }.toSeq
+      val got = LangModel.lmScoreFold(t, big, ctx, v)
+      if (bgs.isEmpty) assert(got == null, s"text <$t>")
+      else assert(got == ((bgs.size.toLong,
+        bgs.map { case (a, b) => big(hb(a, b)) + 1L }.sum,
+        bgs.map { case (a, _) => ctx(hp(a)) + v }.sum)), s"text <$t>")
+    }
+  }
 }
