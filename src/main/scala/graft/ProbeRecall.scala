@@ -71,11 +71,16 @@ object ProbeRecall {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val fams = Seq(
-      minhashBands(spark, sfDir),
-      semanticText(spark, sfDir)) ++
-      embedFamilies(spark, sfDir) ++
-      annRecall(spark, sfDir)
+    // Optional family-group filter (args after sfDir): "minhash",
+    // "textlsh", "embed", "ann" — restricts the run for fast iteration
+    // on one blocking's knobs; default runs everything.
+    val groups = args.drop(1).toSet
+    def want(g: String): Boolean = groups.isEmpty || groups(g)
+    val fams =
+      (if (want("minhash")) Seq(minhashBands(spark, sfDir)) else Nil) ++
+      (if (want("textlsh")) Seq(semanticText(spark, sfDir)) else Nil) ++
+      (if (want("embed")) embedFamilies(spark, sfDir) else Nil) ++
+      (if (want("ann")) annRecall(spark, sfDir) else Nil)
 
     println(s"\n### Blocking recall @ $sfDir (planted=$P, seeded)\n")
     println("| family | qualifying_pairs | caught_by_blocking | recall |")

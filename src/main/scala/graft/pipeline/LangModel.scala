@@ -527,6 +527,10 @@ object LangModel {
     * (inner semantics, as the model pass's explode). */
   private[graft] def lmScoreFold(text: String, big: Array[Long],
       ctx: Array[Long], v: Long): (Long, Long, Long) = {
+    // Null text drops the doc (null out, filtered) — the same
+    // null-propagation the retired LmBigramFeatsExpression UnaryExpression
+    // path had; without it a single null row NPEs the whole query.
+    if (text == null) return null
     val words = tokenizeWords(text)
     val nw = words.length
     if (nw < 2) return null

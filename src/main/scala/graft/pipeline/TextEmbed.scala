@@ -79,6 +79,28 @@ object TextEmbed {
   val OccSharpen: Int =
     sys.env.get("SPARK_GRAFT_TEXTLSH_SHARPEN").map(_.toInt.max(1)).getOrElse(1)
 
+  /** Co-flip probe-key count (round 14, env-tunable for the recall/cost
+    * frontier sweep): how many XOR-composed keys each vector emits
+    * beyond its bucket and the [[ProbeFlips]] single flips. The defs
+    * below list them in fixed order — pairs over the three
+    * smallest-|margin| planes, then the triple — so C=1 is exactly the
+    * round-13 behavior ({1,2} only). A pair straddling two planes {p,q}
+    * is caught when one side's co-flip XORs both against the other's
+    * true bucket; the extra pairs/triple widen which straddle
+    * combinations compose. Total keys per vector = 1 + T + C, and the
+    * plane count derives from that product, keeping the bucket join
+    * occupancy-neutral in total keys. */
+  val CoFlips: Int =
+    sys.env.get("SPARK_GRAFT_TEXTLSH_COFLIPS").flatMap(_.toIntOption)
+      .map(_.max(0).min(4)).getOrElse(1)
+
+  /** 1-based sorted-margin index sets of the co-flip keys, in fixed
+    * order; defs needing a plane index beyond np drop out (the oracle's
+    * rn-joins self-guard identically: a missing rn row yields no key). */
+  private def coflipDefs(np: Int): Seq[Seq[Int]] =
+    Seq(Seq(1, 2), Seq(1, 3), Seq(2, 3), Seq(1, 2, 3))
+      .take(CoFlips).filter(_.forall(_ <= np))
+
   /** Corpus-proportional plane count (round-6 scale rule, same formula
     * and clamps as the float-embedding family): buckets track n/128 so
     * per-bucket occupancy — and the candidate pair join — stays bounded
@@ -210,11 +232,13 @@ object TextEmbed {
     if (sys.env.contains("SPARK_GRAFT_TEXTLSH_PROBE")) {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
+      val pairs =
+        if (name == "verified") {
+          val acc = scannedPairsAcc(df.sparkSession)
+          val v = acc.value; acc.reset(); s" pairs=$v"
+        } else ""
       System.err.println(
-        f"[graft.textlsh] $name ${(System.nanoTime() - t0) / 1e9}%.1f s" +
-          (if (name == "verified")
-            s" pairs=${scannedPairs.getAndSet(0L)}"
-          else ""))
+        f"[graft.textlsh] $name ${(System.nanoTime() - t0) / 1e9}%.1f s$pairs")
     }
     df
   }
@@ -262,7 +286,7 @@ object TextEmbed {
       // singleton buckets (common under multi-probe keys) can emit no
       // pair — skip the kernel row decode for them
       .filter(size(col("rs")) >= 2)
-      .select(explode(minPartnerUdf(threshold)(col("rs"))).as("p"))
+      .select(explode(minPartnerUdf(docs.sparkSession, threshold)(col("rs"))).as("p"))
       .select(col("p._1").as("gid"), col("p._2").as("cand")))
     // member expansion (the shared algebra of MinHash.duplicateOfSigs /
     // Similarity.dedupFromRepPairs): in-group members attribute to their
@@ -291,7 +315,7 @@ object TextEmbed {
     // emits 1 + ProbeFlips + 1 keys (own bucket, T single flips, one
     // co-flip), so the plane count targets TargetBucketOccupancy
     // against that many keys per vector (see [[ProbeFlips]]).
-    val np = planesFor(docs.count() * (ProbeFlips + 2) * OccSharpen)
+    val np = planesFor(docs.count() * (1 + ProbeFlips + CoFlips) * OccSharpen)
     // Round 11: vector AND bucket come off the scan in one native
     // kernel pass (HashedBow) — the exploded (doc, dim, weight) frame,
     // its (doc_id, dim) exchange, the collect_list re-assembly, and the
@@ -329,12 +353,12 @@ object TextEmbed {
     val marginSql = (0 until np).map { p =>
       s"named_struct('m', abs(projs[$p] * ${nVecs}L - ${tps.getOrElse(p, 0L)}L), 'p', $p)"
     }.mkString("array(", ", ", ")")
-    val coflipSql = if (np >= 2)
-      s"""array(bucket
-         |  ^ shiftleft(CAST(1 AS BIGINT), element_at(array_sort($marginSql), 1).p)
-         |  ^ shiftleft(CAST(1 AS BIGINT), element_at(array_sort($marginSql), 2).p))"""
-        .stripMargin
-    else "array()"
+    val defs = coflipDefs(np)
+    val coflipSql = if (defs.isEmpty) "array()" else
+      defs.map(ks => "bucket" + ks.map(i =>
+          s" ^ shiftleft(CAST(1 AS BIGINT), element_at(array_sort($marginSql), $i).p)")
+        .mkString)
+        .mkString("array(", ", ", ")")
     base
       .withColumn("bucket", bucketCol)
       .withColumn("keys", expr(
@@ -367,10 +391,22 @@ object TextEmbed {
     * the early exit rarely fires (the realistic corpus runs ~254M cosine
     * calls over ~60k reps). Same exact integers, same final IEEE
     * expression — verdicts are bit-identical. */
-  private val scannedPairs = new java.util.concurrent.atomic.AtomicLong
+  // Probe counter as a Spark LongAccumulator (round-13 advice): the old
+  // JVM-static AtomicLong was incremented executor-side, so any
+  // non-local deployment read pairs=0 on the driver, and speculative or
+  // retried tasks double-counted even locally. Accumulators are
+  // driver-merged and deduplicated on task success — cluster-correct.
+  @volatile private var pairsAcc: org.apache.spark.util.LongAccumulator = _
+  private def scannedPairsAcc(ss: SparkSession): org.apache.spark.util.LongAccumulator =
+    synchronized {
+      if (pairsAcc == null)
+        pairsAcc = ss.sparkContext.longAccumulator("graft.textlsh.scanned_pairs")
+      pairsAcc
+    }
 
-  private def minPartnerUdf(threshold: Double) = {
+  private def minPartnerUdf(ss: SparkSession, threshold: Double) = {
     val probe = sys.env.contains("SPARK_GRAFT_TEXTLSH_PROBE")
+    val acc = if (probe) scannedPairsAcc(ss) else null
     udf { rs: Seq[Row] =>
       val n = rs.length
       val ids = new Array[Long](n)
@@ -402,7 +438,7 @@ object TextEmbed {
         }
         b += 1
       }
-      if (probe) scannedPairs.addAndGet(scanned)
+      if (probe) acc.add(scanned)
       out.result()
     }
   }
@@ -454,6 +490,24 @@ object TextEmbed {
   private val dimExprD =
     s"CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) % $Dim"
 
+  /** The co-flip key unions of the dedup oracle, generated from the SAME
+    * index sets as the engine's [[coflipDefs]] (unfiltered by np: a def
+    * needing rn = k past the plane count finds no mrg row and emits no
+    * key — exactly the engine's np filter). */
+  private def coflipUnionsSql: String =
+    Seq(Seq(1, 2), Seq(1, 3), Seq(2, 3), Seq(1, 2, 3)).take(CoFlips).map { ks =>
+      val joins = ks.zipWithIndex.map { case (rn, i) =>
+        s"  JOIN mrg m$i ON m$i.doc_id = b.doc_id AND m$i.rn = $rn"
+      }.mkString("\n")
+      val xorExpr = ks.indices.foldLeft("b.bucket") { (acc, i) =>
+        s"xor($acc, CAST(1 << m$i.p AS BIGINT))"
+      }
+      s"""  UNION ALL
+         |  SELECT b.doc_id, CAST($xorExpr AS BIGINT)
+         |  FROM bkt b
+         |$joins""".stripMargin
+    }.mkString("\n")
+
   private val embedCte =
     s"""e AS (
        |  SELECT doc_id, $dimExprD AS dim, count(*) AS weight FROM (
@@ -474,7 +528,7 @@ object TextEmbed {
       "dedup_semantic_text" ->
         s"""WITH $embedCte,
            |params AS (SELECT greatest(1, least($MaxPlanes,
-           |  length(bin(greatest(1, ((SELECT count(*) FROM documents) * ${(ProbeFlips + 2) * OccSharpen}) // $TargetBucketOccupancy))))) AS np),
+           |  length(bin(greatest(1, ((SELECT count(*) FROM documents) * ${(1 + ProbeFlips + CoFlips) * OccSharpen}) // $TargetBucketOccupancy))))) AS np),
            |planes(p, pdim, sign) AS (VALUES $planeVals),
            |pv AS (
            |  SELECT doc_id, p, CAST(sum(weight * sign) AS BIGINT) AS pv
@@ -499,13 +553,7 @@ object TextEmbed {
            |  SELECT b.doc_id, CAST(xor(b.bucket, CAST(1 << m.p AS BIGINT)) AS BIGINT)
            |  FROM bkt b JOIN mrg m ON m.doc_id = b.doc_id
            |  WHERE m.rn <= least($ProbeFlips, (SELECT np FROM params))
-           |  UNION ALL
-           |  SELECT b.doc_id,
-           |         CAST(xor(xor(b.bucket, CAST(1 << m1.p AS BIGINT)),
-           |                  CAST(1 << m2.p AS BIGINT)) AS BIGINT)
-           |  FROM bkt b
-           |  JOIN mrg m1 ON m1.doc_id = b.doc_id AND m1.rn = 1
-           |  JOIN mrg m2 ON m2.doc_id = b.doc_id AND m2.rn = 2),
+           |${coflipUnionsSql}),
            |nrm AS (SELECT doc_id, CAST(sum(weight * weight) AS BIGINT) AS nn
            |        FROM e GROUP BY doc_id),
            |cand AS (
