@@ -91,11 +91,145 @@ object CleanUdfs {
     } catch { case _: CharacterCodingException => s }
   }
 
+  // -------------------------------------------------------------------------
+  // Round 14: the two remaining high-frequency ftfy classes (F1 tail).
+  // -------------------------------------------------------------------------
+
+  /** HTML named entities: the complete Latin-1 block (0xA0-0xFF, the
+    * HTML 3.2/4 names in code-point order) plus the common punctuation/
+    * symbol names — the high-frequency core of ftfy's unescape table;
+    * numeric references (`&#NNN;` / `&#xHH;`) cover the long tail. */
+  private val htmlEntities: Map[String, String] = {
+    val latin1 = Seq(
+      "nbsp", "iexcl", "cent", "pound", "curren", "yen", "brvbar", "sect",
+      "uml", "copy", "ordf", "laquo", "not", "shy", "reg", "macr",
+      "deg", "plusmn", "sup2", "sup3", "acute", "micro", "para", "middot",
+      "cedil", "sup1", "ordm", "raquo", "frac14", "frac12", "frac34", "iquest",
+      "Agrave", "Aacute", "Acirc", "Atilde", "Auml", "Aring", "AElig", "Ccedil",
+      "Egrave", "Eacute", "Ecirc", "Euml", "Igrave", "Iacute", "Icirc", "Iuml",
+      "ETH", "Ntilde", "Ograve", "Oacute", "Ocirc", "Otilde", "Ouml", "times",
+      "Oslash", "Ugrave", "Uacute", "Ucirc", "Uuml", "Yacute", "THORN", "szlig",
+      "agrave", "aacute", "acirc", "atilde", "auml", "aring", "aelig", "ccedil",
+      "egrave", "eacute", "ecirc", "euml", "igrave", "iacute", "icirc", "iuml",
+      "eth", "ntilde", "ograve", "oacute", "ocirc", "otilde", "ouml", "divide",
+      "oslash", "ugrave", "uacute", "ucirc", "uuml", "yacute", "thorn", "yuml")
+      .zipWithIndex.map { case (n, i) => n -> (0xA0 + i).toChar.toString }
+    val punct = Seq(
+      "quot" -> 0x22, "amp" -> 0x26, "apos" -> 0x27, "lt" -> 0x3C, "gt" -> 0x3E,
+      "OElig" -> 0x152, "oelig" -> 0x153, "Scaron" -> 0x160, "scaron" -> 0x161,
+      "Yuml" -> 0x178, "fnof" -> 0x192, "circ" -> 0x2C6, "tilde" -> 0x2DC,
+      "ensp" -> 0x2002, "emsp" -> 0x2003, "thinsp" -> 0x2009,
+      "zwnj" -> 0x200C, "zwj" -> 0x200D, "lrm" -> 0x200E, "rlm" -> 0x200F,
+      "ndash" -> 0x2013, "mdash" -> 0x2014,
+      "lsquo" -> 0x2018, "rsquo" -> 0x2019, "sbquo" -> 0x201A,
+      "ldquo" -> 0x201C, "rdquo" -> 0x201D, "bdquo" -> 0x201E,
+      "dagger" -> 0x2020, "Dagger" -> 0x2021, "bull" -> 0x2022,
+      "hellip" -> 0x2026, "permil" -> 0x2030, "prime" -> 0x2032,
+      "Prime" -> 0x2033, "lsaquo" -> 0x2039, "rsaquo" -> 0x203A,
+      "oline" -> 0x203E, "frasl" -> 0x2044, "euro" -> 0x20AC,
+      "trade" -> 0x2122, "minus" -> 0x2212)
+      .map { case (n, cp) => n -> new String(Character.toChars(cp)) }
+    (latin1 ++ punct).toMap
+  }
+
+  private val entityRe =
+    java.util.regex.Pattern.compile("&(#[xX]?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]{1,31});")
+
+  /** HTML-entity unescape (ftfy `unescape_html`, the double-escape
+    * class: text that went through HTML escaping once or twice —
+    * "&amp;amp;" → "&", "I&#x2019;m" → "I’m"). Conservative: only
+    * well-formed `&name;` / `&#N;` / `&#xH;` forms with a known name or
+    * a valid non-surrogate code point are replaced; a bare "AT&T" or an
+    * unknown "&foo;" passes through untouched. Applied to a fixed point
+    * (<= 3 rounds, like [[fixMojibake]]) so double-escapes unwind and
+    * the result is idempotent. */
+  def unescapeHtml(s: String): String = {
+    if (s == null) return null
+    var cur = s
+    var round = 0
+    var changed = true
+    while (round < 3 && changed) {
+      val next = unescapeOnce(cur)
+      changed = next != cur
+      cur = next
+      round += 1
+    }
+    cur
+  }
+
+  private def unescapeOnce(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val m = entityRe.matcher(s)
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    while (m.find()) {
+      val body = m.group(1)
+      val rep: String =
+        if (body.charAt(0) == '#') {
+          val hex = body.length > 1 && (body.charAt(1) == 'x' || body.charAt(1) == 'X')
+          val digits = if (hex) body.substring(2) else body.substring(1)
+          val cp = try {
+            if (hex) Integer.parseInt(digits, 16)
+            else if (digits.forall(_.isDigit)) Integer.parseInt(digits, 10)
+            else -1
+          } catch { case _: NumberFormatException => -1 }
+          if (cp > 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
+            new String(Character.toChars(cp))
+          else null
+        } else htmlEntities.getOrElse(body, null)
+      if (rep != null) {
+        sb.append(s, last, m.start()).append(rep)
+        last = m.end()
+      }
+    }
+    if (last == 0) s else { sb.append(s, last, s.length); sb.toString }
+  }
+
+  /** Forward cp1252 map for the C1 block: control code point (0x80-0x9F)
+    * → the printable Windows-1252 assigns that byte. */
+  private val cp1252Forward: Map[Char, Char] =
+    cp1252Inverse.map { case (c, b) => ((b & 0xFF).toChar, c) }
+
+  /** C1-control repair (ftfy `fix_c1_controls`, the curly-quote class:
+    * cp1252 bytes decoded as Latin-1 leave C1 controls where curly
+    * quotes/dashes belong — "quoted" → "“quoted”"). Only the
+    * 27 printable mappings are taken; other C1 chars (and everything
+    * else) pass through. Runs AFTER [[fixMojibake]] in [[fixText]]: a
+    * UTF-8-as-Latin-1 string legitimately contains C1 chars as
+    * continuation bytes, and the encoding repair must see them raw. */
+  def fixC1Controls(s: String): String = {
+    if (s == null) return null
+    var i = 0
+    var any = false
+    while (i < s.length && !any) {
+      val c = s.charAt(i)
+      if (c >= 0x80 && c <= 0x9F && cp1252Forward.contains(c)) any = true
+      i += 1
+    }
+    if (!any) return s
+    val out = new Array[Char](s.length)
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      out(i) = if (c >= 0x80 && c <= 0x9F) cp1252Forward.getOrElse(c, c) else c
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** The full F1 step (reference cleaner.py:107-112, ftfy.fix_text's
+    * default plan order restricted to the classes ported here):
+    * unescape_html → fix_encoding → fix_c1_controls. The double-escaped
+    * mojibake composition ("&amp;acirc;&amp;euro;&amp;trade;") unwinds
+    * through the chain: entities first (possibly twice), then the byte
+    * repair, then stray cp1252-as-Latin-1 controls. */
+  def fixText(s: String): String = fixC1Controls(fixMojibake(unescapeHtml(s)))
+
   /** Column forms. Deterministic (default for Scala UDFs). */
   def nfkcCol(c: Column): Column = udf(nfkc _).apply(c)
-  def fixMojibakeCol(c: Column): Column = udf(fixMojibake _).apply(c)
+  def fixMojibakeCol(c: Column): Column = udf(fixText _).apply(c)
 
   /** F1+F2 prefix of the full clean chain (cleaner.py:92-116 order:
-    * mojibake fix, then NFKC, then the regex steps in [[Clean.cleanText]]). */
+    * ftfy text fix, then NFKC, then the regex steps in [[Clean.cleanText]]). */
   def fixAndNormalize(c: Column): Column = nfkcCol(fixMojibakeCol(c))
 }

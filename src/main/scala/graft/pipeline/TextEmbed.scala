@@ -68,9 +68,20 @@ object TextEmbed {
     * an extra-plane "sharpen" probe (halving occupancy) did NOT
     * reduce the cost, so the price is candidate verification, not
     * bucket scans. The oracle spells the identical probe set, so the
-    * candidate net stays bit-comparable. */
+    * candidate net stays bit-comparable.
+    *
+    * Round 14 — default raised to T=5 from the measured realistic-100×
+    * frontier (recall / verify-pairs / wall, calibration-comparable
+    * hosts): T=4+1co 0.9375 / 254M / 38.4 s; T=5+1co **0.9609 / 341M /
+    * 36.6 s**; T=4+3co 0.9453 / 442M / 47.9 s; T=4+3co+triple 0.9453 /
+    * 303M / 37.7 s; T=3+3co 0.9141 / 340M / 40.9 s. Extra co-flips buy
+    * almost nothing (straddles beyond 2 planes rarely sit in the top-3
+    * margins together); the fifth single flip is the efficient key —
+    * wall at or below baseline (the +34% candidate pairs are absorbed
+    * by the ascending early-exit kernel and the one extra plane's finer
+    * buckets), recall over the 0.96 bar. */
   val ProbeFlips: Int =
-    sys.env.get("SPARK_GRAFT_TEXTLSH_FLIPS").map(_.toInt.max(0)).getOrElse(4)
+    sys.env.get("SPARK_GRAFT_TEXTLSH_FLIPS").map(_.toInt.max(0)).getOrElse(5)
 
   /** Extra bucket sharpening beyond key-count occupancy neutrality:
     * each doubling halves expected occupancy (quartering in-bucket

@@ -50,7 +50,10 @@ import graft.pipeline.{Contamination, Dedup, Quality}
   *     window-merge `<`); the harness counts ties and reports them
   *     (the gate corpora have none).
   *  5. `decontaminated_stream` — the stateless per-row gram-overlap tag
-  *     vs an exploded join/groupBy batch spelling of the same count.
+  *     (broadcast-set membership since round 14) vs an exploded
+  *     join/groupBy batch spelling of the same count.
+  *  5b. `decontaminated_drop` (round 14) — the dropContaminated branch
+  *     vs a batch anti-join of docs sharing any gram with the benchmark.
   *  6. `realistic_neardup_store` (round 13) — the STATEFUL near-dup
   *     signature store, driven over a deterministic 20k-doc
   *     realistic-shape slice (`ScaleGen.uniqueCorpus`: ~98% unique,
@@ -98,6 +101,7 @@ object StreamParity {
       checkWindowed(spark, sfDir),
       checkSessionized(spark, sfDir),
       checkDecontaminated(spark, sfDir),
+      checkDecontaminatedDrop(spark, sfDir),
       checkRealisticNearDup(spark),
       checkRealisticQualityHistogram(spark))
 
@@ -389,5 +393,33 @@ object StreamParity {
       .select(col("doc_id"), coalesce(col("hits"), lit(0L)).as("n_contaminated_grams"))
     compare("decontaminated_stream", stream,
       batch.withColumn("n_contaminated_grams", col("n_contaminated_grams").cast("int")))
+  }
+
+  // -- 5b. decontamination DROP branch (round 14) -----------------------------
+  // Exercises the broadcast-membership form end to end on the filtering
+  // path: the streamed survivors must equal a batch anti-join of every
+  // doc sharing at least one benchmark gram.
+  private def checkDecontaminatedDrop(spark: SparkSession, sfDir: String): Result = {
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs.filter(pmod(col("doc_id"), lit(50L)) === 0)
+    val dir = Files.createTempDirectory("graft-parity-decon-drop")
+    val out = StreamPipeline.decontaminatedStream(
+      StreamPipeline.readDocs(spark, dir.toString), bench, dropContaminated = true)
+      .select(col("doc_id"))
+    val q = out.writeStream.format("memory").queryName("parity_decon_drop")
+      .outputMode("append").start()
+    try feed(dir, q, jsonBatches(docs, "doc_id")) finally q.stop()
+    val stream = spark.table("parity_decon_drop")
+    val n = Contamination.GramN
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("w", expr("filter(split(text, '\\\\s+'), x -> x != '')"))
+      .select(col("doc_id"), explode_outer(expr(Contamination.gramsExpr(n))).as("gram"))
+    val benchGrams = grams(bench).select(col("gram")).distinct()
+    val contaminated = grams(docs)
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val batch = docs.select(col("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    compare("decontaminated_drop", stream, batch)
   }
 }
