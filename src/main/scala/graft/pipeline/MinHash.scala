@@ -214,7 +214,22 @@ object MinHash {
   private[pipeline] def repGraph(sigs: DataFrame): (DataFrame, DataFrame) =
     repGraph(sigs, BandBucketChunkLen)
 
+  /** Lazy composition for per-batch consumers (streaming dedup, the
+    * chunk-path test hook): identical plan to the pre-round-14 shape.
+    * The memoized batch path ([[repGraphFor]]) materializes the same
+    * two stages around checkpoints instead — see there for why. */
   private[pipeline] def repGraph(sigs: DataFrame, chunkLen: Int): (DataFrame, DataFrame) = {
+    val withG = collapse(sigs)
+    val reps = withG.filter(col("doc_id") === col("gid"))
+      .select(col("gid"), col("sig"))
+    (withG, verifiedPairsOfReps(reps, chunkLen))
+  }
+
+  /** The identical-signature collapse: `(doc_id, sig, gid, gsz)` where
+    * `gid` is the min doc_id among byte-identical signatures and `gsz`
+    * the group size. One probe job chooses between the unique-row
+    * bypass and the full window (see inline notes). */
+  private def collapse(sigs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The collapse exchange is keyed on the 8-byte xxhash64 of the
     // signature, not the 128-long array itself (the array still crosses
@@ -269,8 +284,16 @@ object MinHash {
         .union(windowed(hashed.join(broadcast(dupGh), Seq("gh"), "left_semi")))
     } else windowed(hashed))
       .transform(mark("collapse", _))
-    val reps = withG.filter(col("doc_id") === col("gid"))
-      .select(col("gid"), col("sig"))
+    withG
+  }
+
+  /** The banded-LSH verify chain over a `(gid, sig)` rep frame.
+    * Callers pass either the lazy collapse filter ([[repGraph]]) or a
+    * checkpointed rep frame ([[repGraphFor]] — which truncates the
+    * lineage every downstream probe/action here would otherwise
+    * re-analyze). */
+  private def verifiedPairsOfReps(reps: DataFrame, chunkLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // PER-BUCKET verify kernel (round 11; the 100× internal split
     // showed the pair machinery, not the signatures, dominating the
     // rep-graph build: band self-join + distinct 10.7 s, verify joins
@@ -294,7 +317,7 @@ object MinHash {
     // the skinny band frame (the persisted collapse makes the probe a
     // cheap second pass); every gate/bench corpus stays on the
     // single-pass path.
-    val numPartsB = sigs.sparkSession.sparkContext.defaultParallelism
+    val numPartsB = reps.sparkSession.sparkContext.defaultParallelism
     val allBands = reps
       .withColumn("bhs", graft.functions.BandHashes(col("sig")))
       .select(col("gid"), col("sig"), col("bhs"),
@@ -317,8 +340,12 @@ object MinHash {
       .agg(count(lit(1)).as("c"))
       .transform(graft.CacheScope.persist) // feeds probe, hot count, hot keys
       .transform(mark("bucket_counts", _))
-    val maxBucket = counts.agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
-    val nHot = counts.filter(col("c") >= 2).count()
+    // One probe job for both bucket statistics (round 14: was two
+    // driver round-trips — max(c) then a count — each re-analyzing the
+    // counts lineage).
+    val cstats = counts.agg(coalesce(max(col("c")), lit(0L)),
+      count(when(col("c") >= 2, lit(1)))).head()
+    val (maxBucket, nHot) = (cstats.getLong(0), cstats.getLong(1))
     val bands = if (nHot <= HotBucketKeysMax)
       allBands.join(broadcast(counts.filter(col("c") >= 2).select("band", "bh")),
         Seq("band", "bh"))
@@ -361,10 +388,9 @@ object MinHash {
           col("l.ps"), col("r.ps"), col("l.ci") === col("r.ci"))).as("p"))
       small.union(large)
     }
-    val verifiedPairs = mark("verify_kernel", pairs)
+    mark("verify_kernel", pairs)
       .select(col("p._1").as("ga"), col("p._2").as("gb"),
         col("p._3").as("matches"), col("p._4").as("tree"))
-    (withG, verifiedPairs)
   }
 
   /** Decoded (band, bh) bucket posting: (gids, band-hash arrays, sigs). */
@@ -628,11 +654,29 @@ object MinHash {
   private val repMemo = new QueryMemo[(DataFrame, DataFrame)](name = "rep_graph")
   private[graft] def repGraphFor(s: SparkSession, d: String): (DataFrame, DataFrame) =
     repMemo.getOrElseUpdate(s, d) {
-      val (withG, verifiedPairs) = repGraph(signatures(Tables.documents(s, d)))
-      // pairs first: the expensive band-join/verify chain populates
-      // withG's cache, the members checkpoint then scans it.
-      val pairs = verifiedPairs.localCheckpoint(true)
+      // Materialization order (round 14): the pre-14 shape planned FIVE
+      // actions over the full collapse lineage (bucket probes, pairs
+      // checkpoint, members checkpoint), re-running the Catalyst
+      // analyze/optimize/codegen cycle on the same big tree each time
+      // (measured: ~1.5 s of job execution inside a 6.2 s rep_graph at
+      // sf0.1 — the rest driver-side planning) and re-EXECUTING the
+      // collapse window three times at 100×. Now: persist withG, the
+      // skinny members checkpoint materializes it (window executes
+      // ONCE), the wide rep frame checkpoints off the cache, and the
+      // whole band/verify chain — bucket probes included — plans over
+      // that small checkpointed lineage. Transient block cost: withG
+      // (corpus × ~1.1 KB, MEMORY_AND_DISK, released at CacheScope
+      // drain) plus the rep checkpoint (unique-sig × ~1.1 KB, released
+      // by the ContextCleaner once this build returns — only the two
+      // skinny memoized frames outlive it), the same
+      // one-build-lifetime class as the signature persist it joins.
+      val withG = graft.CacheScope.persist(
+        collapse(signatures(Tables.documents(s, d))))
       val members = withG.select(col("doc_id"), col("gid"), col("gsz"))
+        .localCheckpoint(true)
+      val reps = withG.filter(col("doc_id") === col("gid"))
+        .select(col("gid"), col("sig")).localCheckpoint(true)
+      val pairs = verifiedPairsOfReps(reps, BandBucketChunkLen)
         .localCheckpoint(true)
       (members, pairs)
     }

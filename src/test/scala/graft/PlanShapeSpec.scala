@@ -136,6 +136,12 @@ class PlanShapeSpec extends SparkSpec {
 
 
   test("plan shape pinned: minhash cluster edge list (CC per-round input)") {
+    // Pin the COLD plan: earlier pins in this suite run repGraphFor,
+    // whose collapse persist (round 14) is matched by the cache manager
+    // on canonicalized-plan equality — left in place, the collapse
+    // subtree here would read as one InMemoryRelation and the pinned
+    // exchanges would vanish from the physical plan.
+    spark.catalog.clearCache()
     val edges = graft.pipeline.MinHash.clusterEdges(Tables.documents(spark, sfDir))
     val got = shape(edges)
     info(s"clusterEdges -> shuffles=${got._1} broadcasts=${got._2} sorts=${got._3}")
