@@ -88,7 +88,57 @@ object CleanUdfs {
       val dec = StandardCharsets.UTF_8.newDecoder() // REPORT on malformed by default
       val fixed = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
       if (fixed != s) fixed else s
+    } catch { case _: CharacterCodingException => restoreByteA0(s) }
+  }
+
+  /** `restore_byte_a0` (ftfy's third encoding-repair tier, round 14):
+    * the NBSP continuation byte 0xA0 inside a mojibaked UTF-8 sequence
+    * is routinely rewritten to a plain space by whitespace-normalizing
+    * systems downstream of the bad decode — "Ã la carte" (C3 20) where
+    * the original "à" was C3 A0. Engaged ONLY when the strict
+    * whole-string repair above failed on malformed input (so there is
+    * positive evidence of a broken sequence): every space directly
+    * following a UTF-8 lead byte (0xC2–0xF4 — a position where a
+    * continuation byte is mandatory, so the space is certainly not
+    * text) is restored to 0xA0 and the strict decode retried; accepted
+    * only on an exact round-trip, like the main path. Leads are
+    * restricted to C2/C3 — the Latin-1 mojibake class this repair
+    * targets (NBSP and the à-row), whose restored output is always a
+    * Latin-1 char. Wider leads would need ftfy's result-badness
+    * scoring to stay safe: with, say, C9 admitted, genuine Latin-1
+    * "JOSÉ ¡q" (C9 20 A1…) would "repair" to a spurious U+0261. A
+    * C2/C3 char before a space in otherwise-malformed text is
+    * overwhelmingly mojibake evidence — the same bet ftfy makes. */
+  private def restoreByteA0(s: String): String = {
+    val bytes = new Array[Byte](s.length)
+    var i = 0
+    var restored = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      bytes(i) = if (c <= 0xFF) c.toByte else cp1252Inverse(c)
+      if (c == ' ' && i > 0) {
+        val prev = bytes(i - 1) & 0xFF
+        if (prev == 0xC2 || prev == 0xC3) { bytes(i) = 0xA0.toByte; restored = true }
+      }
+      i += 1
+    }
+    if (!restored) return s
+    try {
+      val dec = StandardCharsets.UTF_8.newDecoder()
+      val fixed = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (fixed != s) fixed else s
     } catch { case _: CharacterCodingException => s }
+  }
+
+  /** ANSI/VT100 escape-sequence removal (ftfy `remove_terminal_escapes`):
+    * CSI color/cursor sequences (`ESC [ params letter`) pasted into
+    * scraped logs and terminal dumps. The pattern is ftfy's ANSI_RE
+    * shape — parameter bytes are digits/semicolons, one final letter. */
+  private val AnsiRe = java.util.regex.Pattern.compile("\u001B\\[[0-9;]*[A-Za-z]")
+  def removeTerminalEscapes(s: String): String = {
+    if (s == null) return null
+    // Fast path: no ESC byte, no allocation.
+    if (s.indexOf('\u001B') < 0) s else AnsiRe.matcher(s).replaceAll("")
   }
 
   // -------------------------------------------------------------------------
@@ -219,11 +269,14 @@ object CleanUdfs {
 
   /** The full F1 step (reference cleaner.py:107-112, ftfy.fix_text's
     * default plan order restricted to the classes ported here):
-    * unescape_html → fix_encoding → fix_c1_controls. The double-escaped
-    * mojibake composition ("&amp;acirc;&amp;euro;&amp;trade;") unwinds
-    * through the chain: entities first (possibly twice), then the byte
-    * repair, then stray cp1252-as-Latin-1 controls. */
-  def fixText(s: String): String = fixC1Controls(fixMojibake(unescapeHtml(s)))
+    * unescape_html → remove_terminal_escapes → fix_encoding (with the
+    * restore_byte_a0 fallback tier) → fix_c1_controls. The
+    * double-escaped mojibake composition
+    * ("&amp;acirc;&amp;euro;&amp;trade;") unwinds through the chain:
+    * entities first (possibly twice), then the byte repair, then stray
+    * cp1252-as-Latin-1 controls. */
+  def fixText(s: String): String =
+    fixC1Controls(fixMojibake(removeTerminalEscapes(unescapeHtml(s))))
 
   /** Column forms. Deterministic (default for Scala UDFs). */
   def nfkcCol(c: Column): Column = udf(nfkc _).apply(c)
