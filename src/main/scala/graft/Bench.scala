@@ -50,16 +50,23 @@ object Bench {
     // `calibration_sec` beside `value` and EXCLUDED from the total.
     // Round-over-round: total/calibration_sec normalizes host drift
     // (SCALE.md documents the normalization).
-    val calibration = {
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        spark.read.parquet(s"$sfDir/documents.parquet")
-          .selectExpr("sum(length(text)) AS b", "count(*) AS n")
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+    // Guarded like the warmup: the ONE-JSON-LINE contract must survive
+    // a broken scan (missing table, bad dir) — the queries themselves
+    // already report per-query failures; calibration reads -1.
+    val calibration =
+      try {
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          spark.read.parquet(s"$sfDir/documents.parquet")
+            .selectExpr("sum(length(text)) AS b", "count(*) AS n")
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        runs.sorted.apply(1)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] calibration FAILED: ${e.getMessage}")
+        -1.0
       }
-      runs.sorted.apply(1)
-    }
     // Shared-memo setup mark (round-10 advice): the localCheckpoint memos
     // (MinHash rep graph + dup map, Cluster CC labels, LangModel scores)
     // deliberately survive the per-rep drain barrier below, so under
@@ -76,6 +83,7 @@ object Bench {
       "dedup_minhash_cluster_stats", "dedup_cluster_histogram", "dedup_keep_best",
       "quality_lm_transition", "quality_lm_buckets",
       "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivfpq_rerank",
+      "sim_ann_lsh", "sim_semdedup", "sim_embed_dedup", "sim_embed_dedup_mp",
       "decontaminate_fuzzy", "decontaminate_attribution",
       "decontaminate_flags", "decontaminate_overlap",
       "dedup_jaccard_dupmap", "corpus_novelty",

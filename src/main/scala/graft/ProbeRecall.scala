@@ -75,6 +75,10 @@ object ProbeRecall {
     // "textlsh", "embed", "ann" — restricts the run for fast iteration
     // on one blocking's knobs; default runs everything.
     val groups = args.drop(1).toSet
+    val known = Set("minhash", "textlsh", "embed", "ann")
+    val unknown = groups.diff(known)
+    require(unknown.isEmpty,
+      s"unknown family group(s) ${unknown.mkString(", ")} — valid: ${known.mkString(", ")}")
     def want(g: String): Boolean = groups.isEmpty || groups(g)
     val fams =
       (if (want("minhash")) Seq(minhashBands(spark, sfDir)) else Nil) ++

@@ -52,7 +52,8 @@ object Memos {
       "passed_ids" -> ((s, d) => Quality.passedIdsFor(s, d))),
     Seq("lm_scores" -> ((s, d) =>
       LangModel.scoresFor(s, d).write.format("noop").mode("overwrite").save())),
-    Seq("ivf_index" -> ((s, d) => graft.relational.Similarity.ivfIndexFor(s, d))),
+    Seq("emb_count" -> ((s, d) => graft.relational.Similarity.embCountFor(s, d)),
+      "ivf_index" -> ((s, d) => graft.relational.Similarity.ivfIndexFor(s, d))),
     Seq("bench_grams" -> ((s, d) => Contamination.benchGramsFor(s, d))),
     Seq("lexicon" -> ((s, d) => Bpe.lexiconFor(s, d))))
 

@@ -80,15 +80,24 @@ object TextEmbed {
     * wall at or below baseline (the +34% candidate pairs are absorbed
     * by the ascending early-exit kernel and the one extra plane's finer
     * buckets), recall over the 0.96 bar. */
-  val ProbeFlips: Int =
-    sys.env.get("SPARK_GRAFT_TEXTLSH_FLIPS").map(_.toInt.max(0)).getOrElse(5)
+  /** Knob parsing note (round-14 review): a malformed value warns and
+    * falls back to the default — never silently, never by throwing from
+    * this object's initializer (an opaque ExceptionInInitializerError). */
+  private def envKnob(name: String, default: Int)(clamp: Int => Int): Int =
+    sys.env.get(name).flatMap { v =>
+      val p = v.trim.toIntOption
+      if (p.isEmpty) System.err.println(
+        s"[graft.textlsh] ignoring malformed $name='$v' (not an integer); using $default")
+      p
+    }.map(clamp).getOrElse(default)
+
+  val ProbeFlips: Int = envKnob("SPARK_GRAFT_TEXTLSH_FLIPS", 5)(_.max(0))
 
   /** Extra bucket sharpening beyond key-count occupancy neutrality:
     * each doubling halves expected occupancy (quartering in-bucket
     * pair work) at the cost of one more straddleable plane — the
     * probes absorb most of that risk. Env-tunable for A/B probes. */
-  val OccSharpen: Int =
-    sys.env.get("SPARK_GRAFT_TEXTLSH_SHARPEN").map(_.toInt.max(1)).getOrElse(1)
+  val OccSharpen: Int = envKnob("SPARK_GRAFT_TEXTLSH_SHARPEN", 1)(_.max(1))
 
   /** Co-flip probe-key count (round 14, env-tunable for the recall/cost
     * frontier sweep): how many XOR-composed keys each vector emits
@@ -102,8 +111,7 @@ object TextEmbed {
     * plane count derives from that product, keeping the bucket join
     * occupancy-neutral in total keys. */
   val CoFlips: Int =
-    sys.env.get("SPARK_GRAFT_TEXTLSH_COFLIPS").flatMap(_.toIntOption)
-      .map(_.max(0).min(4)).getOrElse(1)
+    envKnob("SPARK_GRAFT_TEXTLSH_COFLIPS", 1)(_.max(0).min(4))
 
   /** 1-based sorted-margin index sets of the co-flip keys, in fixed
     * order; defs needing a plane index beyond np drop out (the oracle's
@@ -323,9 +331,10 @@ object TextEmbed {
     val ss = docs.sparkSession
     val numParts = ss.sparkContext.defaultParallelism
     // Occupancy-neutral in total keys under multi-probe: each vector
-    // emits 1 + ProbeFlips + 1 keys (own bucket, T single flips, one
-    // co-flip), so the plane count targets TargetBucketOccupancy
-    // against that many keys per vector (see [[ProbeFlips]]).
+    // emits 1 + ProbeFlips + CoFlips keys (own bucket, T single flips,
+    // the configured co-flips — default 1), so the plane count targets
+    // TargetBucketOccupancy against that many keys per vector (see
+    // [[ProbeFlips]], [[CoFlips]]).
     val np = planesFor(docs.count() * (1 + ProbeFlips + CoFlips) * OccSharpen)
     // Round 11: vector AND bucket come off the scan in one native
     // kernel pass (HashedBow) — the exploded (doc, dim, weight) frame,
@@ -407,12 +416,19 @@ object TextEmbed {
   // non-local deployment read pairs=0 on the driver, and speculative or
   // retried tasks double-counted even locally. Accumulators are
   // driver-merged and deduplicated on task success — cluster-correct.
-  @volatile private var pairsAcc: org.apache.spark.util.LongAccumulator = _
+  // Keyed on the SparkContext (round-14 review): a bare static cached
+  // the FIRST session's accumulator, so after a session restart (sbt
+  // suites reuse the JVM) the new context's tasks updated an
+  // accumulator the new driver never registered — dropped silently,
+  // pairs=0, the very symptom the accumulator switch fixed.
+  @volatile private var pairsAcc
+    : (org.apache.spark.SparkContext, org.apache.spark.util.LongAccumulator) = _
   private def scannedPairsAcc(ss: SparkSession): org.apache.spark.util.LongAccumulator =
     synchronized {
-      if (pairsAcc == null)
-        pairsAcc = ss.sparkContext.longAccumulator("graft.textlsh.scanned_pairs")
-      pairsAcc
+      val sc = ss.sparkContext
+      if (pairsAcc == null || (pairsAcc._1 ne sc))
+        pairsAcc = (sc, sc.longAccumulator("graft.textlsh.scanned_pairs"))
+      pairsAcc._2
     }
 
   private def minPartnerUdf(ss: SparkSession, threshold: Double) = {

@@ -107,19 +107,31 @@ object Similarity {
 
   val ScanBudget = 4096L
 
+  /** Knob parsing: malformed values are ignored WITH A WARNING — silent
+    * fallback would record a knob-curve run as measuring an override it
+    * never applied (round-14 review), while throwing from an object
+    * initializer surfaces as an opaque ExceptionInInitializerError
+    * (round-13 advice). The warning names the variable and the value. */
+  private def envNum[T](name: String)(parse: String => Option[T]): Option[T] =
+    sys.env.get(name).flatMap { v =>
+      val p = parse(v.trim)
+      if (p.isEmpty) System.err.println(
+        s"[graft.similarity] ignoring malformed $name='$v' (not an integer); using the derived default")
+      p
+    }
+
   /** IVF probe width override (recall/latency knob curve measurements). */
   private val nprobeEnv: Option[Int] =
-    sys.env.get("SPARK_GRAFT_NPROBE").flatMap(_.toIntOption).map(_.max(1))
+    envNum("SPARK_GRAFT_NPROBE")(_.toIntOption).map(_.max(1))
 
   /** LSH Hamming probe radius override. */
   private val lshRadiusEnv: Option[Int] =
-    sys.env.get("SPARK_GRAFT_LSH_RADIUS").flatMap(_.toIntOption).map(_.max(0))
+    envNum("SPARK_GRAFT_LSH_RADIUS")(_.toIntOption).map(_.max(0))
 
   /** Corpus-size ceiling for the PQ flat fallback (0 forces the ADC path
     * at any size — used to measure the compressed-domain recall curve). */
   val FlatMax: Long =
-    sys.env.get("SPARK_GRAFT_PQ_FLAT_MAX").flatMap(_.toLongOption)
-      .getOrElse(ScanBudget)
+    envNum("SPARK_GRAFT_PQ_FLAT_MAX")(_.toLongOption).getOrElse(ScanBudget)
 
   /** Derived IVF probe width: ceil(ScanBudget x cells / n), clamped to
     * [1, cells]. Integer-exact (ceil division). */
@@ -287,8 +299,8 @@ object Similarity {
     * enumerates C(p, <=R) probe buckets for partition pruning; the
     * predicate spelling here is the local[n] equivalent (a 5-row
     * broadcast nested-loop is a per-row loop of 5). */
-  def annTopK(emb: DataFrame, k: Int = TopK): DataFrame = {
-    val n = emb.count()
+  def annTopK(emb: DataFrame, k: Int = TopK, nOpt: Option[Long] = None): DataFrame = {
+    val n = nOpt.getOrElse(emb.count())
     val np = planesFor(n)
     val r = lshRadiusFor(n, np)
     val bucketed = emb.withColumn("bucket", expr(bucketS("embedding", np)))
@@ -492,6 +504,19 @@ object Similarity {
   /** Cross-query memo of the built index (same localCheckpoint + LRU +
     * data-fingerprint story as MinHash.repGraphFor): the encoded frame is
     * checkpointed once and all three IVF consumers read its blocks. */
+  /** Memoized embeddings cardinality (round-14 review): the
+    * corpus-proportional knob derivations (planes, cells, nprobe,
+    * radius) each opened a count job PER QUERY INVOCATION — three
+    * bench reps of `sim_ann_lsh` paid three table scans before the
+    * query plan even built. One count per (session, dir, fingerprint),
+    * built in `Memos.build` so it lands in the memo_build mark, not a
+    * consumer's. Raw `emb.count()` remains the fallback for library
+    * callers that pass their own frame. */
+  private val embCountMemo = new graft.pipeline.QueryMemo[java.lang.Long](name = "emb_count")
+  private[graft] def embCountFor(s: SparkSession, d: String): Long =
+    embCountMemo.getOrElseUpdate(s, d)(
+      java.lang.Long.valueOf(Tables.embeddings(s, d).count())).longValue()
+
   private val ivfMemo = new graft.pipeline.QueryMemo[IvfIndex](name = "ivf_index")
   private[graft] def ivfIndexFor(s: SparkSession, d: String): IvfIndex =
     ivfMemo.getOrElseUpdate(s, d) {
@@ -521,9 +546,6 @@ object Similarity {
     val qRows = ix.coded.filter(col("vec_id") < NumQueries)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
-    val qTab: Map[Long, Array[Array[Double]]] = qRows.map { case (qid, q) =>
-      qid -> Array.tabulate(PqSub)(m => cb(m).map(cvec => subL2(q, m, cvec)))
-    }.toMap
     val qCells = qRows.flatMap { case (qid, q) =>
       cents.map { case (cid, c) =>
         var s = 0.0
@@ -534,7 +556,6 @@ object Similarity {
     }
     val ss = ix.coded.sparkSession
     import ss.implicits._
-    val qDf = qCells.toSeq.toDF("q_id", "q_cell")
     val scored =
       if (flat) {
         // Flat fallback (serving-default law above): n fits the scan
@@ -555,6 +576,12 @@ object Similarity {
         // ADC per-query distance tables (PqSub x cells doubles) ride the
         // UDF closure; the raw embedding column is DROPPED — the scanned
         // payload is the 8-int codes, ~32x smaller than the vectors.
+        // (Built HERE, not above: the flat branch never reads them —
+        // round-14 review.)
+        val qTab: Map[Long, Array[Array[Double]]] = qRows.map { case (qid, q) =>
+          qid -> Array.tabulate(PqSub)(m => cb(m).map(cvec => subL2(q, m, cvec)))
+        }.toMap
+        val qDf = qCells.toSeq.toDF("q_id", "q_cell")
         val adcUdf = udf { (qId: Long, codes: Seq[Int]) =>
           val t = qTab(qId)
           var s = 0.0
@@ -625,8 +652,9 @@ object Similarity {
     * the cost of more boundary misses; [[embedDedupMultiProbe]] wins the
     * recall back. The oracle derives the same count from the same
     * cardinality, so results stay hash-comparable at every scale. */
-  def embedDedup(emb: DataFrame, threshold: Double = DedupCosine): DataFrame = {
-    val np = planesFor(emb.count())
+  def embedDedup(emb: DataFrame, threshold: Double = DedupCosine,
+      nOpt: Option[Long] = None): DataFrame = {
+    val np = planesFor(nOpt.getOrElse(emb.count()))
     val (withG, reps) = collapseIdenticalVectors(emb)
     val b = reps.select(col("gid"), col("embedding"),
       expr(bucketS("embedding", np)).as("bucket"))
@@ -700,8 +728,9 @@ object Similarity {
     * (1 + planes) x the exact-bucket join, linear in the probe count.
     * Cosine verification is unchanged — multi-probe only widens the
     * candidate net, never the result criterion. */
-  def embedDedupMultiProbe(emb: DataFrame, threshold: Double = DedupCosine): DataFrame = {
-    val np = planesFor(emb.count())
+  def embedDedupMultiProbe(emb: DataFrame, threshold: Double = DedupCosine,
+      nOpt: Option[Long] = None): DataFrame = {
+    val np = planesFor(nOpt.getOrElse(emb.count()))
     val (withG, reps) = collapseIdenticalVectors(emb)
     val b = reps.select(col("gid"), col("embedding"),
       expr(bucketS("embedding", np)).as("bucket"))
@@ -739,9 +768,10 @@ object Similarity {
     * cell count grows with the corpus (paper uses ~100k clusters for
     * LAION) keeping per-cell occupancy — and the quadratic pair join —
     * bounded; cells are also the natural partition key for the join. */
-  def semDedup(emb: DataFrame, threshold: Double = DedupCosine): DataFrame = {
+  def semDedup(emb: DataFrame, threshold: Double = DedupCosine,
+      nOpt: Option[Long] = None): DataFrame = {
     val (withG, reps) = collapseIdenticalVectors(emb)
-    val cents = codebook(emb, cellsFor(emb.count()))
+    val cents = codebook(emb, cellsFor(nOpt.getOrElse(emb.count())))
     val cells = reps.withColumn("cell",
       graft.functions.IvfCell(col("embedding"), cents))
     val b = cells.select(col("gid"), col("embedding"), col("cell"))
@@ -787,11 +817,15 @@ object Similarity {
     "sim_ivfpq_rerank" -> ((s, d) => ivfPqRerankIx(ivfIndexFor(s, d), TopK, RerankDepth)),
     "sim_hybrid_topk" -> ((s, d) =>
       hybridTopK(Tables.embeddings(s, d), Tables.documents(s, d))),
-    "sim_semdedup" -> ((s, d) => semDedup(Tables.embeddings(s, d))),
-    "sim_embed_dedup_mp" -> ((s, d) => embedDedupMultiProbe(Tables.embeddings(s, d))),
-    "sim_ann_lsh" -> ((s, d) => annTopK(Tables.embeddings(s, d))),
+    "sim_semdedup" -> ((s, d) =>
+      semDedup(Tables.embeddings(s, d), DedupCosine, Some(embCountFor(s, d)))),
+    "sim_embed_dedup_mp" -> ((s, d) =>
+      embedDedupMultiProbe(Tables.embeddings(s, d), DedupCosine, Some(embCountFor(s, d)))),
+    "sim_ann_lsh" -> ((s, d) =>
+      annTopK(Tables.embeddings(s, d), TopK, Some(embCountFor(s, d)))),
     "sim_ivf_topk" -> ((s, d) => ivfTopKIx(ivfIndexFor(s, d), TopK)),
-    "sim_embed_dedup" -> ((s, d) => embedDedup(Tables.embeddings(s, d))))
+    "sim_embed_dedup" -> ((s, d) =>
+      embedDedup(Tables.embeddings(s, d), DedupCosine, Some(embCountFor(s, d)))))
 
   // -----------------------------------------------------------------------
   // DuckDB oracle — identical fold arithmetic.
