@@ -84,6 +84,7 @@ object Bench {
       "quality_lm_transition", "quality_lm_buckets",
       "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivfpq_rerank",
       "sim_ann_lsh", "sim_semdedup", "sim_embed_dedup", "sim_embed_dedup_mp",
+      "dedup_semantic_text",
       "decontaminate_fuzzy", "decontaminate_attribution",
       "decontaminate_flags", "decontaminate_overlap",
       "dedup_jaccard_dupmap", "corpus_novelty",

@@ -53,7 +53,8 @@ object Memos {
     Seq("lm_scores" -> ((s, d) =>
       LangModel.scoresFor(s, d).write.format("noop").mode("overwrite").save())),
     Seq("emb_count" -> ((s, d) => graft.relational.Similarity.embCountFor(s, d)),
-      "ivf_index" -> ((s, d) => graft.relational.Similarity.ivfIndexFor(s, d))),
+      "ivf_index" -> ((s, d) => graft.relational.Similarity.ivfIndexFor(s, d)),
+      "doc_count" -> ((s, d) => TextEmbed.docCountFor(s, d))),
     Seq("bench_grams" -> ((s, d) => Contamination.benchGramsFor(s, d))),
     Seq("lexicon" -> ((s, d) => Bpe.lexiconFor(s, d))))
 

@@ -262,8 +262,17 @@ object TextEmbed {
     df
   }
 
-  def semanticDedupQuery(docs: DataFrame, threshold: Double = DedupCosine): DataFrame = {
-    val collapsed = mark("collapsed", bucketedVectors(docs))
+  /** Memoized documents cardinality (the Similarity.embCountFor
+    * pattern): the plane derivation below needs only n, and an
+    * un-memoized count opened a full-table job per query invocation. */
+  private val docCountMemo = new QueryMemo[java.lang.Long](name = "doc_count")
+  private[graft] def docCountFor(s: org.apache.spark.sql.SparkSession, d: String): Long =
+    docCountMemo.getOrElseUpdate(s, d)(
+      java.lang.Long.valueOf(Tables.documents(s, d).count())).longValue()
+
+  def semanticDedupQuery(docs: DataFrame, threshold: Double = DedupCosine,
+      nOpt: Option[Long] = None): DataFrame = {
+    val collapsed = mark("collapsed", bucketedVectors(docs, nOpt))
     val members = collapsed.select(col("doc_id"), col("gid"))
     // packed sparse vector: dim << 32 | weight in one Long per entry —
     // the verify kernel reads a primitive array instead of deserializing
@@ -326,7 +335,8 @@ object TextEmbed {
     * their min-id gid, bucket = full-corpus MEAN-CENTERED sign-LSH over
     * [[planesFor]] planes. Persisted (two consumers inside the dedup
     * query; the probe collects a sample). */
-  private[graft] def bucketedVectors(docs: DataFrame): DataFrame = {
+  private[graft] def bucketedVectors(docs: DataFrame,
+      nOpt: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ss = docs.sparkSession
     val numParts = ss.sparkContext.defaultParallelism
@@ -335,7 +345,8 @@ object TextEmbed {
     // the configured co-flips — default 1), so the plane count targets
     // TargetBucketOccupancy against that many keys per vector (see
     // [[ProbeFlips]], [[CoFlips]]).
-    val np = planesFor(docs.count() * (1 + ProbeFlips + CoFlips) * OccSharpen)
+    val np = planesFor(
+      nOpt.getOrElse(docs.count()) * (1 + ProbeFlips + CoFlips) * OccSharpen)
     // Round 11: vector AND bucket come off the scan in one native
     // kernel pass (HashedBow) — the exploded (doc, dim, weight) frame,
     // its (doc_id, dim) exchange, the collect_list re-assembly, and the
@@ -508,7 +519,8 @@ object TextEmbed {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_hash_embedding" -> ((s, d) => hashEmbeddingQuery(Tables.documents(s, d))),
-    "dedup_semantic_text" -> ((s, d) => semanticDedupQuery(Tables.documents(s, d))))
+    "dedup_semantic_text" -> ((s, d) =>
+      semanticDedupQuery(Tables.documents(s, d), DedupCosine, Some(docCountFor(s, d)))))
 
   // -----------------------------------------------------------------------
   // DuckDB oracle — same integer algebra; planes interpolated as VALUES.
