@@ -52,8 +52,11 @@ object Bench {
     // (SCALE.md documents the normalization).
     // Guarded like the warmup: the ONE-JSON-LINE contract must survive
     // a broken scan (missing table, bad dir) — the queries themselves
-    // already report per-query failures; calibration reads -1.
-    val calibration =
+    // already report per-query failures; calibration reads null on
+    // failure (round-14 advice: a -1 sentinel fed through the
+    // total/calibration normalization produced a sign-flipped factor
+    // instead of an obvious error — null makes the consumer fail loudly).
+    val calibration: Option[Double] =
       try {
         val runs = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
@@ -62,10 +65,10 @@ object Bench {
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        runs.sorted.apply(1)
+        Some(runs.sorted.apply(1))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] calibration FAILED: ${e.getMessage}")
-        -1.0
+        None
       }
     // Shared-memo setup mark (round-10 advice): the localCheckpoint memos
     // (MinHash rep graph + dup map, Cluster CC labels, LangModel scores)
@@ -116,7 +119,7 @@ object Bench {
     // statistic least moved by one cold outlier while still penalizing a
     // genuinely bimodal query. REPS=1 restores the old single-shot sweep.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results = memoMark ++ SparkEntry.queries.toSeq.sortBy(_._1)
+    val detailed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       graft.pipeline.QueryMemo.phase = name
@@ -148,8 +151,9 @@ object Bench {
       val sec =
         if (marks.exists(_ < 0)) -1.0
         else marks.sorted.apply((reps - 1) / 2)
-      name -> sec
+      (name, sec, marks.sorted)
     }
+    val results = memoMark ++ detailed.map { case (n, s, _) => (n, s) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -168,8 +172,19 @@ object Bench {
     }
     val lateJson = late.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Per-mark rep spread [min, median, max] (round-14 verdict #3): the
+    // driver sweep read tok_stats at 3.63 s where the same binary read
+    // 0.71 s on the builder's box, and the global calibration mark
+    // cannot localize a one-rep stall. With the spread in the artifact,
+    // max >> median on an untouched query reads as sweep noise in one
+    // look; a shifted MEDIAN is the real regression signal.
+    def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val spreadJson = detailed.map { case (n, _, m) =>
+      "\"" + n + "\":[" + f3(m.head) + "," + f3(m((reps - 1) / 2)) + "," + f3(m.last) + "]"
+    }.mkString("{", ",", "}")
+    val calJson = calibration.map(_.toString).getOrElse("null")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","calibration_sec":$calibration,"queries":$qs,"failed":$nFail,"reps":$reps,"late_memo_builds":$lateJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration_sec":$calJson,"queries":$qs,"failed":$nFail,"reps":$reps,"rep_spread":$spreadJson,"late_memo_builds":$lateJson,"sf":"$sfDir"}"""
     println(json)
     // stdout goes through sbt's [info] prefix, which broke the driver's
     // parser in round 1 — also drop the raw line where it can be read back.

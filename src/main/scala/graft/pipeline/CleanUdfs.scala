@@ -47,21 +47,65 @@ object CleanUdfs {
     * Latin-1/cp1252 text fails the strict decode and passes through
     * untouched. Applied to a fixed point (<= 3 rounds) so double-encoded
     * text ("cafÃƒÂ©") also unwinds — which makes the repair idempotent,
-    * preserving the clean chain's idempotence property. Known fidelity
-    * limit vs full ftfy (documented in SURVEY §7): a string MIXING already-
-    * correct non-ASCII with mojibake fails the whole-string round-trip and
-    * is left unrepaired — never corrupted. */
+    * preserving the clean chain's idempotence property.
+    *
+    * Span-level tier (round 15, closing the r14 F1-tail item): a string
+    * MIXING already-correct non-ASCII with mojibake ("café … â€™ …")
+    * fails the whole-string round-trip, so when the whole-string pass
+    * makes no change the repair re-runs PER WHITESPACE-DELIMITED
+    * SEGMENT with the identical exact-round-trip acceptance — ftfy
+    * repairs per-segment the same way (its fixer walks lines/chunks and
+    * scores each independently). Acceptance stays strict per segment, so
+    * correct segments round-trip-fail and pass through byte-identical;
+    * the residual fidelity limit is mixing WITHIN one whitespace-free
+    * segment, which needs ftfy's badness scoring to attempt safely. */
   def fixMojibake(s: String): String = {
     if (s == null) return null
     var cur = s
     var round = 0
     while (round < 3) {
-      val next = fixOnce(cur)
+      val whole = fixOnce(cur)
+      val next = if (whole eq cur) fixSegments(cur) else whole
       if (next eq cur) return cur
       cur = next
       round += 1
     }
     cur
+  }
+
+  /** One per-segment repair pass over whitespace-delimited spans —
+    * engaged only after the whole-string [[fixOnce]] declined (mixed
+    * strings). Separators are preserved verbatim; each segment gets the
+    * same strict accept-only-on-exact-round-trip rule. */
+  private def fixSegments(s: String): String = {
+    // Precondition: splitting can only help if there IS whitespace to
+    // split on and a UTF-8 lead byte survives somewhere.
+    var i = 0; var hasWs = false; var hasLead = false
+    while (i < s.length && !(hasWs && hasLead)) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) hasWs = true
+      if (c >= 0xC2 && c <= 0xF4) hasLead = true
+      i += 1
+    }
+    if (!hasWs || !hasLead) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var changed = false
+    var start = 0
+    i = 0
+    while (i <= s.length) {
+      if (i == s.length || Character.isWhitespace(s.charAt(i))) {
+        if (i > start) {
+          val seg = s.substring(start, i)
+          val rep = fixOnce(seg)
+          if (rep ne seg) changed = true
+          sb.append(rep)
+        }
+        if (i < s.length) sb.append(s.charAt(i))
+        start = i + 1
+      }
+      i += 1
+    }
+    if (changed) sb.toString else s
   }
 
   private def fixOnce(s: String): String = {

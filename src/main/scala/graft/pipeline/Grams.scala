@@ -64,7 +64,7 @@ object Grams {
     memo.getOrElseUpdate(s, d) {
       val fp = QueryMemo.fingerprint(s, d)
       if (fp == 0L) { // listing failed — no stable key; fall back to heap
-        triFrame(graft.Tables.documents(s, d)).localCheckpoint(true)
+        QueryMemo.materialize(triFrame(graft.Tables.documents(s, d)))
       } else {
         val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
         val corpusKey = f"${scala.util.hashing.MurmurHash3.stringHash(d)}%08x"

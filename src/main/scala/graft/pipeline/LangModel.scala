@@ -640,7 +640,7 @@ object LangModel {
   private val lmMemo = new QueryMemo[DataFrame](name = "lm_scores")
   private[pipeline] def scoresFor(s: SparkSession, d: String): DataFrame =
     lmMemo.getOrElseUpdate(s, d) {
-      transitionScoreHashedQuery(Tables.documents(s, d)).localCheckpoint()
+      QueryMemo.materialize(transitionScoreHashedQuery(Tables.documents(s, d)))
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -672,12 +672,12 @@ object MinHash {
       // one-build-lifetime class as the signature persist it joins.
       val withG = graft.CacheScope.persist(
         collapse(signatures(Tables.documents(s, d))))
-      val members = withG.select(col("doc_id"), col("gid"), col("gsz"))
-        .localCheckpoint(true)
-      val reps = withG.filter(col("doc_id") === col("gid"))
-        .select(col("gid"), col("sig")).localCheckpoint(true)
-      val pairs = verifiedPairsOfReps(reps, BandBucketChunkLen)
-        .localCheckpoint(true)
+      val members = QueryMemo.materialize(
+        withG.select(col("doc_id"), col("gid"), col("gsz")))
+      val reps = QueryMemo.materialize(withG.filter(col("doc_id") === col("gid"))
+        .select(col("gid"), col("sig")))
+      val pairs = QueryMemo.materialize(
+        verifiedPairsOfReps(reps, BandBucketChunkLen))
       (members, pairs)
     }
 
@@ -714,10 +714,9 @@ object MinHash {
       // keeps every paired rep), but full_outer costs nothing and
       // leaves the invariant to the data rather than the reader.
       val gidAttrs = minPartners(pairs).join(repCc, Seq("gid"), "full_outer")
-      members.join(gidAttrs, Seq("gid"), "left")
+      QueryMemo.materialize(members.join(gidAttrs, Seq("gid"), "left")
         .select(col("doc_id"), col("gid"), col("gsz"),
-          originalIdCol.as("original_id"), col("cluster_id"))
-        .localCheckpoint(true)
+          originalIdCol.as("original_id"), col("cluster_id")))
     }
 
   /** The duplicate_id → original_id map — a filter-projection of the

@@ -259,9 +259,8 @@ object Quality {
   private val metricsMemo = new QueryMemo[DataFrame](name = "metrics")
   private[pipeline] def metricsFor(s: SparkSession, d: String): DataFrame =
     metricsMemo.getOrElseUpdate(s, d) {
-      withMetrics(Tables.documents(s, d))
-        .drop("text", "m_lines", "m_langhits", "m_stripped_ne")
-        .localCheckpoint(true)
+      QueryMemo.materialize(withMetrics(Tables.documents(s, d))
+        .drop("text", "m_lines", "m_langhits", "m_stripped_ne"))
     }
 
   private val reasonsMemo = new QueryMemo[DataFrame](name = "reasons")

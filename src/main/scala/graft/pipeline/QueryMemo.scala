@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Capacity-bounded LRU memo for per-table-directory derived frames,
   * shared by [[MinHash]] (rep graph, dup map), [[Cluster]] (connected
@@ -50,6 +50,26 @@ final class QueryMemo[V](capacity: Int = 4, name: String = "") {
 }
 
 object QueryMemo {
+  /** Plan-truncating materialization for memo state that outlives a
+    * query — the one shared spelling of the checkpoint-reliability
+    * choice (round-14 verdict #2; previously [[Cluster]] alone made it
+    * while MinHash/Quality/Grams/LangModel/Similarity hardcoded
+    * `localCheckpoint`). When the session has a reliable checkpoint
+    * directory configured (`SparkContext.setCheckpointDir` — HDFS or
+    * an object store on a real cluster), use fault-tolerant
+    * `checkpoint()`: a lost executor re-reads memo blocks from storage,
+    * whereas a localCheckpoint's blocks die with their executor and the
+    * truncated lineage CANNOT recompute them — every later consumer of
+    * the memo fails. Without a dir (local runs), eager `localCheckpoint`
+    * keeps the no-write-amplification behavior. Both paths are eager and
+    * produce identical data (QueryMemoSpec pins the reliable engage).
+    * Reliable files are reclaimed by the ContextCleaner on memo eviction
+    * only if `spark.cleaner.referenceTracking.cleanCheckpoints=true`;
+    * a long-lived multi-corpus session should set it. */
+  def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint(true)
+
   /** Cost-attribution hooks (round-12 verdict #1): [[graft.Bench]]
     * labels execution phases ("memo_build", then each query name), and
     * every memo MISS — an inline build — records `(phase, memo,
@@ -94,6 +114,15 @@ object QueryMemo {
         h = h * 31 + ln
       }
       h
-    } catch { case scala.util.control.NonFatal(_) => 0L }
+    } catch { case scala.util.control.NonFatal(e) =>
+      // Fallback key 0 keeps memoization functional (keyed on path
+      // alone) but DISABLES in-place-regeneration staleness detection —
+      // a stale memo then surfaces as a confusing Spark-vs-oracle hash
+      // mismatch, so the degradation must be loud (round-14 advice).
+      System.err.println(
+        s"[graft.memo] WARN fingerprint($d) failed (${e.getMessage}); " +
+          "using 0 — stale-data invalidation disabled for this key")
+      0L
+    }
   }
 }

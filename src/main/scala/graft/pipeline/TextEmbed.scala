@@ -89,7 +89,16 @@ object TextEmbed {
       if (p.isEmpty) System.err.println(
         s"[graft.textlsh] ignoring malformed $name='$v' (not an integer); using $default")
       p
-    }.map(clamp).getOrElse(default)
+    }.map { p =>
+      // An out-of-range value is clamped, and the clamp must be as loud
+      // as the malformed case (round-14 advice): a knob-curve sweep
+      // that sets COFLIPS=9 but runs 4 would otherwise record an
+      // override it never applied.
+      val c = clamp(p)
+      if (c != p) System.err.println(
+        s"[graft.textlsh] $name=$p out of range; clamped to $c")
+      c
+    }.getOrElse(default)
 
   val ProbeFlips: Int = envKnob("SPARK_GRAFT_TEXTLSH_FLIPS", 5)(_.max(0))
 

@@ -112,26 +112,33 @@ object Similarity {
     * never applied (round-14 review), while throwing from an object
     * initializer surfaces as an opaque ExceptionInInitializerError
     * (round-13 advice). The warning names the variable and the value. */
-  private def envNum[T](name: String)(parse: String => Option[T]): Option[T] =
+  /** `fallback` names what a dropped override leaves in effect — "the
+    * derived default" is only true for the per-query derivations, not
+    * for a fixed constant like [[FlatMax]] (round-14 advice: the
+    * hardcoded message misled knob sweeps; "(not an integer)" also
+    * overstated the parse type when the target is Long). */
+  private def envNum[T](name: String, fallback: String)(
+      parse: String => Option[T]): Option[T] =
     sys.env.get(name).flatMap { v =>
       val p = parse(v.trim)
       if (p.isEmpty) System.err.println(
-        s"[graft.similarity] ignoring malformed $name='$v' (not an integer); using the derived default")
+        s"[graft.similarity] ignoring malformed $name='$v' (not a number); using $fallback")
       p
     }
 
   /** IVF probe width override (recall/latency knob curve measurements). */
   private val nprobeEnv: Option[Int] =
-    envNum("SPARK_GRAFT_NPROBE")(_.toIntOption).map(_.max(1))
+    envNum("SPARK_GRAFT_NPROBE", "the derived nprobe")(_.toIntOption).map(_.max(1))
 
   /** LSH Hamming probe radius override. */
   private val lshRadiusEnv: Option[Int] =
-    envNum("SPARK_GRAFT_LSH_RADIUS")(_.toIntOption).map(_.max(0))
+    envNum("SPARK_GRAFT_LSH_RADIUS", "the derived radius")(_.toIntOption).map(_.max(0))
 
   /** Corpus-size ceiling for the PQ flat fallback (0 forces the ADC path
     * at any size — used to measure the compressed-domain recall curve). */
   val FlatMax: Long =
-    envNum("SPARK_GRAFT_PQ_FLAT_MAX")(_.toLongOption).getOrElse(ScanBudget)
+    envNum("SPARK_GRAFT_PQ_FLAT_MAX", s"the ScanBudget constant ($ScanBudget)")(
+      _.toLongOption).getOrElse(ScanBudget)
 
   /** Derived IVF probe width: ceil(ScanBudget x cells / n), clamped to
     * [1, cells]. Integer-exact (ceil division). */
@@ -521,7 +528,7 @@ object Similarity {
   private[graft] def ivfIndexFor(s: SparkSession, d: String): IvfIndex =
     ivfMemo.getOrElseUpdate(s, d) {
       val ix = buildIvfIndex(Tables.embeddings(s, d))
-      ix.copy(coded = ix.coded.localCheckpoint(true))
+      ix.copy(coded = graft.pipeline.QueryMemo.materialize(ix.coded))
     }
 
   /** IVF-PQ top-k (FAISS's workhorse layout): the coarse quantizer cuts
@@ -651,7 +658,17 @@ object Similarity {
     * (each added plane halves expected occupancy, quartering the pairs) at
     * the cost of more boundary misses; [[embedDedupMultiProbe]] wins the
     * recall back. The oracle derives the same count from the same
-    * cardinality, so results stay hash-comparable at every scale. */
+    * cardinality, so results stay hash-comparable at every scale.
+    *
+    * AS-DESIGNED baseline (round-15 close of the r14 watch item): this
+    * exact-bucket variant is deliberately kept single-probe — it is the
+    * measured floor of the recall/cost knob, and its delta vs the
+    * multiprobe form IS the measurement (ProbeRecall round-14 close:
+    * 0.985 sf0.01 / 0.955 gate and realistic 100× here, vs 1.000 ×3
+    * scales for [[embedDedupMultiProbe]] at (1+planes)× join width).
+    * A consumer wanting recall picks `sim_embed_dedup_mp` or
+    * `sim_semdedup`; lifting THIS variant would erase the baseline the
+    * knob curve is measured against. */
   def embedDedup(emb: DataFrame, threshold: Double = DedupCosine,
       nOpt: Option[Long] = None): DataFrame = {
     val np = planesFor(nOpt.getOrElse(emb.count()))

@@ -69,4 +69,23 @@ class QueryMemoSpec extends SparkSpec {
       "stale generation not GC'd on regeneration")
     assert(gens.head.getName !== g1, "new fingerprint must get a new dir")
   }
+
+  test("materialize engages fault-tolerant checkpoint() when a " +
+      "checkpoint dir is configured, localCheckpoint otherwise") {
+    val df = Seq(1L, 2L, 3L).toDF("v")
+    // no dir configured → localCheckpoint (nothing written anywhere)
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    assert(QueryMemo.materialize(df).count() === 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val out = QueryMemo.materialize(df)
+      assert(out.count() === 3)
+      import scala.jdk.CollectionConverters._
+      val rddDirs = java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("rdd-")).toList
+      assert(rddDirs.nonEmpty,
+        s"reliable mode must write an rdd-<id> checkpoint under $dir")
+    } finally org.apache.spark.GraftTestHooks.clearCheckpointDir(spark.sparkContext)
+  }
 }
