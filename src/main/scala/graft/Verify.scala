@@ -21,6 +21,12 @@ object Verify {
     if (master.startsWith("local-cluster"))
       builder.config("spark.executor.extraClassPath",
         System.getProperty("java.class.path"))
+    // With a reliable checkpoint dir in play, let the ContextCleaner
+    // reclaim checkpoint files of GC'd (LRU-evicted) memo frames —
+    // without this a long multi-corpus session accumulates one rdd-<id>
+    // dir per memo build forever (the cleaner default is off).
+    if (sys.env.contains("SPARK_GRAFT_CHECKPOINT_DIR"))
+      builder.config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_CHECKPOINT_DIR flips every memo/CC materialization to

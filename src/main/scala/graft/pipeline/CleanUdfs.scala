@@ -57,8 +57,11 @@ object CleanUdfs {
     * repairs per-segment the same way (its fixer walks lines/chunks and
     * scores each independently). Acceptance stays strict per segment, so
     * correct segments round-trip-fail and pass through byte-identical;
-    * the residual fidelity limit is mixing WITHIN one whitespace-free
-    * segment, which needs ftfy's badness scoring to attempt safely. */
+    * the residual fidelity limits are (a) mixing WITHIN one
+    * whitespace-free segment and (b) a restore_byte_a0 sequence whose
+    * degraded 0xA0 is itself the separator next to correct non-ASCII
+    * ("café Ã la") — both need ftfy's badness scoring to attempt
+    * safely (the pure forms of each still repair whole-string). */
   def fixMojibake(s: String): String = {
     if (s == null) return null
     var cur = s
