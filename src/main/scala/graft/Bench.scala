@@ -26,8 +26,15 @@ object Bench {
     if (master.startsWith("local-cluster"))
       builder.config("spark.executor.extraClassPath",
         System.getProperty("java.class.path"))
+    if (sys.env.contains("SPARK_GRAFT_CHECKPOINT_DIR"))
+      builder.config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
+    // Same reliable-memo contract as graft.Verify: with a checkpoint dir
+    // configured the memos survive executor loss (QueryMemo.materialize),
+    // so the reliable path's cost is benchmarkable, not just correct.
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
     // Warm the session so the alphabetically-first query doesn't absorb
     // JVM startup cost: one parquet scan (footer reader, vectorized
     // reader classes) plus a synthetic window + shuffle-join + aggregate
@@ -185,7 +192,13 @@ object Bench {
     // cannot localize a one-rep stall. With the spread in the artifact,
     // max >> median on an untouched query reads as sweep noise in one
     // look; a shifted MEDIAN is the real regression signal.
-    def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    // A failed rep renders as null, not the -1 sentinel (same round-14
+    // advice as calibration): [-1.0, 2.3, 2.5] reads as a negative
+    // duration to any noise-statistics consumer; [null, 2.3, 2.5] is
+    // self-describing next to the mark's -1 failure flag.
+    def f3(v: Double) =
+      if (v < 0) "null"
+      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val spreadJson = detailed.map { case (n, _, m) =>
       "\"" + n + "\":[" + f3(m.head) + "," + f3(m((reps - 1) / 2)) + "," + f3(m.last) + "]"
     }.mkString("{", ",", "}")

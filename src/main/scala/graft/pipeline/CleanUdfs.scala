@@ -82,15 +82,21 @@ object CleanUdfs {
     * same strict accept-only-on-exact-round-trip rule. */
   private def fixSegments(s: String): String = {
     // Precondition: splitting can only help if there IS whitespace to
-    // split on and a UTF-8 lead byte survives somewhere.
-    var i = 0; var hasWs = false; var hasLead = false
-    while (i < s.length && !(hasWs && hasLead)) {
+    // split on and some lead+continuation signal survives INSIDE a
+    // segment (the C2/C3+space restore channel spans a separator, which
+    // the whole-string pass — the only one that can see it — already
+    // declined; re-checking it per segment is a guaranteed no-op).
+    var i = 0; var hasWs = false; var signal = false
+    while (i < s.length && !(hasWs && signal)) {
       val c = s.charAt(i)
       if (Character.isWhitespace(c)) hasWs = true
-      if (c >= 0xC2 && c <= 0xF4) hasLead = true
+      if (!signal && c >= 0xC2 && c <= 0xF4 && i + 1 < s.length) {
+        val n = s.charAt(i + 1)
+        signal = (n >= 0x80 && n <= 0xBF) || (n > 0xFF && cp1252Inverse.contains(n))
+      }
       i += 1
     }
-    if (!hasWs || !hasLead) return s
+    if (!hasWs || !signal) return s
     val sb = new java.lang.StringBuilder(s.length)
     var changed = false
     var start = 0
@@ -114,16 +120,28 @@ object CleanUdfs {
   private def fixOnce(s: String): String = {
     // Fast reject: repair is only possible when every char has a cp1252
     // byte preimage and at least one UTF-8 lead byte (0xC2-0xF4) is
-    // present. (Both mis-decodings leave lead bytes in 0xC2-0xF4 intact:
-    // that range is identity in Latin-1 and unchanged by cp1252.)
-    var i = 0; var hasLead = false
+    // DIRECTLY FOLLOWED by a plausible continuation — a char whose byte
+    // is 0x80-0xBF (every cp1252Inverse char maps into 0x80-0x9F), or
+    // the restore_byte_a0 channel's space after a C2/C3 lead. A lead
+    // alone is not a signal: clean accented text ("café", "É", "señor")
+    // is full of 0xC2-0xF4 chars followed by ASCII, and without the
+    // continuation check every such string — and under [[fixSegments]]
+    // every such TOKEN — paid a doomed decoder round-trip plus the
+    // restore rescan (round-15 review: constant-factor churn on the
+    // clean chain's hottest UDF for entirely-correct corpora).
+    var i = 0; var signal = false
     while (i < s.length) {
       val c = s.charAt(i)
       if (c > 0xFF && !cp1252Inverse.contains(c)) return s
-      if (c >= 0xC2 && c <= 0xF4) hasLead = true
+      if (!signal && c >= 0xC2 && c <= 0xF4 && i + 1 < s.length) {
+        val n = s.charAt(i + 1)
+        signal = (n >= 0x80 && n <= 0xBF) ||
+          (n > 0xFF && cp1252Inverse.contains(n)) ||
+          (c <= 0xC3 && n == ' ')
+      }
       i += 1
     }
-    if (!hasLead) return s
+    if (!signal) return s
     try {
       val bytes = new Array[Byte](s.length)
       i = 0

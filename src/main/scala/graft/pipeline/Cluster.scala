@@ -70,8 +70,9 @@ object Cluster {
     // (ClusterSpec pins this).
     val sc = pairs.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
-    def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // One spelling with the memo paths (round 15): identical behavior,
+    // shared definition of "reliable iff a checkpoint dir is configured".
+    def truncate(df: DataFrame): DataFrame = QueryMemo.materialize(df)
     // Reliable-path hygiene: each round's checkpoint() writes a rdd-<id>
     // directory that Spark never deletes on its own
     // (spark.cleaner.referenceTracking.cleanCheckpoints defaults to false),

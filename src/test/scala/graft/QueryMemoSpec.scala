@@ -81,11 +81,20 @@ class QueryMemoSpec extends SparkSpec {
     try {
       val out = QueryMemo.materialize(df)
       assert(out.count() === 3)
-      import scala.jdk.CollectionConverters._
-      val rddDirs = java.nio.file.Files.walk(dir).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("rdd-")).toList
+      val rddDirs = scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("rdd-")).toList
+      }
       assert(rddDirs.nonEmpty,
         s"reliable mode must write an rdd-<id> checkpoint under $dir")
-    } finally org.apache.spark.GraftTestHooks.clearCheckpointDir(spark.sparkContext)
+    } finally {
+      org.apache.spark.GraftTestHooks.clearCheckpointDir(spark.sparkContext)
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
+        import scala.jdk.CollectionConverters._
+        st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
   }
 }
