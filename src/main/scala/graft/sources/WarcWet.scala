@@ -87,4 +87,17 @@ object WarcWet {
       .filter(length(col("text")) >= minChars)
       .withColumn("word_count", regexp_count(col("text"), lit("""\S+""")))
       .withColumn("char_count", length(col("text")))
+
+  /** Pipeline-shaped projection, the WET analogue of feeding
+    * [[WikiXml.articles]] into [[graft.pipeline.Pipeline.run]]:
+    * `doc_id` = xxhash64 of the WARC record id (deterministic across
+    * runs and partitions — the record id is globally unique per spec),
+    * `source` = the target URI's host (the per-domain grouping key the
+    * quality/mixture stages use), `text`. */
+  def asDocs(spark: SparkSession, path: String): DataFrame =
+    documents(spark, path).select(
+      xxhash64(col("record_id")).as("doc_id"),
+      regexp_extract(col("target_uri"), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1)
+        .as("source"),
+      col("text"))
 }

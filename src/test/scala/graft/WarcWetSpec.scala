@@ -10,9 +10,17 @@ import graft.sources.WarcWet
   * and the gzip whole-file path (the Common Crawl shipping format). */
 class WarcWetSpec extends SparkSpec {
 
+  // Long enough (68 words, natural prose) to clear BOTH the source's
+  // 50-char screen and the reference quality cascade's 50-word minimum,
+  // so the Pipeline E2E below writes a non-empty corpus.
   private val longText =
-    "Web pages carry enough extracted text to clear the fifty character " +
-      "minimum with room to spare, like this one does."
+    "The project gathered a small team of researchers who spent the " +
+      "better part of two years collecting, cleaning, and describing web " +
+      "documents for an open corpus. They wrote tools to measure quality, " +
+      "removed pages that were mostly boilerplate, and kept careful notes " +
+      "about every decision along the way. The result was a dataset that " +
+      "other groups could audit, extend, and rebuild from scratch without " +
+      "guessing what had happened."
 
   private def rec(tpe: String, id: Int, uri: String, body: String,
       sep: String = "\r\n"): String =
@@ -66,6 +74,28 @@ class WarcWetSpec extends SparkSpec {
     val c = docs(1)
     assert(c.getAs[String]("target_uri") === "http://c.example/lf")
     assert(c.getAs[String]("text") === longText + " LF form.")
+  }
+
+  test("asDocs feeds Pipeline.run end-to-end: WET records through " +
+      "clean/dedup/quality to the written corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.WarcWet.asDocs(spark, writeFixture("warc.wet"))
+    assert(docs.columns.toSeq === Seq("doc_id", "source", "text"))
+    assert(docs.select("source").collect().map(_.getString(0)).toSet
+      === Set("a.example", "c.example"))
+    // stable ids: same fixture, same ids, no collisions
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.size === 2)
+    assert(graft.sources.WarcWet.asDocs(spark, writeFixture("warc.wet"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet === ids)
+    val out = Files.createTempDirectory("wet-e2e").toString
+    val summary = graft.pipeline.Pipeline.run(docs,
+      graft.pipeline.Pipeline.GraftConfig(
+        quality = graft.pipeline.Quality.Config.reference), out)
+      .collect().head
+    assert(summary.getAs[Long]("docs_ingested") === 2L)
+    assert(spark.read.parquet(s"$out/documents")
+      .filter(col("text").isNotNull).count() >= 1L)
   }
 
   test("gzip WET: whole-file decompress via the Hadoop codec " +
