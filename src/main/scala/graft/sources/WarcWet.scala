@@ -34,6 +34,16 @@ import org.apache.spark.sql.functions._
   *   - `Content-Length` is parsed but NOT trusted for the payload cut
   *     (the split already consumed the inter-record boundary; the
   *     blank-line cut is exact under lineSep splitting).
+  *
+  * Honest limitation of separator splitting (vs the spec's
+  * Content-Length framing): a conversion payload that itself contains
+  * the literal `WARC/1.` (a page about the WARC format) splits
+  * mid-record — the doc truncates there and the orphan fragment is
+  * dropped by the `WARC-Type:` screen. The wiki scan never faces this
+  * (XML escaping makes `</page>` unrepresentable in text); exact WET
+  * framing needs a custom Hadoop InputFormat that honors
+  * Content-Length, the right upgrade if that corruption rate ever
+  * matters against the splittability this gets for free.
   */
 object WarcWet {
 
