@@ -37,6 +37,17 @@ object Sinks {
   def writeTokensJsonl(df: DataFrame, path: String): Unit =
     df.select(col("tokens")).write.mode("overwrite").json(path)
 
+  /** Read back a JSONL corpus with an EXPLICIT schema (round 15): at
+    * scale, `spark.read.json(path)` without one runs schema inference —
+    * a full extra pass over the data before the real scan (100 TB read
+    * twice). Callers hand the schema the writer produced; rows missing a
+    * field read as null (JSONL's permissive evolution semantics), extra
+    * fields are ignored — exactly the contract a multi-generation
+    * training corpus needs. */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** S9: single-row summary → one JSON object file (src/main.py:407-420).
     * Collects exactly one row on the driver. */
   def writeSummaryJson(summary: DataFrame, path: String): Unit = {

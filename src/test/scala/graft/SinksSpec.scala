@@ -35,6 +35,30 @@ class SinksSpec extends SparkSpec {
     assert(back.count() == 2)
   }
 
+  test("explicit-schema JSONL read-back: no inference pass, writer round-trip, " +
+      "missing fields null / extra fields ignored") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl-rt").toString
+    val docs = Seq((1L, "hello world", "web"), (2L, "spark flink", "wiki"))
+      .toDF("doc_id", "text", "source")
+    Sinks.writeDocsJsonl(docs, dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    val back = Sinks.readJsonl(spark, dir, schema)
+    assert(back.schema === schema) // pinned, not inferred
+    assert(back.orderBy("doc_id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      === Seq((1L, "hello world", "web"), (2L, "spark flink", "wiki")))
+    // schema evolution both ways: asking for a field the files lack -> null;
+    // not asking for one they have -> ignored
+    val evolved = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType)))
+    val rows = Sinks.readJsonl(spark, dir, evolved).orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows.forall(_.isNullAt(1)))
+  }
+
   test("summary JSON sink writes a single object file") {
     val path = Files.createTempDirectory("snk").toString + "/sub/summary.json"
     Sinks.writeSummaryJson(docs.agg(count(lit(1)).as("n")), path)
