@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, InputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FSDataInputStream, Path}
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.io.compress.CompressionCodecFactory
+import org.apache.hadoop.mapreduce.{InputSplit, JobContext, RecordReader, TaskAttemptContext}
+import org.apache.hadoop.mapreduce.lib.input.{FileInputFormat, FileSplit}
+
+/** Content-Length-honoring WARC record reader (ISO 28500 framing) — the
+  * EXACT counterpart of [[WarcWet]]'s separator-splitting fast path.
+  *
+  * Why it exists (round-15 verdict #4): splitting on the literal
+  * `WARC/1.` version line is alignment-free and Hadoop-splittable, but a
+  * conversion payload that itself CONTAINS that literal (a crawled page
+  * about the WARC format) splits mid-record — the document truncates and
+  * the orphan fragment is dropped. The spec's own framing is immune:
+  * each record declares `Content-Length` (the payload byte count), so a
+  * reader that consumes headers to the blank line and then EXACTLY that
+  * many payload bytes can never be fooled by payload content.
+  *
+  * Split model: one file = one task (`isSplitable` = false). That is NOT
+  * a scale concession — Common Crawl ships `.warc.wet.gz`, and gzip is
+  * already non-splittable, so the parallelism unit is the segment's
+  * ~53k-file listing either way (WarcWet.scala's compression note). For
+  * the rare uncompressed WET, the separator fast path remains the
+  * splittable option.
+  *
+  * Record value shape: identical to the separator split — everything
+  * after the leading `WARC/1.` (version remnant, CRLF, header block,
+  * blank line, payload) — so [[WarcWet.parsed]] consumes either framing
+  * unchanged.
+  *
+  * Recovery: a record without a parseable `Content-Length` (spec
+  * violation) falls back to scanning for the next `WARC/` version line,
+  * i.e. exactly the separator behavior, and a truncated tail record
+  * yields whatever bytes remain. Malformed input degrades to the fast
+  * path's semantics, never to an exception mid-scan.
+  */
+final class WarcInputFormat extends FileInputFormat[LongWritable, Text] {
+  override def isSplitable(ctx: JobContext, file: Path): Boolean = false
+  override def createRecordReader(split: InputSplit,
+      ctx: TaskAttemptContext): RecordReader[LongWritable, Text] =
+    new WarcRecordReader
+}
+
+final class WarcRecordReader extends RecordReader[LongWritable, Text] {
+  private var raw: FSDataInputStream = _
+  private var in: InputStream = _
+  private var fileLen: Long = 1L
+  private val key = new LongWritable(-1)
+  private val value = new Text()
+  /** A version line consumed by the missing-Content-Length recovery scan
+    * — it belongs to the NEXT record, so the next `nextKeyValue` starts
+    * from it instead of the stream. */
+  private var pushedBack: String = null
+
+  override def initialize(split: InputSplit, ctx: TaskAttemptContext): Unit = {
+    val fsplit = split.asInstanceOf[FileSplit]
+    val conf = ctx.getConfiguration
+    val p = fsplit.getPath
+    fileLen = math.max(fsplit.getLength, 1L)
+    raw = p.getFileSystem(conf).open(p)
+    val codec = new CompressionCodecFactory(conf).getCodec(p)
+    in = new BufferedInputStream(
+      if (codec != null) codec.createInputStream(raw) else raw, 1 << 16)
+  }
+
+  /** One header-area line: bytes to LF, CR stripped; null at EOF with
+    * nothing read. (Headers are US-ASCII per spec; UTF-8 decode is a
+    * superset and keeps any spec-violating bytes intact.) */
+  private def readLine(): String = {
+    val buf = new ByteArrayOutputStream(128)
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+    val bytes = buf.toByteArray
+    val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+      bytes.length - 1 else bytes.length
+    new String(bytes, 0, n, UTF_8)
+  }
+
+  private def readFully(len: Long): Array[Byte] = {
+    // EOF-tolerant: a truncated tail record yields the bytes present.
+    val want = math.min(len, Int.MaxValue.toLong - 8).toInt
+    val out = new Array[Byte](want)
+    var off = 0
+    var n = 0
+    while (off < want && n >= 0) {
+      n = in.read(out, off, want - off)
+      if (n > 0) off += n
+    }
+    if (off == want) out else java.util.Arrays.copyOf(out, off)
+  }
+
+  private val ClRe = "(?i)^content-length:\\s*(\\d{1,18})\\s*$".r
+
+  override def nextKeyValue(): Boolean = {
+    while (true) {
+      val version =
+        if (pushedBack != null) { val v = pushedBack; pushedBack = null; v }
+        else readLine()
+      if (version == null) return false
+      if (version.startsWith("WARC/")) {
+        val remnant =
+          if (version.startsWith("WARC/1.")) version.substring(7) else version
+        val sb = new java.lang.StringBuilder(512)
+        sb.append(remnant).append("\r\n")
+        var contentLength = -1L
+        var line = readLine()
+        while (line != null && line.nonEmpty) {
+          sb.append(line).append("\r\n")
+          line match {
+            case ClRe(d) => contentLength = d.toLong
+            case _ =>
+          }
+          line = readLine()
+        }
+        if (line != null) { // blank line reached: payload follows
+          sb.append("\r\n")
+          if (contentLength >= 0)
+            sb.append(new String(readFully(contentLength), UTF_8))
+          else {
+            // Spec-violating record: no usable Content-Length. Degrade to
+            // separator semantics — payload runs to the next version line.
+            var pl = readLine()
+            var first = true
+            while (pl != null && !pl.startsWith("WARC/")) {
+              if (!first) sb.append("\r\n")
+              sb.append(pl)
+              first = false
+              pl = readLine()
+            }
+            pushedBack = pl
+          }
+        }
+        key.set(key.get + 1)
+        value.set(sb.toString)
+        return true
+      }
+      // inter-record padding or junk before the first record: skip
+    }
+    false // unreachable
+  }
+
+  override def getCurrentKey: LongWritable = key
+  override def getCurrentValue: Text = value
+  override def getProgress: Float =
+    try math.min(1.0f, raw.getPos.toFloat / fileLen.toFloat)
+    catch { case _: Throwable => 0.5f }
+  override def close(): Unit = if (in != null) in.close()
+}

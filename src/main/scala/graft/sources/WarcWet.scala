@@ -10,13 +10,28 @@ import org.apache.spark.sql.functions._
   * scan them natively). Format: ISO 28500 (WARC 1.0/1.1) as published;
   * no crawler-specific behavior assumed.
   *
-  * Distributed scan, same pattern as [[WikiXml]]: read the file as text
-  * records delimited by the `WARC/1.` version line (`lineSep` record
-  * splitting — Hadoop's reader keeps a single multi-GB uncompressed
-  * WET splittable across executors at block boundaries), then parse the
-  * named headers with codegen'd `regexp_extract` and cut the payload at
-  * the first blank line, all next to the scan so Catalyst prunes
-  * filtered records before anything wide runs.
+  * Two framings, selected by `exactFraming`:
+  *
+  *  - FAST (default): read the file as text records delimited by the
+  *    `WARC/1.` version line (`lineSep` record splitting — Hadoop's
+  *    reader keeps a single multi-GB uncompressed WET splittable across
+  *    executors at block boundaries). Caveat: a conversion payload that
+  *    itself contains the literal `WARC/1.` (a page about the WARC
+  *    format) splits mid-record — that doc truncates there, and the
+  *    orphan fragment is dropped unless its quoted text happens to spell
+  *    a header-shaped `WARC-Type:` line before its first blank line.
+  *  - EXACT: [[WarcInputFormat]], a Content-Length-honoring record
+  *    reader per the spec's own framing — immune to payload content,
+  *    one task per file (which is what gzip forces anyway, below).
+  *
+  * Both feed the SAME parse: split each record once at its FIRST blank
+  * line (either CRLF or bare-LF form — the earliest of the two, so a
+  * bare-LF-header record whose payload contains a CRLF blank line cuts
+  * at its real header end), extract the named headers from the HEADER
+  * BLOCK ONLY with codegen'd `regexp_extract` (payload text quoting
+  * WARC headers cannot spoof the type screen), and keep the remainder
+  * as the payload — all next to the scan so Catalyst prunes filtered
+  * records before anything wide runs.
   *
   * Compression reality check (the deployment note that matters at
   * 100 TB): Common Crawl ships `.warc.wet.gz` — gzip is NOT
@@ -31,19 +46,9 @@ import org.apache.spark.sql.functions._
   *     tolerated — both real-world forms appear in the fixture),
   *   - the leading `warcinfo` record and any non-`conversion` record
   *     are dropped for document extraction,
-  *   - `Content-Length` is parsed but NOT trusted for the payload cut
-  *     (the split already consumed the inter-record boundary; the
-  *     blank-line cut is exact under lineSep splitting).
-  *
-  * Honest limitation of separator splitting (vs the spec's
-  * Content-Length framing): a conversion payload that itself contains
-  * the literal `WARC/1.` (a page about the WARC format) splits
-  * mid-record — the doc truncates there and the orphan fragment is
-  * dropped by the `WARC-Type:` screen. The wiki scan never faces this
-  * (XML escaping makes `</page>` unrepresentable in text); exact WET
-  * framing needs a custom Hadoop InputFormat that honors
-  * Content-Length, the right upgrade if that corruption rate ever
-  * matters against the splittability this gets for free.
+  *   - under FAST framing `Content-Length` is parsed but not trusted
+  *     for the payload cut (the split already consumed the inter-record
+  *     boundary); under EXACT framing it IS the payload cut.
   */
 object WarcWet {
 
@@ -52,43 +57,74 @@ object WarcWet {
   val MinTextChars = 50
 
   /** One row per WARC record (any type), `value` = headers + payload
-    * without the leading version line. The version line itself is the
-    * record separator: every record in a WET file begins `WARC/1.x`. */
-  def records(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("lineSep", "WARC/1.").text(path)
-      .filter(col("value").contains("WARC-Type:"))
+    * without the leading `WARC/1.` version-line prefix. FAST framing:
+    * the version line is the record separator (every record in a WET
+    * file begins `WARC/1.x`). EXACT framing: [[WarcInputFormat]] emits
+    * the identical value shape with Content-Length-framed payloads. */
+  def records(spark: SparkSession, path: String,
+      exactFraming: Boolean = false): DataFrame = {
+    val rows =
+      if (exactFraming)
+        spark.createDataFrame(
+          spark.sparkContext.newAPIHadoopFile(
+              path,
+              classOf[WarcInputFormat],
+              classOf[org.apache.hadoop.io.LongWritable],
+              classOf[org.apache.hadoop.io.Text],
+              spark.sparkContext.hadoopConfiguration)
+            .map(kv => org.apache.spark.sql.Row(kv._2.toString)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.StringType, nullable = false))))
+      else spark.read.option("lineSep", "WARC/1.").text(path)
+    rows.filter(col("value").contains("WARC-Type:"))
+  }
 
   private def header(name: String): Column =
-    // value starts with the version remnant ("0\r\n" / "1\r\n"), then
+    // hdr starts with the version remnant ("0\r\n" / "1\r\n"), then
     // headers; header names are case-insensitive per spec.
-    regexp_extract(col("value"), "(?i)(?m)^" + name + ":\\s*([^\\r\\n]*)", 1)
+    regexp_extract(col("hdr"), "(?i)(?m)^" + name + ":\\s*([^\\r\\n]*)", 1)
+
+  private def clDigits: Column =
+    regexp_extract(col("hdr"), "(?i)(?m)^Content-Length:\\s*(\\d+)", 1)
 
   /** Parsed records: WARC headers as columns, payload cut at the first
-    * blank line (CRLF or LF), trailing record padding trimmed. */
-  def parsed(spark: SparkSession, path: String): DataFrame =
-    records(spark, path).select(
-      header("WARC-Type").as("warc_type"),
-      header("WARC-Record-ID").as("record_id"),
-      header("WARC-Target-URI").as("target_uri"),
-      to_timestamp(header("WARC-Date")).as("warc_date"),
-      header("Content-Length").cast("long").as("content_length"),
-      // payload: everything after the first blank line; absent one
-      // (warcinfo-style all-header records still have one, but a
-      // truncated tail record may not) -> empty payload, filtered below.
-      when(instr(col("value"), "\r\n\r\n") > 0,
-        expr("substring(value, instr(value, '\\r\\n\\r\\n') + 4)"))
-        .when(instr(col("value"), "\n\n") > 0,
-          expr("substring(value, instr(value, '\\n\\n') + 2)"))
-        .otherwise(lit(""))
-        .as("payload"))
+    * blank line (earliest of CRLF / bare-LF — round-16 fix: the old
+    * two-branch instr cut preferred a later CRLF blank line over an
+    * earlier LF one), headers matched against the header block only. */
+  def parsed(spark: SparkSession, path: String,
+      exactFraming: Boolean = false): DataFrame =
+    records(spark, path, exactFraming)
+      // ONE regex split at the first blank line: [header block, payload].
+      // A record with no blank line at all (truncated tail) has no
+      // payload; warcinfo-style all-header records keep their (possibly
+      // empty) payload and drop at the type/length screens below.
+      // (`get`, not `element_at`: null — not an ANSI error — when the
+      // split produced no payload half.)
+      .select(split(col("value"), "\\r?\\n\\r?\\n", 2).as("hp"))
+      .select(get(col("hp"), lit(0)).as("hdr"),
+        coalesce(get(col("hp"), lit(1)), lit("")).as("payload"))
+      .select(
+        header("WARC-Type").as("warc_type"),
+        header("WARC-Record-ID").as("record_id"),
+        header("WARC-Target-URI").as("target_uri"),
+        // try_, not to_: one malformed date in one record must read as
+        // null, not throw an ANSI error 80 TB into the scan
+        try_to_timestamp(header("WARC-Date")).as("warc_date"),
+        // digits-only extract, null when absent/malformed: a bare
+        // .cast("long") of the empty extract is an ANSI runtime error,
+        // which a 100 TB scan must never throw mid-file
+        when(length(clDigits) > 0, clDigits.cast("long"))
+          .as("content_length"),
+        col("payload"))
 
   /** WET documents: `conversion` records only, text trimmed of the
     * inter-record padding, short extractions dropped — the straight
     * analogue of [[WikiXml.articles]] for web text, with the same
     * derived counts the downstream pipeline stages key on. */
   def documents(spark: SparkSession, path: String,
-      minChars: Int = MinTextChars): DataFrame =
-    parsed(spark, path)
+      minChars: Int = MinTextChars, exactFraming: Boolean = false): DataFrame =
+    parsed(spark, path, exactFraming)
       .filter(lower(col("warc_type")) === "conversion")
       .select(
         col("record_id"), col("target_uri"), col("warc_date"),
@@ -100,13 +136,21 @@ object WarcWet {
 
   /** Pipeline-shaped projection, the WET analogue of feeding
     * [[WikiXml.articles]] into [[graft.pipeline.Pipeline.run]]:
-    * `doc_id` = xxhash64 of the WARC record id (deterministic across
-    * runs and partitions — the record id is globally unique per spec),
-    * `source` = the target URI's host (the per-domain grouping key the
-    * quality/mixture stages use), `text`. */
-  def asDocs(spark: SparkSession, path: String): DataFrame =
-    documents(spark, path).select(
+    * `doc_id` = xxhash64 of the WARC record id — the 64-bit NUMERIC key
+    * the pipeline's arithmetic (mod splits, band hashing, shard
+    * assignment) runs on — and `record_id` carried through verbatim as
+    * the STABLE identity (round-16 advice: at full Common Crawl scale,
+    * tens of billions of records, 64-bit birthday collisions are
+    * expected — a collision would silently merge two documents under
+    * one doc_id, so the globally-unique record id must survive into the
+    * written corpus, where a collision is detectable and recoverable
+    * instead of erased). `source` = the target URI's host (the
+    * per-domain grouping key the quality/mixture stages use). */
+  def asDocs(spark: SparkSession, path: String,
+      exactFraming: Boolean = false): DataFrame =
+    documents(spark, path, MinTextChars, exactFraming).select(
       xxhash64(col("record_id")).as("doc_id"),
+      col("record_id"),
       regexp_extract(col("target_uri"), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1)
         .as("source"),
       col("text"))
