@@ -70,6 +70,38 @@ class QueryMemoSpec extends SparkSpec {
     assert(gens.head.getName !== g1, "new fingerprint must get a new dir")
   }
 
+  test("gram scratch rides the reliable substrate: with a checkpoint dir " +
+      "configured the parquet generation lands UNDER it (shared storage " +
+      "every executor can read), not in the machine-local tmpdir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo-h").toString
+    writeDocs(dir, Seq(0L -> "one two three four five six seven"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-memo-h-ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    try {
+      assert(graft.pipeline.Grams.gramsFor(spark, dir).count() === 1L)
+      val key = f"${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x"
+      val underCkpt = scala.util.Using.resource(java.nio.file.Files.walk(ckpt)) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(s"graft_grams_${key}_")).toList
+      }
+      assert(underCkpt.nonEmpty,
+        s"scratch generation must live under the checkpoint dir $ckpt")
+      assert(java.nio.file.Files.exists(underCkpt.head.resolve("_SUCCESS")))
+      val inTmp = Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith(s"graft_grams_${key}_"))
+      assert(inTmp.isEmpty, "must NOT also write the machine-local tmpdir")
+    } finally {
+      org.apache.spark.GraftTestHooks.clearCheckpointDir(spark.sparkContext)
+      scala.util.Using.resource(java.nio.file.Files.walk(ckpt)) { st =>
+        import scala.jdk.CollectionConverters._
+        st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("materialize engages fault-tolerant checkpoint() when a " +
       "checkpoint dir is configured, localCheckpoint otherwise") {
     val df = Seq(1L, 2L, 3L).toDF("v")
