@@ -95,7 +95,8 @@ object Bench {
     // then measure warm steady-state against an index built exactly
     // once — the same amortization a production deployment runs.
     // Skipped when a query filter is given and no memo consumer is in it.
-    val memoConsumers = Set("dedup_minhash", "dedup_minhash_dupmap", "dedup_minhash_pairs",
+    val memoConsumers = Set("dedup_delta_minhash",
+      "dedup_minhash", "dedup_minhash_dupmap", "dedup_minhash_pairs",
       "dedup_minhash_stats", "pipeline_unique_docs", "dedup_minhash_clusters",
       "dedup_minhash_cluster_stats", "dedup_cluster_histogram", "dedup_keep_best",
       "quality_lm_transition", "quality_lm_buckets",

@@ -43,6 +43,9 @@ object Memos {
       // dupsFor / clustersFor are filter-projections of its checkpoint.
       "rep_graph" -> ((s, d) => MinHash.repGraphFor(s, d)),
       "member_attrs" -> ((s, d) => MinHash.memberAttrsFor(s, d))),
+    Seq( // delta-dedup signature store: the corpus-snapshot index every
+      // incremental batch probes (signatures + pre-exploded bands).
+      "delta_sig_store" -> ((s, d) => MinHash.sigStoreFor(s, d))),
     Seq( // shared trigram relation; the fuzzy index derives from it.
       "grams" -> ((s, d) => Grams.gramsFor(s, d)),
       "fuzzy_index" -> ((s, d) => Contamination.fuzzyIxFor(s, d))),

@@ -726,7 +726,88 @@ object MinHash {
       .filter(col("original_id").isNotNull)
       .select(col("doc_id").as("duplicate_id"), col("original_id"))
 
+  // -----------------------------------------------------------------------
+  // Batch DELTA near-dup dedup (round 16, verdict #5): dedup a new slice
+  // against an existing corpus snapshot WITHOUT re-banding the corpus.
+  // -----------------------------------------------------------------------
+
+  /** Persisted signature store of the corpus snapshot (everything NOT in
+    * the `doc_id % DeltaMod == 0` delta slice): `(doc_id, sig)` plus its
+    * pre-exploded LSH band keys `(doc_id, band, bh)` — the batch twin of
+    * the streaming near-dup store's state
+    * ([[graft.streaming.StreamPipeline]]), built ONCE per table
+    * directory and reused by every delta run. This is the production
+    * pattern for a growing 100 TB corpus: the index (signatures + bands)
+    * is materialized when the corpus is ingested — bucketed parquet on a
+    * real deployment, [[QueryMemo.materialize]] state here — so an
+    * incremental batch never recomputes a corpus signature and never
+    * re-bands the history; it is the amortization the reference's
+    * in-memory incremental index gets for free (deduplicator.py:150-180),
+    * re-expressed as shared state. Rides the reliable-checkpoint
+    * substrate like every memo. */
+  private val storeMemo = new QueryMemo[(DataFrame, DataFrame)](name = "delta_sig_store")
+  private[graft] def sigStoreFor(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    storeMemo.getOrElseUpdate(s, d) {
+      val sigs = QueryMemo.materialize(signatures(
+        Tables.documents(s, d).filter(col("doc_id") % Dedup.DeltaMod =!= 0)))
+      (sigs, QueryMemo.materialize(bandKeys(sigs)))
+    }
+
+  /** `dedup_delta_minhash`: the delta slice's duplicate→original map
+    * under INCREMENTAL first-seen semantics — every store doc was "seen
+    * before" every delta doc (whatever its id), delta docs among
+    * themselves in ascending-doc_id order. A delta doc's original is
+    * therefore its smallest verified STORE partner if any exists, else
+    * its smallest verified EARLIER-DELTA partner. */
+  def deltaMinhashDupmap(s: SparkSession, d: String): DataFrame = {
+    val (storeSigs, storeBands) = sigStoreFor(s, d)
+    deltaDupMapOf(
+      signatures(Tables.documents(s, d)
+        .filter(col("doc_id") % Dedup.DeltaMod === 0)),
+      storeSigs, storeBands)
+  }
+
+  /** The delta attribution algebra over an arbitrary store. Cost scales
+    * with the DELTA, not the corpus: the store contributes one scan of
+    * its skinny pre-banded keys into the (band, bh) candidate join (no
+    * store shuffle of signatures, no banding, no signature kernel), the
+    * wide store signatures are fetched only for the candidate-MATCHED
+    * ids (delta-proportional under a bounded near-dup rate), and the
+    * in-delta leg runs the full [[duplicateOfSigs]] machinery on the
+    * delta alone. Candidate multiplicity across shared bands collapses
+    * with one delta-scale distinct; verification is the same early-exit
+    * [[sigMatchesGE]] kernel as the batch path. */
+  def deltaDupMapOf(deltaSigs0: DataFrame, storeSigs: DataFrame,
+      storeBands: DataFrame): DataFrame = {
+    val deltaSigs = graft.CacheScope.persist(deltaSigs0)
+    val dBands = bandKeys(deltaSigs)
+    val cand = storeBands.select(col("doc_id").as("sid"), col("band"), col("bh"))
+      .join(dBands.select(col("doc_id").as("did"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("did"), col("sid")).distinct()
+      .transform(graft.CacheScope.persist) // feeds the sid semi-join AND the verify join
+    val matchedSigs = storeSigs
+      .join(cand.select(col("sid")).distinct()
+        .withColumnRenamed("sid", "doc_id"), Seq("doc_id"), "left_semi")
+    val vsStore = cand
+      .join(matchedSigs.select(col("doc_id").as("sid"), col("sig").as("ssig")), "sid")
+      .join(deltaSigs.select(col("doc_id").as("did"), col("sig").as("dsig")), "did")
+      .filter(sigMatchCol(col("dsig"), col("ssig")))
+      .select(col("did").as("duplicate_id"), col("sid").as("cand_id"),
+        lit(0).as("pri"))
+    // pri 1: the delta against itself — the standard batch dup map
+    // (min earlier verified partner per doc) over the delta alone.
+    val inDelta = duplicateOfSigs(deltaSigs)
+      .select(col("duplicate_id"), col("original_id").as("cand_id"),
+        lit(1).as("pri"))
+    vsStore.union(inDelta)
+      .groupBy(col("duplicate_id"))
+      .agg(min(struct(col("pri"), col("cand_id"))).as("m"))
+      .select(col("duplicate_id"), col("m.cand_id").as("original_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_delta_minhash" -> ((s, d) => deltaMinhashDupmap(s, d)),
     "dedup_minhash" -> ((s, d) =>
       dedupAgainst(Tables.documents(s, d), dupsFor(s, d)).select("doc_id", "n_chars")),
     "dedup_minhash_dupmap" -> ((s, d) => dupsFor(s, d)),
@@ -787,6 +868,29 @@ object MinHash {
        |dups AS (SELECT id_b AS duplicate_id, min(id_a) AS original_id FROM ver GROUP BY id_b)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // Delta semantics in SQL: candidates are banded collisions where the
+    // duplicate side is a delta doc and the partner is EITHER a store doc
+    // (pri 0 — "seen before" regardless of id) or an earlier delta doc
+    // (pri 1); the original is the (pri, id)-minimal verified partner.
+    "dedup_delta_minhash" ->
+      s"""$oraclePrefix,
+         |dcand AS (SELECT y.doc_id AS duplicate_id, x.doc_id AS cand_id,
+         |    CASE WHEN x.doc_id % ${Dedup.DeltaMod} <> 0 THEN 0 ELSE 1 END AS pri
+         |  FROM bnds x JOIN bnds y ON x.band = y.band AND x.bh = y.bh
+         |  WHERE y.doc_id % ${Dedup.DeltaMod} = 0 AND x.doc_id <> y.doc_id
+         |    AND (x.doc_id % ${Dedup.DeltaMod} <> 0 OR x.doc_id < y.doc_id)
+         |  GROUP BY 1, 2, 3),
+         |dver AS (SELECT duplicate_id, cand_id, pri FROM dcand
+         |  JOIN sigs sa ON sa.doc_id = cand_id
+         |  JOIN sigs sb ON sb.doc_id = duplicate_id
+         |  WHERE list_sum(list_transform(range(1, ${NumPerm + 1}), k ->
+         |          CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END)) >= $MinMatches)
+         |SELECT duplicate_id, cand_id AS original_id FROM (
+         |  SELECT duplicate_id, cand_id,
+         |         row_number() OVER (PARTITION BY duplicate_id
+         |                            ORDER BY pri, cand_id) AS rk
+         |  FROM dver)
+         |WHERE rk = 1""".stripMargin,
     "dedup_minhash" ->
       s"""$oraclePrefix
          |SELECT doc_id, n_chars FROM documents

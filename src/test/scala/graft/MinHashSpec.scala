@@ -204,4 +204,43 @@ class MinHashSpec extends SparkSpec {
         s"tree edges change components at chunkLen=$chunkLen")
     }
   }
+
+  test("delta dedup: incremental first-seen semantics — a store partner " +
+      "wins over an earlier-delta partner regardless of id; delta-only " +
+      "matches attribute to the earlier delta doc; novel docs survive") {
+    import org.apache.spark.sql.functions.col
+    val all = docs(
+      // store docs: doc_id % 10 != 0
+      57L -> longA, // store copy of the A-family (note: id LARGER than 20/30)
+      3L -> other,
+      // delta docs: doc_id % 10 == 0
+      20L -> longB, // near-dup of store 57 AND exact dup of delta 30/50
+      30L -> longB,
+      40L -> (other + " with novel trailing words never seen before in the " +
+        "corpus so the signature stays far from every stored one entirely"),
+      50L -> longB)
+    val store = all.filter(col("doc_id") % 10 =!= 0)
+    val delta = all.filter(col("doc_id") % 10 === 0)
+    val storeSigs = MinHash.signatures(store)
+    val got = MinHash.deltaDupMapOf(MinHash.signatures(delta),
+        storeSigs, MinHash.bandKeys(storeSigs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every A-family delta doc attributes to the STORE doc (pri 0),
+    // even though delta ids 20/30 are smaller than 57
+    assert(got.get(20L) === Some(57L))
+    assert(got.get(30L) === Some(57L))
+    assert(got.get(50L) === Some(57L))
+    assert(!got.contains(40L), "novel delta doc must survive")
+    // delta-only attribution: drop the store A-copy so the family's only
+    // partners are inside the delta — earliest delta id becomes original
+    val store2 = docs(3L -> other)
+    val store2Sigs = MinHash.signatures(store2)
+    val got2 = MinHash.deltaDupMapOf(MinHash.signatures(delta),
+        store2Sigs, MinHash.bandKeys(store2Sigs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2.get(30L) === Some(20L))
+    assert(got2.get(50L) === Some(20L))
+    assert(!got2.contains(20L), "first delta doc of the family is the original")
+    assert(!got2.contains(40L))
+  }
 }
