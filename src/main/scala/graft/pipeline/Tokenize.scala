@@ -136,7 +136,41 @@ object Tokenize {
         (col("total_bpeish_tokens").cast("double") / col("total_ws_words").cast("double"))
           .as("tokens_per_word"))
 
+  /** Sink→source round-trip, oracle-fenced (round 16, verdict #6): write
+    * a (doc_id, tokens) slice as JSONL through the S7 sink, read it back
+    * through [[Sinks.readJsonl]]'s EXPLICIT schema (no inference pass),
+    * and aggregate — the oracle computes the same aggregation from the
+    * parquet truth, so a round-trip that loses or mangles ANY doc, token
+    * or id hash-mismatches. The 5% `doc_id % 20` slice keeps the mark's
+    * cost a sink exercise rather than a second corpus-wide write in
+    * every bench rep; JSONL fidelity is content-independent, so the
+    * slice proves the loop. The write happens eagerly at plan-build time
+    * (it IS the operator under test); each call overwrites one
+    * process-keyed scratch dir. */
+  def jsonlRoundtripQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val toks = Tables.documents(s, d)
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => t =!= "").as("tokens"))
+    val dir = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir")),
+      s"graft_jsonl_rt_${ProcessHandle.current.pid}")
+    Sinks.writeDocsJsonl(toks, dir.getAbsolutePath)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("tokens", ArrayType(StringType))))
+    Sinks.readJsonl(s, dir.getAbsolutePath, schema)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(size(col("tokens")).cast("long")), lit(0L)).as("total_tokens"),
+        coalesce(sum(aggregate(col("tokens"), lit(0L), (a, x) => a + length(x))),
+          lit(0L)).as("total_token_chars"),
+        coalesce(sum(col("doc_id")), lit(0L)).as("sum_doc_ids"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tok_jsonl_roundtrip" -> ((s, d) => jsonlRoundtripQuery(s, d)),
     "tok_vocab" -> ((s, d) => vocabQuery(Tables.documents(s, d))),
     "tok_encode" -> ((s, d) => encodeQuery(Tables.documents(s, d))),
     "tok_stats" -> ((s, d) => statsQuery(Tables.documents(s, d))),
@@ -157,6 +191,20 @@ object Tokenize {
        |        QUALIFY id < ${VocabWords + NumSpecials})""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // The oracle reads the PARQUET truth directly: if the JSONL loop the
+    // Spark side runs through dropped a row, reordered bytes in a token,
+    // or lost a doc_id, one of the four aggregates diverges.
+    "tok_jsonl_roundtrip" ->
+      s"""WITH t AS (SELECT doc_id,
+         |             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tokens
+         |           FROM documents WHERE doc_id % 20 = 0)
+         |SELECT count(*) AS n_docs,
+         |       CAST(coalesce(sum(len(tokens)), 0) AS BIGINT) AS total_tokens,
+         |       CAST(coalesce(sum(coalesce(
+         |         list_sum(list_transform(tokens, x -> length(x))), 0)), 0) AS BIGINT)
+         |         AS total_token_chars,
+         |       CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS sum_doc_ids
+         |FROM t""".stripMargin,
     "tok_regex_stats" ->
       s"""SELECT source,
          |  count(*) AS n_docs,
