@@ -133,12 +133,32 @@ object Bench {
     // between reps; the reported mark is the (lower) median — the
     // statistic least moved by one cold outlier while still penalizing a
     // genuinely bimodal query. REPS=1 restores the old single-shot sweep.
+    //
+    // Rep ORDER is round-robin across the whole menu (round-16, closing
+    // r15 verdict #1): rep 1 of every mark, then rep 2 of every mark, …
+    // With back-to-back reps, a transient slow host window (~minutes of
+    // CPU contention / thermal / page-cache pressure) lands ENTIRELY on
+    // whichever 2-3 marks it straddles and shifts all their reps
+    // together — a tight-spread 2.9x phantom regression on untouched
+    // code (r_cohort_retention 0.537 builder vs 1.558 driver, r15) that
+    // neither rep_spread nor the global calibration can explain.
+    // Interleaved, the same window clips ONE rep of many marks instead:
+    // per-mark medians shrug it off, and the per-round wall-clock totals
+    // (`round_sec` in the artifact) name the slow round outright — the
+    // self-contained explanation the sweep reading needs. Steady-state
+    // semantics are unchanged: the identical cleanup barrier runs
+    // between any two timed windows either way, and the shared memos
+    // are built once before round 1.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val detailed = SparkEntry.queries.toSeq.sortBy(_._1)
+    val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
-      graft.pipeline.QueryMemo.phase = name
-      val marks = (1 to reps).map { _ =>
+    val marksByQuery =
+      scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    qlist.foreach { case (name, _) => marksByQuery(name) = Vector.empty }
+    val roundSecs = (1 to reps).map { _ =>
+      val tr0 = System.nanoTime()
+      qlist.foreach { case (name, fn) =>
+        graft.pipeline.QueryMemo.phase = name
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -161,12 +181,22 @@ object Bench {
         CacheScope.drain()
         spark.catalog.clearCache()
         System.gc()
-        if (ok) sec else -1.0
+        marksByQuery(name) :+= (if (ok) sec else -1.0)
       }
+      (System.nanoTime() - tr0) / 1e9
+    }
+    val detailed = qlist.map { case (name, _) =>
+      val marks = marksByQuery(name)
+      // Median over the SUCCESSFUL reps (round-15 advice: sorting with
+      // the -1 failure sentinels in place shifted the reported "median"
+      // to the lower success); the MARK still reads -1 when any rep
+      // failed — a flaky query is a failed query.
+      val okMarks = marks.filter(_ >= 0).sorted
       val sec =
-        if (marks.exists(_ < 0)) -1.0
-        else marks.sorted.apply((reps - 1) / 2)
-      (name, sec, marks.sorted)
+        if (okMarks.length < marks.length) -1.0
+        else okMarks((okMarks.length - 1) / 2)
+      // spread = successes ascending, then a null per failed rep
+      (name, sec, okMarks ++ Seq.fill(marks.length - okMarks.length)(-1.0))
     }
     val results = memoMark ++ detailed.map { case (n, s, _) => (n, s) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -187,25 +217,30 @@ object Bench {
     }
     val lateJson = late.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // Per-mark rep spread [min, median, max] (round-14 verdict #3): the
-    // driver sweep read tok_stats at 3.63 s where the same binary read
-    // 0.71 s on the builder's box, and the global calibration mark
-    // cannot localize a one-rep stall. With the spread in the artifact,
-    // max >> median on an untouched query reads as sweep noise in one
-    // look; a shifted MEDIAN is the real regression signal.
-    // A failed rep renders as null, not the -1 sentinel (same round-14
-    // advice as calibration): [-1.0, 2.3, 2.5] reads as a negative
-    // duration to any noise-statistics consumer; [null, 2.3, 2.5] is
-    // self-describing next to the mark's -1 failure flag.
+    // Per-mark rep spread (round-14 verdict #3): the driver sweep read
+    // tok_stats at 3.63 s where the same binary read 0.71 s on the
+    // builder's box, and the global calibration mark cannot localize a
+    // one-rep stall. With the spread in the artifact, max >> median on
+    // an untouched query reads as sweep noise in one look; a shifted
+    // MEDIAN is the real regression signal. The list is the SUCCESSFUL
+    // reps ascending, plus a trailing null per failed rep (round-15
+    // advice: the old fixed [min, median, max] slots indexed across the
+    // failure sentinels, mislabeling the median; and a -1 rendered as a
+    // negative duration to noise-statistics consumers).
     def f3(v: Double) =
       if (v < 0) "null"
       else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val spreadJson = detailed.map { case (n, _, m) =>
-      "\"" + n + "\":[" + f3(m.head) + "," + f3(m((reps - 1) / 2)) + "," + f3(m.last) + "]"
+      "\"" + n + "\":[" + m.map(f3).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val calJson = calibration.map(_.toString).getOrElse("null")
+    // round_sec: wall-clock of each round-robin pass over the whole menu
+    // (timed windows + cleanup barriers). A slow host window shows up as
+    // one inflated round here — the sweep-level self-explanation for any
+    // mark whose reps straddled it.
+    val roundJson = roundSecs.map(f3).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","calibration_sec":$calJson,"queries":$qs,"failed":$nFail,"reps":$reps,"rep_spread":$spreadJson,"late_memo_builds":$lateJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration_sec":$calJson,"queries":$qs,"failed":$nFail,"reps":$reps,"round_sec":$roundJson,"rep_spread":$spreadJson,"late_memo_builds":$lateJson,"sf":"$sfDir"}"""
     println(json)
     // stdout goes through sbt's [info] prefix, which broke the driver's
     // parser in round 1 — also drop the raw line where it can be read back.
