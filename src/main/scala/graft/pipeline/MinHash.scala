@@ -743,14 +743,24 @@ object MinHash {
     * incremental batch never recomputes a corpus signature and never
     * re-bands the history; it is the amortization the reference's
     * in-memory incremental index gets for free (deduplicator.py:150-180),
-    * re-expressed as shared state. Rides the reliable-checkpoint
-    * substrate like every memo. */
+    * re-expressed as shared state.
+    *
+    * Storage is [[ScratchCache]] parquet, NOT a checkpoint: the store is
+    * corpus-width at ~1 KB/row (128 longs), i.e. the Grams class of fat
+    * shared frame — materializing it into the block manager would pin
+    * gigabytes at the 100× shapes and evict the per-query persists
+    * (the round-12 Grams measurement). Parquet streams on scan, reuses
+    * across processes, and with a checkpoint dir configured lands on
+    * shared multi-node storage. Band keys are derived on scan (a
+    * 128-long fold per row) rather than stored 16-fold wide. */
   private val storeMemo = new QueryMemo[(DataFrame, DataFrame)](name = "delta_sig_store")
   private[graft] def sigStoreFor(s: SparkSession, d: String): (DataFrame, DataFrame) =
     storeMemo.getOrElseUpdate(s, d) {
-      val sigs = QueryMemo.materialize(signatures(
-        Tables.documents(s, d).filter(col("doc_id") % Dedup.DeltaMod =!= 0)))
-      (sigs, QueryMemo.materialize(bandKeys(sigs)))
+      def built = signatures(
+        Tables.documents(s, d).filter(col("doc_id") % Dedup.DeltaMod =!= 0))
+      val sigs = ScratchCache.parquetFor(s, d, "sigstore")(built)
+        .getOrElse(QueryMemo.materialize(built)) // no stable key: heap fallback
+      (sigs, bandKeys(sigs))
     }
 
   /** `dedup_delta_minhash`: the delta slice's duplicate→original map
