@@ -745,23 +745,57 @@ object MinHash {
     * in-memory incremental index gets for free (deduplicator.py:150-180),
     * re-expressed as shared state.
     *
+    * The store is CONTRACTED to identical-signature representatives
+    * `(gid, sig)`, `gid` = min member doc_id — the same lossless
+    * collapse the batch rep graph runs, and here the expansion back to
+    * members is FREE: signature-identical store docs verify identically
+    * against any probe, so a delta doc's minimal store partner over all
+    * members is the minimal `gid` over matched GROUPS (each gid IS its
+    * group's min). On the duplicate-heavy gate corpus this is the
+    * difference between a delta doc colliding with one rep versus its
+    * whole boilerplate family (measured: the member-level spelling read
+    * 78.6 s for a 51k-doc delta at 100×; see SCALE.md §16).
+    *
     * Storage is [[ScratchCache]] parquet, NOT a checkpoint: the store is
-    * corpus-width at ~1 KB/row (128 longs), i.e. the Grams class of fat
-    * shared frame — materializing it into the block manager would pin
-    * gigabytes at the 100× shapes and evict the per-query persists
-    * (the round-12 Grams measurement). Parquet streams on scan, reuses
-    * across processes, and with a checkpoint dir configured lands on
-    * shared multi-node storage. Band keys are derived on scan (a
-    * 128-long fold per row) rather than stored 16-fold wide. */
+    * ~1 KB/row (128 longs) and corpus-width on a unique-heavy corpus,
+    * i.e. the Grams class of fat shared frame — materializing it into
+    * the block manager would pin gigabytes at the 100× shapes and evict
+    * the per-query persists (the round-12 Grams measurement). Parquet
+    * streams on scan, reuses across processes, and with a checkpoint
+    * dir configured lands on shared multi-node storage. Band keys are
+    * derived on scan (a 128-long fold per row) rather than stored
+    * 16-fold wide. The contraction window is one ingest-time exchange,
+    * keyed on xxhash64(sig) with the full sig riding in the partition
+    * key (collisions split, never merge — the round-5 collapse-key
+    * pattern). */
   private val storeMemo = new QueryMemo[(DataFrame, DataFrame)](name = "delta_sig_store")
   private[graft] def sigStoreFor(s: SparkSession, d: String): (DataFrame, DataFrame) =
     storeMemo.getOrElseUpdate(s, d) {
-      def built = signatures(
+      def built = storeRepsOf(
         Tables.documents(s, d).filter(col("doc_id") % Dedup.DeltaMod =!= 0))
-      val sigs = ScratchCache.parquetFor(s, d, "sigstore")(built)
+      // name versions the FORMAT: "sigrep" = rep-contracted (gid, sig);
+      // the retired member-level "sigstore" layout is legacy-swept.
+      val reps = ScratchCache.parquetFor(s, d, "sigrep")(built)
         .getOrElse(QueryMemo.materialize(built)) // no stable key: heap fallback
-      (sigs, bandKeys(sigs))
+      (reps, repBands(reps))
     }
+
+  /** The rep-contracted store relation `(gid, sig)` of an arbitrary
+    * corpus-snapshot docs frame — the library building block behind
+    * [[sigStoreFor]] (tests, probes, callers with their own snapshot). */
+  def storeRepsOf(storeDocs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(xxhash64(col("sig")), col("sig"))
+    signatures(storeDocs)
+      .withColumn("gid", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("gid"))
+      .select(col("gid"), col("sig"))
+  }
+
+  /** Pre-exploded LSH band keys of a rep store: `(gid, band, bh)`. */
+  def repBands(reps: DataFrame): DataFrame =
+    bandKeys(reps.withColumnRenamed("gid", "doc_id"))
+      .withColumnRenamed("doc_id", "gid")
 
   /** `dedup_delta_minhash`: the delta slice's duplicate→original map
     * under INCREMENTAL first-seen semantics — every store doc was "seen
@@ -777,33 +811,53 @@ object MinHash {
       storeSigs, storeBands)
   }
 
-  /** The delta attribution algebra over an arbitrary store. Cost scales
-    * with the DELTA, not the corpus: the store contributes one scan of
-    * its skinny pre-banded keys into the (band, bh) candidate join (no
-    * store shuffle of signatures, no banding, no signature kernel), the
-    * wide store signatures are fetched only for the candidate-MATCHED
-    * ids (delta-proportional under a bounded near-dup rate), and the
-    * in-delta leg runs the full [[duplicateOfSigs]] machinery on the
-    * delta alone. Candidate multiplicity across shared bands collapses
-    * with one delta-scale distinct; verification is the same early-exit
-    * [[sigMatchesGE]] kernel as the batch path. */
-  def deltaDupMapOf(deltaSigs0: DataFrame, storeSigs: DataFrame,
+  /** The delta attribution algebra over a rep-contracted store. Cost
+    * scales with the DELTA, not the corpus: the store contributes one
+    * scan of its skinny pre-banded rep keys into the (band, bh)
+    * candidate join (no store shuffle of signatures, no banding, no
+    * signature kernel), wide store signatures are fetched only for the
+    * candidate-MATCHED groups, and the in-delta leg runs the full
+    * [[duplicateOfSigs]] machinery on the delta alone.
+    *
+    * BOTH sides are identical-signature-contracted before the band join
+    * (round 16, after the member-level spelling measured 78.6 s on a
+    * 51k-doc delta at the duplicate-heavy 100× gate corpus — every
+    * delta doc collided with its whole boilerplate family): candidates,
+    * verification and the min-partner resolution all run at rep
+    * cardinality, then ONE delta-scale members join expands the group
+    * verdict. Lossless: verification is a pure function of the two
+    * signatures, so a group verdict holds for every member pair, and
+    * min over matched members = min over matched groups' gids (a gid IS
+    * its group's min). */
+  def deltaDupMapOf(deltaSigs0: DataFrame, storeReps: DataFrame,
       storeBands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val deltaSigs = graft.CacheScope.persist(deltaSigs0)
-    val dBands = bandKeys(deltaSigs)
-    val cand = storeBands.select(col("doc_id").as("sid"), col("band"), col("bh"))
-      .join(dBands.select(col("doc_id").as("did"), col("band"), col("bh")),
-        Seq("band", "bh"))
-      .select(col("did"), col("sid")).distinct()
-      .transform(graft.CacheScope.persist) // feeds the sid semi-join AND the verify join
-    val matchedSigs = storeSigs
-      .join(cand.select(col("sid")).distinct()
-        .withColumnRenamed("sid", "doc_id"), Seq("doc_id"), "left_semi")
-    val vsStore = cand
-      .join(matchedSigs.select(col("doc_id").as("sid"), col("sig").as("ssig")), "sid")
-      .join(deltaSigs.select(col("doc_id").as("did"), col("sig").as("dsig")), "did")
+    // delta-side contraction (delta-scale window, xxhash64-keyed)
+    val dW = Window.partitionBy(xxhash64(col("sig")), col("sig"))
+    val dMembers = graft.CacheScope.persist(
+      deltaSigs.withColumn("dgid", min(col("doc_id")).over(dW)))
+    val dReps = dMembers.filter(col("doc_id") === col("dgid"))
+      .select(col("dgid"), col("sig"))
+    val dBands = bandKeys(dReps.withColumnRenamed("dgid", "doc_id"))
+      .withColumnRenamed("doc_id", "dgid")
+    val cand = storeBands.select(col("gid"), col("band"), col("bh"))
+      .join(dBands, Seq("band", "bh"))
+      .select(col("dgid"), col("gid")).distinct()
+      .transform(graft.CacheScope.persist) // feeds the gid semi-join AND the verify join
+    val matchedReps = storeReps
+      .join(cand.select(col("gid")).distinct(), Seq("gid"), "left_semi")
+    // rep-level verify, then per delta-group min store partner
+    val minStore = cand
+      .join(matchedReps.withColumnRenamed("sig", "ssig"), "gid")
+      .join(dReps.withColumnRenamed("sig", "dsig"), "dgid")
       .filter(sigMatchCol(col("dsig"), col("ssig")))
-      .select(col("did").as("duplicate_id"), col("sid").as("cand_id"),
+      .groupBy(col("dgid")).agg(min(col("gid")).as("cand_id"))
+    // expand the group verdict to members: every member of a matched
+    // delta group (its rep included) attributes to the store partner
+    val vsStore = dMembers.select(col("doc_id"), col("dgid"))
+      .join(minStore, "dgid")
+      .select(col("doc_id").as("duplicate_id"), col("cand_id"),
         lit(0).as("pri"))
     // pri 1: the delta against itself — the standard batch dup map
     // (min earlier verified partner per doc) over the delta alone.

@@ -221,9 +221,9 @@ class MinHashSpec extends SparkSpec {
       50L -> longB)
     val store = all.filter(col("doc_id") % 10 =!= 0)
     val delta = all.filter(col("doc_id") % 10 === 0)
-    val storeSigs = MinHash.signatures(store)
+    val storeReps = MinHash.storeRepsOf(store)
     val got = MinHash.deltaDupMapOf(MinHash.signatures(delta),
-        storeSigs, MinHash.bandKeys(storeSigs))
+        storeReps, MinHash.repBands(storeReps))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     // every A-family delta doc attributes to the STORE doc (pri 0),
     // even though delta ids 20/30 are smaller than 57
@@ -233,10 +233,9 @@ class MinHashSpec extends SparkSpec {
     assert(!got.contains(40L), "novel delta doc must survive")
     // delta-only attribution: drop the store A-copy so the family's only
     // partners are inside the delta — earliest delta id becomes original
-    val store2 = docs(3L -> other)
-    val store2Sigs = MinHash.signatures(store2)
+    val store2Reps = MinHash.storeRepsOf(docs(3L -> other))
     val got2 = MinHash.deltaDupMapOf(MinHash.signatures(delta),
-        store2Sigs, MinHash.bandKeys(store2Sigs))
+        store2Reps, MinHash.repBands(store2Reps))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got2.get(30L) === Some(20L))
     assert(got2.get(50L) === Some(20L))
