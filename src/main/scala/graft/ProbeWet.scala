@@ -122,29 +122,41 @@ object ProbeWet {
     println(f"[wetprobe] generated $nFiles files x $docsPerFile recs " +
       f"(${gzBytes / 1048576.0}%.1f MB gz) + quarter corpus in $genSec%.1f s")
 
-    def scan(dir: java.io.File, exact: Boolean): (Long, Double) = {
+    def scan(dir: java.io.File, exact: Boolean): (Long, Double, Int) = {
       val df = graft.sources.WarcWet.documents(spark, dir.getAbsolutePath,
         exactFraming = exact)
       val parts = df.rdd.getNumPartitions
       val expected = Option(dir.listFiles()).getOrElse(Array.empty).length
-      require(parts == expected,
-        s"one-task-per-gz-file violated: $parts tasks for $expected files" +
-          s" (exact=$exact)")
-      val (n, sec) = timed {
-        val c = df.count()
+      // Task-granularity invariants. gzip members are never SPLIT —
+      // a file is consumed whole by one task under both framings. The
+      // EXACT framing plans exactly one split per file (FileInputFormat
+      // with isSplitable=false). The fast path BIN-PACKS several whole
+      // small files per task (FileSourceScan's maxPartitionBytes
+      // packing — the desirable behavior for small members); real
+      // ~150 MB Common Crawl members exceed the 128 MB packing bound,
+      // so production gets one task per file there too.
+      if (exact) require(parts == expected,
+        s"exact framing must plan one split per file: $parts for $expected")
+      else require(parts <= expected && parts >= 1,
+        s"fast path split a gz member?! $parts tasks for $expected files")
+      // one measured execution (round-16 review: a count() inside the
+      // window doubled the work and halved reported docs/s); the doc
+      // count for the report comes from an untimed pass afterwards
+      val (_, sec) = timed {
         df.write.format("noop").mode("overwrite").save()
-        c
       }
-      (n, sec)
+      (df.count(), sec, parts)
     }
     // warm the scan paths once (codec + codegen classes)
     scan(quarter, exact = false); scan(quarter, exact = true)
 
-    val (nFast, fastSec) = scan(full, exact = false)
-    val (nExact, exactSec) = scan(full, exact = true)
-    val (nQ, qSec) = scan(quarter, exact = false)
+    val (nFast, fastSec, pFast) = scan(full, exact = false)
+    val (nExact, exactSec, pExact) = scan(full, exact = true)
+    val (nQ, qSec, _) = scan(quarter, exact = false)
     require(nFast == nExact,
       s"framings disagree on a clean corpus: fast=$nFast exact=$nExact")
+    println(s"[wetprobe] tasks: fast=$pFast (bin-packed whole files), " +
+      s"exact=$pExact (one split per file) over $nFiles files")
 
     // --- E2E: asDocs -> Pipeline.run (clean/dedup/quality/tokenize/sinks)
     val outDir = new java.io.File(root, "pipeline_out").getAbsolutePath

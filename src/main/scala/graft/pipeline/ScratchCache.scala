@@ -70,17 +70,32 @@ private[graft] object ScratchCache {
 
   /** Atomically promote a complete temp generation to `target`. If a
     * half-written `target` exists (crashed writer) it is cleared first;
-    * if a concurrent JVM wins the rename race with a complete
-    * generation, ours is discarded. (`FileSystem.rename` refuses an
-    * existing non-empty destination on both HDFS and the local FS,
-    * which is exactly the race arbiter.) */
-  private def install(fs: FileSystem, tmp: Path, target: Path): Unit = {
+    * if a concurrent JVM wins the race with a complete generation, ours
+    * is discarded.
+    *
+    * Race subtlety (round-16 review): Hadoop `rename(src, dst)` onto an
+    * EXISTING directory does not fail — it moves `src` INSIDE `dst`
+    * (POSIX mv semantics), so a loser's temp would nest inside the
+    * winner's complete generation and every later parquet read of the
+    * target would see conflicting directory structures / doubled rows.
+    * Hence: re-check for a complete winner immediately before the
+    * rename, and AFTER the rename detect + delete the nested-move case
+    * (the winner installed in the window between check and rename). */
+  private[graft] def install(fs: FileSystem, tmp: Path, target: Path): Unit = {
     if (fs.exists(target) && !fs.exists(new Path(target, "_SUCCESS")))
       fs.delete(target, true)
+    if (fs.exists(new Path(target, "_SUCCESS"))) {
+      fs.delete(tmp, true) // lost the race to a complete install — fine
+      return
+    }
     val renamed =
       try fs.rename(tmp, target)
       catch { case _: java.io.IOException => false }
-    if (!renamed) {
+    val nested = new Path(target, tmp.getName)
+    if (fs.exists(nested)) {
+      // rename landed INSIDE a winner's generation — discard the loser
+      fs.delete(nested, true)
+    } else if (!renamed) {
       if (fs.exists(new Path(target, "_SUCCESS")))
         fs.delete(tmp, true) // lost the race to a complete install — fine
       else

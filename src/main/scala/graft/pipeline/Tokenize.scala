@@ -153,9 +153,14 @@ object Tokenize {
       .filter(col("doc_id") % 20 === 0)
       .select(col("doc_id"),
         filter(split(col("text"), "\\s+"), t => t =!= "").as("tokens"))
+    // keyed by pid AND corpus path (round-16 review): the write is eager
+    // but the returned read is lazy, so a pid-only dir would let a second
+    // corpus in the same JVM overwrite this one's data before (or
+    // between) executions of the first frame
     val dir = new java.io.File(
       new java.io.File(sys.props("java.io.tmpdir")),
-      s"graft_jsonl_rt_${ProcessHandle.current.pid}")
+      f"graft_jsonl_rt_${ProcessHandle.current.pid}_" +
+        f"${scala.util.hashing.MurmurHash3.stringHash(d)}%08x")
     Sinks.writeDocsJsonl(toks, dir.getAbsolutePath)
     val schema = StructType(Seq(
       StructField("doc_id", LongType),

@@ -68,6 +68,12 @@ final class WarcRecordReader extends RecordReader[LongWritable, Text] {
       if (codec != null) codec.createInputStream(raw) else raw, 1 << 16)
   }
 
+  /** Terminator of the line [[readLine]] just returned: "\r\n", "\n",
+    * or "" (EOF without a newline) — the recovery path re-emits payload
+    * lines with their ORIGINAL terminators so the degraded record stays
+    * byte-identical to the separator fast path's. */
+  private var lastTerm: String = ""
+
   /** One header-area line: bytes to LF, CR stripped; null at EOF with
     * nothing read. (Headers are US-ASCII per spec; UTF-8 decode is a
     * superset and keeps any spec-violating bytes intact.) */
@@ -77,14 +83,23 @@ final class WarcRecordReader extends RecordReader[LongWritable, Text] {
     if (b < 0) return null
     while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
     val bytes = buf.toByteArray
-    val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
-      bytes.length - 1 else bytes.length
+    val cr = bytes.nonEmpty && bytes(bytes.length - 1) == '\r'
+    lastTerm = if (b < 0) "" else if (cr) "\r\n" else "\n"
+    val n = if (cr) bytes.length - 1 else bytes.length
     new String(bytes, 0, n, UTF_8)
   }
 
+  /** Longest payload kept as one record value. A spec-valid record may
+    * declare more (Content-Length is a 64-bit count) than a JVM string
+    * can hold; beyond the cap the VALUE truncates but the STREAM is kept
+    * aligned by skipping the declared remainder ([[skipFully]]) — no
+    * payload bytes ever get re-parsed as phantom records. 256 MB is ~100×
+    * the largest real-world WET conversion payload. */
+  private val MaxPayloadBytes: Long = 256L * 1024 * 1024
+
   private def readFully(len: Long): Array[Byte] = {
     // EOF-tolerant: a truncated tail record yields the bytes present.
-    val want = math.min(len, Int.MaxValue.toLong - 8).toInt
+    val want = math.min(len, MaxPayloadBytes).toInt
     val out = new Array[Byte](want)
     var off = 0
     var n = 0
@@ -92,7 +107,23 @@ final class WarcRecordReader extends RecordReader[LongWritable, Text] {
       n = in.read(out, off, want - off)
       if (n > 0) off += n
     }
+    if (len > want) {
+      System.err.println(
+        s"[graft.warc] payload of $len bytes exceeds $MaxPayloadBytes; " +
+          "value truncated, stream realigned")
+      skipFully(len - want)
+    }
     if (off == want) out else java.util.Arrays.copyOf(out, off)
+  }
+
+  private def skipFully(len: Long): Unit = {
+    var left = len
+    while (left > 0) {
+      val n = in.skip(left)
+      if (n > 0) left -= n
+      else if (in.read() < 0) return // EOF
+      else left -= 1
+    }
   }
 
   private val ClRe = "(?i)^content-length:\\s*(\\d{1,18})\\s*$".r
@@ -124,14 +155,15 @@ final class WarcRecordReader extends RecordReader[LongWritable, Text] {
             sb.append(new String(readFully(contentLength), UTF_8))
           else {
             // Spec-violating record: no usable Content-Length. Degrade to
-            // separator semantics — payload runs to the next version line.
+            // separator semantics — payload runs to the next version
+            // line, each line re-emitted with its ORIGINAL terminator so
+            // the degraded value is byte-identical to the fast path's.
             var pl = readLine()
-            var first = true
+            var term = lastTerm
             while (pl != null && !pl.startsWith("WARC/")) {
-              if (!first) sb.append("\r\n")
-              sb.append(pl)
-              first = false
+              sb.append(pl).append(term)
               pl = readLine()
+              term = lastTerm
             }
             pushedBack = pl
           }

@@ -102,6 +102,31 @@ class QueryMemoSpec extends SparkSpec {
     }
   }
 
+  test("scratch install race: a loser renaming onto a complete winner " +
+      "is discarded, never nested inside the winner's generation " +
+      "(Hadoop rename onto an existing dir MOVES INTO it)") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("graft-memo-race")
+    val fs = new Path("file:" + root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def mkGen(name: String): Path = {
+      val p = new Path("file:" + root, name)
+      fs.mkdirs(p)
+      fs.create(new Path(p, "part-0.parquet")).close()
+      fs.create(new Path(p, "_SUCCESS")).close()
+      p
+    }
+    val target = mkGen("graft_x_k_f") // the winner, installed complete
+    val tmp = mkGen("graft_x_k_f.tmp-999-aa") // the loser's complete temp
+    graft.pipeline.ScratchCache.install(fs, tmp, target)
+    assert(!fs.exists(tmp), "loser temp must be discarded")
+    assert(fs.exists(new Path(target, "_SUCCESS")))
+    assert(!fs.exists(new Path(target, tmp.getName)),
+      "loser must not nest inside the winner's generation")
+    // and the files of the winner are untouched
+    assert(fs.exists(new Path(target, "part-0.parquet")))
+  }
+
   test("materialize engages fault-tolerant checkpoint() when a " +
       "checkpoint dir is configured, localCheckpoint otherwise") {
     val df = Seq(1L, 2L, 3L).toDF("v")
