@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   *
   *  1. delta-proportionality — one fixed corpus store (built once,
   *     timed separately: that is the amortized ingest-time index), then
-  *     the delta dup-map timed at three delta sizes (the mod-10 slice
-  *     thinned 16x / 4x / 1x). Cost should track the delta size on top
+  *     the delta dup-map timed at three delta sizes (the mod-DeltaMod
+  *     slice thinned 16x / 4x / 1x — predicates derived from
+  *     [[graft.pipeline.Dedup.DeltaMod]] so they can never drift from
+  *     the store's own slice). Cost should track the delta size on top
   *     of a fixed floor (driver planning + the skinny store band scan).
   *  2. corpus-independence — a fixed-size delta (500 docs) against each
   *     corpus's store: 10x the corpus should move the reading by far
@@ -45,17 +47,23 @@ object ProbeDelta {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.pipeline.MinHash
+    import graft.pipeline.{Dedup, MinHash}
+    // Slice predicates DERIVED from Dedup.DeltaMod (round-17 advice):
+    // sigStoreFor's store is `doc_id % DeltaMod != 0`, so the probe's
+    // store count and its delta slices (multiples of DeltaMod thin the
+    // mod-DeltaMod slice without ever overlapping the store) stay
+    // consistent with the store it times against by construction.
+    val mod = Dedup.DeltaMod.toLong
 
     println("| corpus | store docs | store build s | delta docs | dupmap s | dup rows |")
     println("|---|---|---|---|---|---|")
     dirs.foreach { d =>
       val docs = Tables.documents(spark, d)
-      val nStore = docs.filter(col("doc_id") % 10 =!= 0).count()
+      val nStore = docs.filter(col("doc_id") % mod =!= 0).count()
       val buildSec = timed(MinHash.sigStoreFor(spark, d))
       val (storeSigs, storeBands) = MinHash.sigStoreFor(spark, d)
       // leg 1: delta-proportionality (fixed store, 3 delta sizes)
-      Seq(160L, 40L, 10L).foreach { m =>
+      Seq(mod * 16, mod * 4, mod).foreach { m =>
         val delta = docs.filter(col("doc_id") % m === 0)
         val nDelta = delta.count()
         // one measured execution (round-16 review); the dup-row count
@@ -70,7 +78,7 @@ object ProbeDelta {
         barrier(spark)
       }
       // leg 2: fixed-size delta (corpus-independence)
-      val fixed = docs.filter(col("doc_id") % 10 === 0).limit(500)
+      val fixed = docs.filter(col("doc_id") % mod === 0).limit(500)
       val nFixed = fixed.count()
       val sec = timed {
         MinHash.deltaDupMapOf(MinHash.signatures(fixed), storeSigs, storeBands)

@@ -29,12 +29,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * fingerprint (changes on regeneration). A build writes to a
   * process-unique `.tmp-*` sibling and ATOMICALLY renames it into
   * place, so a concurrent JVM either sees the complete generation or
-  * none; a lost install race discards the loser's temp. After install,
-  * every superseded generation of the same (name, corpus) is deleted,
-  * as are orphaned temps older than an hour and ANY generation of the
-  * same name older than a week (bounds the single-use-corpus tail —
-  * every ScalaTest temp dir is a never-superseded key). Footprint and
-  * GC counts are logged next to the memo split.
+  * none; a lost install race renames the loser's temp back out before
+  * deleting it (never a transiently doubled listing). GC is
+  * access-based and writer-scoped (round 17 — this storage is SHARED
+  * when a checkpoint dir is configured): every reuse bumps the
+  * generation's mtime, the INSTALLING writer alone deletes superseded
+  * generations of its own (name, corpus), orphaned temps go after an
+  * hour, and any generation of the same name unread for a week is
+  * swept (bounds the single-use-corpus tail — every ScalaTest temp dir
+  * is a never-superseded key). Footprint and GC counts are logged next
+  * to the memo split.
   */
 private[graft] object ScratchCache {
 
@@ -58,13 +62,24 @@ private[graft] object ScratchCache {
     fs.mkdirs(root)
     val corpusKey = f"${scala.util.hashing.MurmurHash3.stringHash(d)}%08x"
     val target = new Path(root, f"graft_${name}_${corpusKey}_$fp%016x")
-    if (!fs.exists(new Path(target, "_SUCCESS"))) {
+    val installed = !fs.exists(new Path(target, "_SUCCESS"))
+    if (installed) {
       val tmp = new Path(root,
         target.getName + f".tmp-${ProcessHandle.current.pid}-${System.nanoTime}%x")
       build.write.mode("overwrite").parquet(tmp.toString)
       install(fs, tmp, target)
+    } else {
+      // Access-based eviction (round-17 advice): on shared multi-node
+      // storage the week cutoff below is a GC horizon for ABANDONED
+      // generations, not a TTL on live ones — a long-lived corpus whose
+      // cache is read daily must never age out under a concurrent job's
+      // lazy scan. Bumping mtime on every reuse makes the cutoff measure
+      // time-since-last-ACCESS. Best-effort: object stores may reject
+      // setTimes; the bump then degrades to the old created-time cutoff.
+      try fs.setTimes(target, System.currentTimeMillis(), -1)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
-    gc(fs, root, name, corpusKey, target)
+    gc(fs, root, name, corpusKey, target, installedHere = installed)
     Some(s.read.parquet(target.toString))
   }
 
@@ -93,8 +108,20 @@ private[graft] object ScratchCache {
       catch { case _: java.io.IOException => false }
     val nested = new Path(target, tmp.getName)
     if (fs.exists(nested)) {
-      // rename landed INSIDE a winner's generation — discard the loser
-      fs.delete(nested, true)
+      // Rename landed INSIDE a winner's complete generation. Deleting
+      // in place would leave a window where a concurrent reader that
+      // already started listing `target` sees the loser's nested
+      // part-files beside the winner's (doubled rows / conflicting
+      // footers — round-17 advice). Rename the nested dir back OUT to a
+      // sibling first — a rename out of `target` restores a clean
+      // listing in one atomic metadata op — then delete the sibling at
+      // leisure. If even that rename fails, fall back to the in-place
+      // delete (the pre-fix behavior: a narrow race beats a permanent
+      // nested dir).
+      val evicted = new Path(target.getParent, tmp.getName + ".lost")
+      val out = try fs.rename(nested, evicted)
+                catch { case _: java.io.IOException => false }
+      fs.delete(if (out) evicted else nested, true)
     } else if (!renamed) {
       if (fs.exists(new Path(target, "_SUCCESS")))
         fs.delete(tmp, true) // lost the race to a complete install — fine
@@ -105,7 +132,7 @@ private[graft] object ScratchCache {
   }
 
   private def gc(fs: FileSystem, root: Path, name: String, corpusKey: String,
-                 target: Path): Unit = {
+                 target: Path, installedHere: Boolean): Unit = {
     // retired layouts, swept on sight: pre-round-13 grams (no corpus
     // key) and the short-lived member-level "sigstore" (superseded by
     // the rep-contracted "sigrep" — same fingerprint, new format, so a
@@ -116,11 +143,25 @@ private[graft] object ScratchCache {
     val entries: Array[FileStatus] =
       try fs.listStatus(root)
       catch { case scala.util.control.NonFatal(_) => Array.empty[FileStatus] }
+    // Deletion scopes (round-17 advice — this GC now runs on SHARED
+    // checkpoint storage, so a deletion here can fail a concurrent
+    // job's in-flight scan, not just force a rebuild):
+    //  * superseded generations of THIS (name, corpus): only the
+    //    INSTALLING writer deletes them — the one process that knows a
+    //    newer generation just landed; pure readers never delete, so a
+    //    reader racing a writer can't sweep a generation the writer's
+    //    own lazy frames still reference.
+    //  * week-stale cross-corpus generations: mtime is access-bumped on
+    //    every reuse (parquetFor), so "week old" means a week UNREAD —
+    //    far beyond any plausible job over a cache it is actively
+    //    scanning.
+    //  * orphaned temps (incl. `.lost` eviction siblings): hour-old.
     val stale = entries.filter { st =>
       val n = st.getPath.getName
       n != target.getName && (
         (n.startsWith(s"graft_${name}_${corpusKey}_") &&
-          (!n.contains(".tmp-") || st.getModificationTime < cutoff)) ||
+          (if (n.contains(".tmp-")) st.getModificationTime < cutoff
+           else installedHere)) ||
         (n.startsWith(s"graft_${name}_") && st.getModificationTime < weekOld) ||
         legacy.matches(n))
     }

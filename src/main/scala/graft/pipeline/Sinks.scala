@@ -48,6 +48,16 @@ object Sinks {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Recursive local-file delete, children first — scratch-sweep
+    * helper (stale `graft_jsonl_rt_*` dirs; see
+    * [[Tokenize.jsonlRoundtripQuery]]). Best-effort: a file that
+    * refuses to go is left for the next sweep. */
+  private[pipeline] def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
   /** S9: single-row summary → one JSON object file (src/main.py:407-420).
     * Collects exactly one row on the driver. */
   def writeSummaryJson(summary: DataFrame, path: String): Unit = {

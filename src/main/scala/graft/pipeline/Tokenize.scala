@@ -157,10 +157,26 @@ object Tokenize {
     // but the returned read is lazy, so a pid-only dir would let a second
     // corpus in the same JVM overwrite this one's data before (or
     // between) executions of the first frame
-    val dir = new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir")),
+    val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmpRoot,
       f"graft_jsonl_rt_${ProcessHandle.current.pid}_" +
         f"${scala.util.hashing.MurmurHash3.stringHash(d)}%08x")
+    // Scratch hygiene (round-17 advice): without a sweep, every process
+    // run leaves its graft_jsonl_rt_* slice behind forever. Sweep
+    // siblings whose owning pid is dead (safe: a dead process has no
+    // lazy frame left to scan its dir) or that have sat unmodified for
+    // a day (backstop for pid reuse). Our own live dirs are never
+    // touched — same-JVM reuse across corpora stays valid.
+    val staleRe = "graft_jsonl_rt_([0-9]+)_[0-9a-f]+".r
+    val dayOld = System.currentTimeMillis() - 86400L * 1000
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case staleRe(pid) if pid.toLong != ProcessHandle.current.pid &&
+            (ProcessHandle.of(pid.toLong).isEmpty || f.lastModified < dayOld) =>
+          Sinks.deleteRecursively(f)
+        case _ => ()
+      }
+    }
     Sinks.writeDocsJsonl(toks, dir.getAbsolutePath)
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
