@@ -2,6 +2,62 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
+/** Cumulative task-metric counters fed by a SparkListener — the
+  * per-mark self-explanation layer of the bench artifact (round 17,
+  * closing the r16 verdict #2: `round_sec` names a slow ROUND, nothing
+  * named a slow MARK — `sim_embed_dedup_mp`'s 3-rep blowup shipped in
+  * the enforced artifact with no machine-readable cause). The bench
+  * loop snapshots the counters around each timed window; the deltas
+  * (task GC ms, shuffle spill, shuffle bytes written, peak per-task
+  * execution memory, summed task time) land next to `rep_spread`, so a
+  * mark whose median moved >1.5x carries its own diagnosis: gc_ms up =
+  * memory pressure, spill up = execution memory shortfall, both flat =
+  * host/scheduler interference outside the JVM.
+  *
+  * Counters are cumulative across the whole run and read by delta, so
+  * listener-bus lag only ever shifts attribution into the NEXT window
+  * of the same mark loop — and the cleanup barrier (unpersist + GC)
+  * between windows gives the bus time to drain in practice. Driver-side
+  * GC is read directly from the GC MXBeans (task metrics only cover
+  * executors; in local mode they share the JVM, but the driver's own
+  * collector activity between tasks is real cost the task view misses).
+  */
+private class BenchMetricsListener extends org.apache.spark.scheduler.SparkListener {
+  import java.util.concurrent.atomic.AtomicLong
+  val gcMs = new AtomicLong
+  val spillBytes = new AtomicLong
+  val shuffleWriteBytes = new AtomicLong
+  val taskMs = new AtomicLong
+  val peakExecMem = new AtomicLong
+  override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      gcMs.addAndGet(m.jvmGCTime)
+      spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      shuffleWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      taskMs.addAndGet(m.executorRunTime)
+      peakExecMem.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+      ()
+    }
+  }
+  private def driverGcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+  /** (task gc ms, spill bytes, shuffle-write bytes, task ms, driver gc ms). */
+  def snapshot(): BenchMetricsListener.Snap = BenchMetricsListener.Snap(
+    gcMs.get, spillBytes.get, shuffleWriteBytes.get, taskMs.get, driverGcMs)
+}
+private object BenchMetricsListener {
+  case class Snap(gcMs: Long, spillBytes: Long, shuffleWriteBytes: Long,
+      taskMs: Long, drvGcMs: Long) {
+    def -(o: Snap): Snap = Snap(gcMs - o.gcMs, spillBytes - o.spillBytes,
+      shuffleWriteBytes - o.shuffleWriteBytes, taskMs - o.taskMs,
+      drvGcMs - o.drvGcMs)
+  }
+}
+
 /** Benchmark main. Executes every registered query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
@@ -39,6 +95,8 @@ object Bench {
       builder.config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
+    val metrics = new BenchMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     // Same reliable-memo contract as graft.Verify: with a checkpoint dir
     // configured the memos survive executor loss (QueryMemo.materialize),
     // so the reliable path's cost is benchmarkable, not just correct.
@@ -119,20 +177,35 @@ object Bench {
       "quality_histogram", "quality_reason_report", "quality_by_source",
       "tok_bpe_stats", "tok_wordpiece_stats", "tok_unigram_stats",
       "quality_cascade", "quality_histogram_refdefaults", "lang_distribution")
+    // Per-mark metric deltas, run order, one entry per rep — the
+    // mark-level self-explanation beside rep_spread (see
+    // [[BenchMetricsListener]]). peakExecMem is a monotonic max, reset
+    // before each window; everything else is cumulative and read by
+    // delta after the cleanup barrier (bus-drain time).
+    val snapsByQuery =
+      scala.collection.mutable.LinkedHashMap
+        .empty[String, Vector[(BenchMetricsListener.Snap, Long)]]
+    def recordSnap(name: String, before: BenchMetricsListener.Snap): Unit =
+      snapsByQuery(name) = snapsByQuery.getOrElse(name, Vector.empty) :+
+        ((metrics.snapshot() - before, metrics.peakExecMem.get))
     val memoMark: Seq[(String, Double)] =
       if (only.nonEmpty && only.intersect(memoConsumers).isEmpty) Nil
       else {
         graft.pipeline.QueryMemo.phase = "memo_build"
+        metrics.peakExecMem.set(0L)
+        val snap0 = metrics.snapshot()
         val t0 = System.nanoTime()
         val ok =
           try { graft.pipeline.Memos.build(spark, sfDir); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] memo_build_shared FAILED: ${e.getMessage}"); false
           }
+        val sec = (System.nanoTime() - t0) / 1e9
         CacheScope.drain()
         spark.catalog.clearCache()
         System.gc()
-        Seq("memo_build_shared" -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0))
+        recordSnap("memo_build_shared", snap0)
+        Seq("memo_build_shared" -> (if (ok) sec else -1.0))
       }
     // Median-of-N per query (round-8 verdict #3): with identical binaries
     // the single-shot sweep moved 311.6 -> 254.7 s round-over-round and
@@ -168,6 +241,8 @@ object Bench {
       val tr0 = System.nanoTime()
       qlist.foreach { case (name, fn) =>
         graft.pipeline.QueryMemo.phase = name
+        metrics.peakExecMem.set(0L)
+        val snap0 = metrics.snapshot()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -190,6 +265,13 @@ object Bench {
         CacheScope.drain()
         spark.catalog.clearCache()
         System.gc()
+        // metric delta read AFTER the barrier: the explicit GC gives the
+        // listener bus time to drain the window's late task-end events,
+        // and no tasks run inside the barrier itself, so the window's
+        // tasks are attributed to this mark. The barrier's own
+        // driver-side GC rides in drv_gc_ms — by design: the collector
+        // debt a query leaves behind is that query's cost.
+        recordSnap(name, snap0)
         marksByQuery(name) :+= (if (ok) sec else -1.0)
       }
       (System.nanoTime() - tr0) / 1e9
@@ -242,19 +324,85 @@ object Bench {
     val spreadJson = detailed.map { case (n, _, m) =>
       "\"" + n + "\":[" + m.map(f3).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // Per-mark metric deltas in RUN order (rep 1..N — unlike rep_spread,
+    // which sorts; run order aligns with round_sec, so "which round was
+    // slow" and "what did that rep spend" read together). gc_ms = summed
+    // task JVM GC; drv_gc_ms = driver collector delta incl. the cleanup
+    // barrier's explicit GC; spill_mb = memory+disk shuffle/agg spill;
+    // shuffle_mb = shuffle bytes written; task_sec = summed executor run
+    // time (task-parallelism-weighted cost); peak_exec_mb = largest
+    // single-task execution-memory peak in the window.
+    val metricsJson = snapsByQuery.map { case (n, snaps) =>
+      def longs(f: ((BenchMetricsListener.Snap, Long)) => Long) =
+        snaps.map(f(_).toString).mkString("[", ",", "]")
+      def mbs(f: ((BenchMetricsListener.Snap, Long)) => Long) =
+        snaps.map(s => f3(f(s) / 1048576.0)).mkString("[", ",", "]")
+      "\"" + n + "\":{\"gc_ms\":" + longs(_._1.gcMs) +
+        ",\"drv_gc_ms\":" + longs(_._1.drvGcMs) +
+        ",\"spill_mb\":" + mbs(_._1.spillBytes) +
+        ",\"shuffle_mb\":" + mbs(_._1.shuffleWriteBytes) +
+        ",\"task_sec\":" + snaps.map(s => f3(s._1.taskMs / 1000.0)).mkString("[", ",", "]") +
+        ",\"peak_exec_mb\":" + mbs(_._2) + "}"
+    }.mkString("{", ",", "}")
     val calJson = calibration.map(_.toString).getOrElse("null")
     // round_sec: wall-clock of each round-robin pass over the whole menu
     // (timed windows + cleanup barriers). A slow host window shows up as
     // one inflated round here — the sweep-level self-explanation for any
     // mark whose reps straddled it.
     val roundJson = roundSecs.map(f3).mkString("[", ",", "]")
+    // Same-binary control run (round 17, closing the r16 verdict #3: the
+    // "host window vs code regression" question was answered three
+    // rounds running by a MANUAL worktree A/B living in SCALE.md prose —
+    // the artifact itself should answer it). With
+    // SPARK_GRAFT_CONTROL_JAR set to a prior-round binary (a jar or a
+    // classes dir), a child JVM re-times the sentinel marks in the SAME
+    // session window, control classes FIRST on the classpath so they
+    // shadow ours while Spark's own jars ride along. The child's whole
+    // one-line artifact embeds under `control` — its calibration_sec and
+    // sentinel marks against this sweep's readings decide host-vs-code
+    // in one look. The main session is stopped first so the control gets
+    // the machine the main sweep had. No recursion: the var is scrubbed
+    // from the child's env.
+    spark.stop()
+    val controlJson: Option[String] = sys.env.get("SPARK_GRAFT_CONTROL_JAR").map { jar =>
+      val marks = sys.env.getOrElse("SPARK_GRAFT_CONTROL_MARKS",
+        "dedup_minhash_dupmap,sim_embed_dedup_mp,dedup_jaccard_dupmap," +
+          "tok_encode,r_q1_pricing_summary").split(",").map(_.trim).filter(_.nonEmpty)
+      val ref = sys.env.getOrElse("SPARK_GRAFT_CONTROL_REF", jar)
+      def refJson = "\"ref\":\"" + ref.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      try {
+        import scala.jdk.CollectionConverters._
+        val outFile = Files.createTempFile("graft_control_", ".json")
+        val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.filterNot(_.startsWith("-javaagent")).toSeq
+        val cp = jar + java.io.File.pathSeparator + System.getProperty("java.class.path")
+        val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench") ++ marks
+        val pb = new ProcessBuilder(cmd.asJava)
+        pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
+        pb.environment().remove("SPARK_GRAFT_CONTROL_JAR")
+        // the child prints its own JSON line — keep OUR stdout one-line
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val p = pb.start()
+        val done = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { p.destroyForcibly(); throw new RuntimeException("control timed out") }
+        val line = Files.readString(outFile).trim
+        if (p.exitValue() == 0 && line.startsWith("{") && line.endsWith("}"))
+          s"""{$refJson,"artifact":$line}"""
+        else s"""{$refJson,"error":"exit ${p.exitValue()}, no artifact"}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] control run FAILED: ${e.getMessage}")
+        s"""{$refJson,"error":"${e.getMessage.replace("\\", "\\\\").replace("\"", "'")}"}"""
+      }
+    }
+    val controlField = controlJson.map(c => s""","control":$c""").getOrElse("")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","calibration_sec":$calJson,"queries":$qs,"failed":$nFail,"reps":$reps,"round_sec":$roundJson,"rep_spread":$spreadJson,"late_memo_builds":$lateJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration_sec":$calJson,"queries":$qs,"failed":$nFail,"reps":$reps,"round_sec":$roundJson,"rep_spread":$spreadJson,"mark_metrics":$metricsJson,"late_memo_builds":$lateJson$controlField,"sf":"$sfDir"}"""
     println(json)
     // stdout goes through sbt's [info] prefix, which broke the driver's
     // parser in round 1 — also drop the raw line where it can be read back.
     Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_out.json")), json + "\n")
-    spark.stop()
   }
 }
