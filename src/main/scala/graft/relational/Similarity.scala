@@ -672,7 +672,7 @@ object Similarity {
   def embedDedup(emb: DataFrame, threshold: Double = DedupCosine,
       nOpt: Option[Long] = None): DataFrame = {
     val np = planesFor(nOpt.getOrElse(emb.count()))
-    val (withG, reps) = collapseIdenticalVectors(emb)
+    val (members, reps) = collapseIdenticalVectors(emb)
     val b = reps.select(col("gid"), col("embedding"),
       expr(bucketS("embedding", np)).as("bucket"))
     val verified = b.select(col("gid").as("ga"), col("embedding").as("e_a"), col("bucket"))
@@ -681,7 +681,7 @@ object Similarity {
       .filter(col("ga") < col("gb"))
       .filter(cosineGE("e_a", "e_b", threshold))
       .select(col("ga"), col("gb"))
-    dedupFromRepPairs(withG, verified)
+    dedupFromRepPairs(members, verified)
   }
 
   /** Hot-cluster collapse for the embedding joins (same argument as
@@ -694,6 +694,24 @@ object Similarity {
     * took sim_embed_dedup_mp to 18 s; collapsed, the join sees 1/10 the
     * rows). Zero vectors are dropped outright: cosine is undefined for
     * them and the pair filter excluded them already. */
+  /** Returns `(members, reps)`: the skinny `(vec_id, gid)` membership
+    * map and the rep-width `(gid, embedding)` frame, both persisted.
+    *
+    * What gets CACHED changed in round 17 (the GC lever behind the
+    * `sim_embed_dedup_mp` sweep blowups — measured: an interleaved
+    * heap-regime A/B at the gate 100x corpus read mp at 4.7-5.5 s under
+    * the close-sweep heap but 5.4-14.0 s with 3-18 s of task GC per rep
+    * under a mis-sized heap, same binary; the old spelling pinned the
+    * FULL corpus-width array frame — ~3.4 GB at gate 100x — in the
+    * block manager, the largest single allocation in the mark's
+    * lifetime). Now the cache holds the 16-byte/row membership map plus
+    * the rep-cardinality embeddings: on a duplicate-heavy corpus that
+    * is ~30x fewer cached bytes; on an all-unique corpus it equals the
+    * old footprint minus the duplicated skinny columns. The window
+    * lineage is recomputed once more to derive `reps` (one extra
+    * exchange) — the A/B reads the trade as a wash on wall-clock and a
+    * large win on GC volatility, which is the regression class this
+    * mark keeps hitting in driver sweeps. */
   private def collapseIdenticalVectors(emb: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val nz = emb.filter(expr(s"(${dotS("embedding", "embedding")}) > 0"))
@@ -707,9 +725,11 @@ object Similarity {
       .withColumn("gid",
         min(col("vec_id")).over(Window.partitionBy(col("gh"), col("embedding"))))
       .drop("gh")
-      .transform(graft.CacheScope.persist)
-    (withG, withG.filter(col("vec_id") === col("gid"))
-      .select(col("gid"), col("embedding")))
+    val members = graft.CacheScope.persist(withG.select(col("vec_id"), col("gid")))
+    val reps = graft.CacheScope.persist(
+      withG.filter(col("vec_id") === col("gid"))
+        .select(col("gid"), col("embedding")))
+    (members, reps)
   }
 
   private def cosineGE(a: String, b: String, t: Double) =
@@ -719,10 +739,9 @@ object Similarity {
     * representative pairs — the same expansion algebra as
     * MinHash.duplicateOfSigs (in-group members attribute to their gid;
     * cross-group to the smallest verified partner gid below them). */
-  private def dedupFromRepPairs(withG: DataFrame, verified: DataFrame): DataFrame = {
+  private def dedupFromRepPairs(members: DataFrame, verified: DataFrame): DataFrame = {
     val partners = verified.select(col("ga").as("gid"), col("gb").as("cand"))
       .union(verified.select(col("gb").as("gid"), col("ga").as("cand")))
-    val members = withG.select(col("vec_id"), col("gid"))
     val cross = members.join(partners, "gid")
       .filter(col("cand") < col("vec_id"))
       .select(col("vec_id"), col("cand"))
@@ -748,7 +767,7 @@ object Similarity {
   def embedDedupMultiProbe(emb: DataFrame, threshold: Double = DedupCosine,
       nOpt: Option[Long] = None): DataFrame = {
     val np = planesFor(nOpt.getOrElse(emb.count()))
-    val (withG, reps) = collapseIdenticalVectors(emb)
+    val (members, reps) = collapseIdenticalVectors(emb)
     val b = reps.select(col("gid"), col("embedding"),
       expr(bucketS("embedding", np)).as("bucket"))
     // The exploded probe side ships ONLY (ga, bucket) — 16 bytes/row —
@@ -783,7 +802,7 @@ object Similarity {
       .join(reps.select(col("gid").as("ga"), col("embedding").as("e_a")), "ga")
       .filter(cosineGE("e_a", "e_b", threshold))
       .select(col("ga"), col("gb"))
-    dedupFromRepPairs(withG, verified)
+    dedupFromRepPairs(members, verified)
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
@@ -802,7 +821,7 @@ object Similarity {
     * bounded; cells are also the natural partition key for the join. */
   def semDedup(emb: DataFrame, threshold: Double = DedupCosine,
       nOpt: Option[Long] = None): DataFrame = {
-    val (withG, reps) = collapseIdenticalVectors(emb)
+    val (members, reps) = collapseIdenticalVectors(emb)
     val cents = codebook(emb, cellsFor(nOpt.getOrElse(emb.count())))
     val cells = reps.withColumn("cell",
       graft.functions.IvfCell(col("embedding"), cents))
@@ -813,7 +832,7 @@ object Similarity {
       .filter(col("ga") < col("gb"))
       .filter(cosineGE("e_a", "e_b", threshold))
       .select(col("ga"), col("gb"))
-    dedupFromRepPairs(withG, verified)
+    dedupFromRepPairs(members, verified)
   }
 
   /** Probe hooks (round 13, [[graft.ProbeRecall]]): the blocking
@@ -827,17 +846,17 @@ object Similarity {
     * iff they are equal, a SemDeDup pair iff the cells match. */
   private[graft] def bucketedRepsProbe(emb: DataFrame): DataFrame = {
     val np = planesFor(emb.count())
-    val (withG, reps) = collapseIdenticalVectors(emb)
-    withG.select(col("vec_id"), col("gid"))
+    val (members, reps) = collapseIdenticalVectors(emb)
+    members
       .join(reps.select(col("gid"),
         expr(bucketS("embedding", np)).as("bucket")), "gid")
       .select(col("vec_id"), col("bucket"))
   }
 
   private[graft] def cellRepsProbe(emb: DataFrame): DataFrame = {
-    val (withG, reps) = collapseIdenticalVectors(emb)
+    val (members, reps) = collapseIdenticalVectors(emb)
     val cents = codebook(emb, cellsFor(emb.count()))
-    withG.select(col("vec_id"), col("gid"))
+    members
       .join(reps.select(col("gid"),
         graft.functions.IvfCell(col("embedding"), cents).as("cell")), "gid")
       .select(col("vec_id"), col("cell"))
