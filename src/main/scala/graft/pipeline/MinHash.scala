@@ -833,6 +833,30 @@ object MinHash {
       storeBands: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val deltaSigs = graft.CacheScope.persist(deltaSigs0)
+    // Small-delta fast path (round 17, verdict #4): the contracted
+    // spelling below is a ~15-job chain whose driver floor (~2-4 s)
+    // dominates PRODUCTION incremental cadence — hourly batches of a
+    // few hundred docs against a 100 TB store. Below the broadcast
+    // bound, the whole attribution runs as ONE pass over the rep-store
+    // parquet with the delta riding as broadcasts (the count here is
+    // one cheap job against the just-persisted sigs, and it warms the
+    // persist the big path reuses). Result-identical — see
+    // [[deltaDupMapSmall]]'s equality argument; the scale legs keep
+    // both paths oracle-covered (sf0.001/0.01 take this branch, sf0.1
+    // and the 100x gates take the contracted one).
+    if (deltaSigs.count() <= DeltaBroadcastMax)
+      deltaDupMapSmall(deltaSigs, storeReps)
+    else
+      deltaDupMapContracted(deltaSigs, storeReps, storeBands)
+  }
+
+  /** The contracted (big-delta) spelling — both sides identical-
+    * signature-collapsed before the band join; see [[deltaDupMapOf]]'s
+    * scaladoc for the algebra. Exposed at library scope so the parity
+    * spec can pin small-path == contracted-path on the same input. */
+  private[graft] def deltaDupMapContracted(deltaSigs: DataFrame,
+      storeReps: DataFrame, storeBands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // delta-side contraction (delta-scale window, xxhash64-keyed)
     val dW = Window.partitionBy(xxhash64(col("sig")), col("sig"))
     val dMembers = graft.CacheScope.persist(
@@ -864,6 +888,61 @@ object MinHash {
     val inDelta = duplicateOfSigs(deltaSigs)
       .select(col("duplicate_id"), col("original_id").as("cand_id"),
         lit(1).as("pri"))
+    vsStore.union(inDelta)
+      .groupBy(col("duplicate_id"))
+      .agg(min(struct(col("pri"), col("cand_id"))).as("m"))
+      .select(col("duplicate_id"), col("m.cand_id").as("original_id"))
+  }
+
+  /** Deltas at or under this row count take [[deltaDupMapSmall]]. Sized
+    * so every broadcast is bounded by construction: band keys ≤ 4096 x
+    * [[NumBands]] skinny rows, signatures ≤ 4096 x 1 KB ≈ 4 MB. */
+  val DeltaBroadcastMax = 4096L
+
+  /** Broadcast spelling of the delta attribution for small deltas — the
+    * production shape for high-cadence incremental ingest, where the
+    * contracted path's multi-stage driver chain IS the cost. The store
+    * leg is ONE pass over the rep-store parquet: band keys are derived
+    * on scan with the signature riding (no store shuffle, nothing
+    * persisted), matched map-side against the broadcast delta band
+    * keys, verified in place, and reduced by one tiny aggregation. The
+    * in-delta leg is the member-level band self-join of the delta alone
+    * with the build side broadcast.
+    *
+    * Result-identical to the contracted path: (a) store side — the
+    * store is already rep-contracted, and a delta MEMBER's bands equal
+    * its group rep's bands (identical signature), so the matched
+    * (store gid, delta doc) set — and min gid per doc — is the same
+    * whether the delta is contracted or not; duplicate band matches per
+    * pair cost ≤ NumBands extra verifications and collapse in the min.
+    * (b) in-delta — [[duplicateOfSigs]]'s rep-graph algebra equals the
+    * member-level "min earlier verified partner" (its own scaladoc
+    * equality argument, run in reverse: group min = gid, identical sigs
+    * always collide and verify, so candidate sets are group-closed).
+    * (c) resolution — same (pri, cand) ordering as the big path. */
+  private[graft] def deltaDupMapSmall(deltaSigs: DataFrame, storeReps: DataFrame): DataFrame = {
+    val dBands = bandKeys(deltaSigs)
+    val dSigs = deltaSigs.withColumnRenamed("sig", "dsig")
+    val sBands = storeReps.select(col("gid"), col("sig").as("ssig"),
+      posexplode(graft.functions.BandHashes(col("sig"))).as(Seq("band", "bh")))
+    val vsStore = sBands
+      .join(broadcast(dBands), Seq("band", "bh"))
+      .join(broadcast(dSigs), "doc_id")
+      .filter(sigMatchCol(col("dsig"), col("ssig")))
+      .groupBy(col("doc_id").as("duplicate_id"))
+      .agg(min(col("gid")).as("cand_id"))
+      .select(col("duplicate_id"), col("cand_id"), lit(0).as("pri"))
+    val dbs = deltaSigs.select(col("doc_id"), col("sig"),
+      posexplode(graft.functions.BandHashes(col("sig"))).as(Seq("band", "bh")))
+    val inDelta = dbs
+      .select(col("doc_id").as("da"), col("sig").as("sa"), col("band"), col("bh"))
+      .join(broadcast(dbs.select(col("doc_id").as("db"), col("sig").as("sb"),
+        col("band"), col("bh"))), Seq("band", "bh"))
+      .filter(col("da") < col("db"))
+      .filter(sigMatchCol(col("sa"), col("sb")))
+      .groupBy(col("db").as("duplicate_id"))
+      .agg(min(col("da")).as("cand_id"))
+      .select(col("duplicate_id"), col("cand_id"), lit(1).as("pri"))
     vsStore.union(inDelta)
       .groupBy(col("duplicate_id"))
       .agg(min(struct(col("pri"), col("cand_id"))).as("m"))

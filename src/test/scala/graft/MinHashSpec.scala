@@ -242,4 +242,34 @@ class MinHashSpec extends SparkSpec {
     assert(!got2.contains(20L), "first delta doc of the family is the original")
     assert(!got2.contains(40L))
   }
+
+  test("delta dedup: the small-delta broadcast path and the contracted " +
+      "path produce the identical dup map on a corpus with exact-dup " +
+      "families, near-dup families, and novel docs on both sides") {
+    import org.apache.spark.sql.functions.col
+    // A generated mix: exact-dup families spanning store and delta
+    // (every 7th doc repeats base text k), near-dups (base + per-doc
+    // suffix on every 5th), and unique docs. Ids stride store (%10!=0)
+    // and delta (%10==0) slices.
+    val rows = (1L to 400L).map { i =>
+      val fam = i % 7
+      val text =
+        if (i % 7 < 3) longA + s" family-$fam" // exact-dup families (shared per fam)
+        else if (i % 5 == 0) longB + s" near dup variant $i tail"
+        else s"unique document $i " + other + s" salt-$i"
+      (i, text)
+    }
+    val all = docs(rows: _*)
+    val store = all.filter(col("doc_id") % 10 =!= 0)
+    val delta = all.filter(col("doc_id") % 10 === 0)
+    val storeReps = MinHash.storeRepsOf(store)
+    val sigs = MinHash.signatures(delta)
+    val small = MinHash.deltaDupMapSmall(sigs, storeReps)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val contracted = MinHash.deltaDupMapContracted(sigs, storeReps,
+        MinHash.repBands(storeReps))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(small.nonEmpty, "fixture invalid: no duplicates found at all")
+    assert(small === contracted)
+  }
 }
