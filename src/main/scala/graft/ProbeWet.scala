@@ -17,11 +17,24 @@ import org.apache.spark.sql.functions._
   *  2. scan throughput docs/s, separator fast path vs Content-Length
   *     exact framing (the r15 #4 upgrade), same doc counts;
   *  3. linearity in file count (quarter corpus vs full corpus);
-  *  4. asDocs → Pipeline.run end-to-end on the extracted documents.
+  *  4. asDocs → Pipeline.run end-to-end on the extracted documents,
+  *     ABLATED per stage (round 17, verdict #6): the fused plan makes
+  *     in-run stage timing meaningless by design (Metrics scaladoc), so
+  *     the split comes from differencing full vs tokenize-off vs
+  *     quality-off vs dedup-off runs of the same input;
+  *  5. (round 17, verdict #5 — `bigMemberMB` > 0) ONE production-shaped
+  *     gzip member of ~that compressed size (Common Crawl members are
+  *     ~150 MB): one task per member on both framings, docs/s and
+  *     member-MB/s at real size;
+  *  6. (with the same flag) a member whose first payload DECLARES more
+  *     than the 256 MB cap: the scan must warn, truncate the value,
+  *     realign, and read every following record intact at full size —
+  *     the at-scale twin of WarcWetSpec's conf-keyed cap test.
   *
   * Deterministic: per-(file, doc) seeded PRNGs — same args, same corpus,
   * same counts. Usage:
-  *   ProbeWet [rootDir] [nFiles] [docsPerFile]   (defaults /tmp/wetprobe 120 400)
+  *   ProbeWet [rootDir] [nFiles] [docsPerFile] [bigMemberMB]
+  *   (defaults /tmp/wetprobe 120 400 0)
   */
 object ProbeWet {
 
@@ -158,15 +171,33 @@ object ProbeWet {
     println(s"[wetprobe] tasks: fast=$pFast (bin-packed whole files), " +
       s"exact=$pExact (one split per file) over $nFiles files")
 
-    // --- E2E: asDocs -> Pipeline.run (clean/dedup/quality/tokenize/sinks)
-    val outDir = new java.io.File(root, "pipeline_out").getAbsolutePath
-    val (ingested, e2eSec) = timed {
-      graft.pipeline.Pipeline.run(
-        graft.sources.WarcWet.asDocs(spark, full.getAbsolutePath),
-        graft.pipeline.Pipeline.GraftConfig(
-          quality = graft.pipeline.Quality.Config.reference), outDir)
-        .collect().head.getAs[Long]("docs_ingested")
+    // --- E2E: asDocs -> Pipeline.run, ablated per stage. The engine
+    // fuses clean+quality into the scan and shares actions across
+    // stages, so the honest per-stage attribution is BY DIFFERENCE:
+    // each run disables one more stage (tokenize -> quality -> dedup);
+    // delta(full, -tok) = tokenizer train+encode+tokens sink,
+    // delta(-tok, -tok-quality) = the quality cascade, and so on down
+    // to the irreducible ingest+clean+documents-sink floor.
+    import graft.pipeline.Pipeline.{DedupConfig, GraftConfig, TokenizationConfig}
+    import graft.pipeline.Quality
+    def e2e(cfg: GraftConfig, tag: String): (Long, Double) = {
+      val outDir = new java.io.File(root, s"pipeline_out_$tag").getAbsolutePath
+      val (n, sec) = timed {
+        graft.pipeline.Pipeline.run(
+          graft.sources.WarcWet.asDocs(spark, full.getAbsolutePath), cfg, outDir)
+          .collect().head.getAs[Long]("docs_ingested")
+      }
+      CacheScope.drain(); spark.catalog.clearCache(); System.gc()
+      (n, sec)
     }
+    val cFull = GraftConfig(quality = Quality.Config.reference)
+    val cNoTok = cFull.copy(tokenization = TokenizationConfig(enabled = false))
+    val cNoQ = cNoTok.copy(qualityEnabled = false)
+    val cNoDedup = cNoQ.copy(dedup = DedupConfig(enabled = false))
+    val (ingested, e2eSec) = e2e(cFull, "full")
+    val (_, noTokSec) = e2e(cNoTok, "notok")
+    val (_, noQSec) = e2e(cNoQ, "noq")
+    val (_, noDedupSec) = e2e(cNoDedup, "nodedup")
 
     println("| leg | files | docs | sec | docs/s |")
     println("|---|---|---|---|---|")
@@ -176,6 +207,84 @@ object ProbeWet {
     println(f"| asDocs -> Pipeline.run E2E | $nFiles | $ingested | $e2eSec%.1f | ${ingested / e2eSec}%.0f |")
     println(f"[wetprobe] exact/fast = ${exactSec / fastSec}%.2fx, " +
       f"full/quarter = ${fastSec / qSec}%.2fx (linear = ~4x work on ~4x files)")
+    println("| E2E stage split (by ablation) | sec | share of full |")
+    println("|---|---|---|")
+    println(f"| full pipeline | $e2eSec%.1f | 100%% |")
+    println(f"| tokenizer (train+encode+tokens sink) | ${e2eSec - noTokSec}%.1f | ${(e2eSec - noTokSec) / e2eSec * 100}%.0f%% |")
+    println(f"| quality cascade | ${noTokSec - noQSec}%.1f | ${(noTokSec - noQSec) / e2eSec * 100}%.0f%% |")
+    println(f"| minhash dedup | ${noQSec - noDedupSec}%.1f | ${(noQSec - noDedupSec) / e2eSec * 100}%.0f%% |")
+    println(f"| ingest+clean+documents sink (floor) | $noDedupSec%.1f | ${noDedupSec / e2eSec * 100}%.0f%% |")
+
+    // --- production-shaped member legs (opt-in: arg 4 = target gz MB)
+    val bigMB = args.lift(3).map(_.toInt).getOrElse(0)
+    if (bigMB > 0) {
+      val bigDir = new java.io.File(root, "bigmember"); bigDir.mkdirs()
+      val bigF = new java.io.File(bigDir, "wet-big.warc.wet.gz")
+      var bigDocs = 0L
+      val (_, bigGenSec) = timed {
+        val out = new GZIPOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(bigF), 1 << 16))
+        val target = bigMB.toLong * 1024 * 1024
+        out.write(rec("warcinfo", "info-big", "", "software: probe-crawler 1.0")
+          .getBytes("UTF-8"))
+        var d = 0
+        while (bigF.length() < target) {
+          val rnd = new scala.util.Random(7000003L + d)
+          out.write(rec("conversion", f"big-$d%07d",
+            s"http://host${rnd.nextInt(5000)}.example/big/$d",
+            docText(rnd, 80 + rnd.nextInt(200))).getBytes("UTF-8"))
+          d += 1
+          if (d % 2000 == 0) out.flush()
+        }
+        out.close()
+        bigDocs = d.toLong
+      }
+      println(f"[wetprobe] big member: ${bigF.length() / 1048576.0}%.0f MB gz, " +
+        f"$bigDocs records, generated in $bigGenSec%.0f s")
+      Seq(false, true).foreach { exact =>
+        val (n, sec, parts) = scan(bigDir, exact)
+        require(parts == 1, s"a single gz member must be ONE task, got $parts")
+        println(f"| big-member scan, ${if (exact) "exact" else "fast"} framing " +
+          f"| 1 | $n | $sec%.1f | ${n / sec}%.0f | " +
+          f"${bigF.length() / 1048576.0 / sec}%.1f gz-MB/s |")
+      }
+      // over-cap payload: first record DECLARES (and carries) more than
+      // the 256 MB value cap; the scan must truncate+realign and read
+      // the 100 trailing records intact at full size.
+      val capDir = new java.io.File(root, "overcap"); capDir.mkdirs()
+      val capF = new java.io.File(capDir, "wet-overcap.warc.wet.gz")
+      val (_, capGenSec) = timed {
+        val out = new GZIPOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(capF), 1 << 16))
+        val line = ("the same low entropy sentence repeated forever to keep " +
+          "the generated gzip small while the declared payload is huge ")
+        val lineB = line.getBytes("UTF-8")
+        val repeats = (280L * 1024 * 1024) / lineB.length + 1
+        val payloadLen = repeats * lineB.length
+        val hdr = "WARC/1.0\r\nWARC-Type: conversion\r\n" +
+          "WARC-Record-ID: <urn:uuid:overcap-0>\r\n" +
+          "WARC-Target-URI: http://cap.example/huge\r\n" +
+          "WARC-Date: 2024-05-01T00:00:00Z\r\n" +
+          s"Content-Length: $payloadLen\r\n\r\n"
+        out.write(hdr.getBytes("UTF-8"))
+        var i = 0L
+        while (i < repeats) { out.write(lineB); i += 1 }
+        out.write("\r\n\r\n".getBytes("UTF-8"))
+        (0 until 100).foreach { d =>
+          val rnd = new scala.util.Random(9000017L + d)
+          out.write(rec("conversion", f"aftercap-$d%05d",
+            s"http://aftercap.example/p/$d", docText(rnd, 120)).getBytes("UTF-8"))
+        }
+        out.close()
+      }
+      val (nCap, capSec, _) = scan(capDir, exact = true)
+      require(nCap == 101L,
+        s"over-cap realignment lost records: $nCap docs (want 1 capped + 100 after)")
+      println(f"| over-cap member (280 MB declared payload + 100 records), exact " +
+        f"| 1 | $nCap | $capSec%.1f | realigned, all trailing records intact |")
+      println(f"[wetprobe] over-cap member: ${capF.length() / 1048576.0}%.1f MB gz " +
+        f"generated in $capGenSec%.0f s")
+    }
     spark.stop()
   }
 }

@@ -39,6 +39,12 @@ import org.apache.hadoop.mapreduce.lib.input.{FileInputFormat, FileSplit}
   * yields whatever bytes remain. Malformed input degrades to the fast
   * path's semantics, never to an exception mid-scan.
   */
+object WarcInputFormat {
+  /** Hadoop conf key overriding the payload value cap (bytes). */
+  val MaxPayloadKey = "graft.warc.maxPayloadBytes"
+  val DefaultMaxPayloadBytes: Long = 256L * 1024 * 1024
+}
+
 final class WarcInputFormat extends FileInputFormat[LongWritable, Text] {
   override def isSplitable(ctx: JobContext, file: Path): Boolean = false
   override def createRecordReader(split: InputSplit,
@@ -62,6 +68,8 @@ final class WarcRecordReader extends RecordReader[LongWritable, Text] {
     val conf = ctx.getConfiguration
     val p = fsplit.getPath
     fileLen = math.max(fsplit.getLength, 1L)
+    maxPayloadBytes = conf.getLong(WarcInputFormat.MaxPayloadKey,
+      WarcInputFormat.DefaultMaxPayloadBytes)
     raw = p.getFileSystem(conf).open(p)
     val codec = new CompressionCodecFactory(conf).getCodec(p)
     in = new BufferedInputStream(
@@ -93,13 +101,15 @@ final class WarcRecordReader extends RecordReader[LongWritable, Text] {
     * declare more (Content-Length is a 64-bit count) than a JVM string
     * can hold; beyond the cap the VALUE truncates but the STREAM is kept
     * aligned by skipping the declared remainder ([[skipFully]]) — no
-    * payload bytes ever get re-parsed as phantom records. 256 MB is ~100×
-    * the largest real-world WET conversion payload. */
-  private val MaxPayloadBytes: Long = 256L * 1024 * 1024
+    * payload bytes ever get re-parsed as phantom records. The default
+    * 256 MB is ~100× the largest real-world WET conversion payload;
+    * configurable (round 17) so the realignment contract is testable
+    * without a quarter-GB fixture and tunable per deployment. */
+  private var maxPayloadBytes: Long = WarcInputFormat.DefaultMaxPayloadBytes
 
   private def readFully(len: Long): Array[Byte] = {
     // EOF-tolerant: a truncated tail record yields the bytes present.
-    val want = math.min(len, MaxPayloadBytes).toInt
+    val want = math.min(len, maxPayloadBytes).toInt
     val out = new Array[Byte](want)
     var off = 0
     var n = 0
@@ -109,7 +119,7 @@ final class WarcRecordReader extends RecordReader[LongWritable, Text] {
     }
     if (len > want) {
       System.err.println(
-        s"[graft.warc] payload of $len bytes exceeds $MaxPayloadBytes; " +
+        s"[graft.warc] payload of $len bytes exceeds $maxPayloadBytes; " +
           "value truncated, stream realigned")
       skipFully(len - want)
     }

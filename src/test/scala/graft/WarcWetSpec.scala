@@ -200,4 +200,37 @@ class WarcWetSpec extends SparkSpec {
     assert(docs(0).getAs[String]("text") === longText)
     assert(docs(1).getAs[String]("record_id") === "<urn:uuid:0000-11>")
   }
+
+  test("exact framing payload cap: an over-cap payload truncates the VALUE " +
+      "but realigns the STREAM — every following record parses intact " +
+      "(round-16 watch item, cap exercised via the conf key)") {
+    // one 8 KB single-line payload (no internal blank lines), cap at 1 KB,
+    // then two ordinary records that MUST survive the realignment skip
+    val big = ("The quick brown fox jumps over the lazy dog again and again " +
+      "without a single blank line anywhere in sight ") * 80
+    assert(big.getBytes("UTF-8").length > 4096)
+    val p = write(
+      rec("conversion", 20, "http://big.example/over-cap", big) +
+        rec("conversion", 21, "http://after.example/one", longText) +
+        rec("conversion", 22, "http://after.example/two", longText + " Two."),
+      "warc.wet")
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setLong(graft.sources.WarcInputFormat.MaxPayloadKey, 1024L)
+    try {
+      val docs = WarcWet.documents(spark, p, exactFraming = true)
+        .orderBy("target_uri").collect()
+      assert(docs.length === 3)
+      val after = docs.filter(_.getAs[String]("target_uri").startsWith("http://after"))
+      assert(after.map(_.getAs[String]("text")).toSet ===
+        Set(longText, longText + " Two."), "records after the cap must parse intact")
+      val capped = docs.find(_.getAs[String]("target_uri") == "http://big.example/over-cap").get
+      val got = capped.getAs[String]("text")
+      assert(got === big.substring(0, 1024).trim,
+        "capped value must be exactly the first cap bytes of the payload " +
+          "(modulo the extractor's whitespace trim)")
+      // the declared Content-Length still reads from the headers —
+      // consumers can SEE the truncation
+      assert(capped.getAs[Long]("content_length") === big.getBytes("UTF-8").length.toLong)
+    } finally hc.unset(graft.sources.WarcInputFormat.MaxPayloadKey)
+  }
 }
