@@ -932,13 +932,19 @@ object MinHash {
       .groupBy(col("doc_id").as("duplicate_id"))
       .agg(min(col("gid")).as("cand_id"))
       .select(col("duplicate_id"), col("cand_id"), lit(0).as("pri"))
+    // In-delta leg mirrors the store leg's slimming: the broadcast build
+    // side carries band KEYS only (the signature would otherwise ride
+    // every one of the NumBands rows — a NumBands-fold fatter broadcast
+    // for no information); the partner's signature joins back from the
+    // once-per-doc dSigs broadcast after the da < db cut.
     val dbs = deltaSigs.select(col("doc_id"), col("sig"),
       posexplode(graft.functions.BandHashes(col("sig"))).as(Seq("band", "bh")))
     val inDelta = dbs
       .select(col("doc_id").as("da"), col("sig").as("sa"), col("band"), col("bh"))
-      .join(broadcast(dbs.select(col("doc_id").as("db"), col("sig").as("sb"),
-        col("band"), col("bh"))), Seq("band", "bh"))
+      .join(broadcast(dBands.select(col("doc_id").as("db"), col("band"), col("bh"))),
+        Seq("band", "bh"))
       .filter(col("da") < col("db"))
+      .join(broadcast(dSigs.select(col("doc_id").as("db"), col("dsig").as("sb"))), "db")
       .filter(sigMatchCol(col("sa"), col("sb")))
       .groupBy(col("db").as("duplicate_id"))
       .agg(min(col("da")).as("cand_id"))

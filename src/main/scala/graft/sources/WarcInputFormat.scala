@@ -68,8 +68,12 @@ final class WarcRecordReader extends RecordReader[LongWritable, Text] {
     val conf = ctx.getConfiguration
     val p = fsplit.getPath
     fileLen = math.max(fsplit.getLength, 1L)
-    maxPayloadBytes = conf.getLong(WarcInputFormat.MaxPayloadKey,
-      WarcInputFormat.DefaultMaxPayloadBytes)
+    // Clamped below the JVM array ceiling: the cap feeds a single
+    // byte-array allocation in readFully, so a >2 GiB configured value
+    // must not overflow the Int size there.
+    maxPayloadBytes = math.min(Int.MaxValue - 16L,
+      conf.getLong(WarcInputFormat.MaxPayloadKey,
+        WarcInputFormat.DefaultMaxPayloadBytes))
     raw = p.getFileSystem(conf).open(p)
     val codec = new CompressionCodecFactory(conf).getCodec(p)
     in = new BufferedInputStream(
