@@ -200,6 +200,13 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] memo_build_shared FAILED: ${e.getMessage}"); false
           }
+        // Window definition changed in round 17 (and is now recorded):
+        // the mark stops BEFORE the cleanup barrier, matching every
+        // per-query mark below ("cleanup time is excluded from the
+        // mark"). Through round 16 this mark alone included the
+        // drain+clearCache+GC barrier — round-over-round memo_build
+        // comparisons across that boundary carry a ~1-3 s (at 100x)
+        // definitional delta on top of any real change.
         val sec = (System.nanoTime() - t0) / 1e9
         CacheScope.drain()
         spark.catalog.clearCache()
@@ -378,7 +385,7 @@ object Bench {
         "dedup_minhash_dupmap,sim_embed_dedup_mp," +
           "tok_encode,r_q1_pricing_summary").split(",").map(_.trim).filter(_.nonEmpty)
       val ref = sys.env.getOrElse("SPARK_GRAFT_CONTROL_REF", jar)
-      def refJson = "\"ref\":\"" + ref.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      def refJson = "\"ref\":\"" + jsonEscape(ref) + "\""
       try {
         import scala.jdk.CollectionConverters._
         val outFile = Files.createTempFile("graft_control_", ".json")
@@ -401,11 +408,20 @@ object Bench {
           s"""{$refJson,"artifact":$line}"""
         else s"""{$refJson,"error":"exit ${p.exitValue()}, no artifact"}"""
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] control run FAILED: ${e.getMessage}")
-        s"""{$refJson,"error":"${e.getMessage.replace("\\", "\\\\").replace("\"", "'")}"}"""
+        // The error path must never cost the artifact: getMessage can be
+        // null (InterruptedException from waitFor) and Spark/Hadoop
+        // messages span lines — a raw newline here would break the
+        // one-line JSON contract AFTER spark.stop(), losing the whole
+        // sweep's output (round-17 review).
+        val msg = jsonEscape(Option(e.getMessage).getOrElse(e.getClass.getName))
+        System.err.println(s"[bench] control run FAILED: $msg")
+        s"""{$refJson,"error":"$msg"}"""
       }
     }
     val controlField = controlJson.map(c => s""","control":$c""").getOrElse("")
+    // (helper lives below main: JSON string-literal escaping for the few
+    // free-text fields — paths and error messages — that enter the
+    // artifact; everything else is numeric or name-controlled.)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","calibration_sec":$calJson,"queries":$qs,"failed":$nFail,"reps":$reps,"round_sec":$roundJson,"rep_spread":$spreadJson,"mark_metrics":$metricsJson,"late_memo_builds":$lateJson$controlField,"sf":"$sfDir"}"""
     println(json)
@@ -413,5 +429,17 @@ object Bench {
     // parser in round 1 — also drop the raw line where it can be read back.
     Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_out.json")), json + "\n")
+  }
+
+  private def jsonEscape(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"'  => b.append("\\\"")
+      case c if c < 0x20 =>
+        b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
   }
 }

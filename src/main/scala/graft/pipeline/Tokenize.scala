@@ -147,6 +147,40 @@ object Tokenize {
     * slice proves the loop. The write happens eagerly at plan-build time
     * (it IS the operator under test); each call overwrites one
     * process-keyed scratch dir. */
+  /** Scratch hygiene for `graft_jsonl_rt_*` dirs (round-17 advice):
+    * without a sweep, every process run leaves its slice behind
+    * forever. Runs ONCE per JVM (lazy val — the /tmp listing and any
+    * multi-GB recursive delete of a crashed run's leavings must not
+    * recur inside every timed bench window). A sibling dir is swept
+    * only when its owner is provably gone: the pid is dead, or the
+    * process now holding that pid STARTED AFTER the dir was last
+    * written (pid reuse — the original owner must predate its own
+    * writes, so a younger process cannot be it). A live owner's dir is
+    * never touched regardless of age: it may still hold a lazy frame
+    * over the data (round-17 review — the earlier day-old backstop
+    * deleted live long-session dirs). If the JVM hides the start time,
+    * a day-unmodified dir is presumed reused — the narrow residual
+    * heuristic, now confined to that no-information case. */
+  private lazy val sweepStaleRoundtripDirs: Unit = {
+    val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
+    val staleRe = "graft_jsonl_rt_([0-9]+)_[0-9a-f]+".r
+    val dayOld = System.currentTimeMillis() - 86400L * 1000
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case staleRe(pid) if pid.toLong != ProcessHandle.current.pid =>
+          val ownerGone = ProcessHandle.of(pid.toLong) match {
+            case ph if ph.isEmpty => true
+            case ph =>
+              val started = ph.get.info().startInstant()
+              if (started.isPresent) started.get.toEpochMilli > f.lastModified
+              else f.lastModified < dayOld
+          }
+          if (ownerGone) Sinks.deleteRecursively(f)
+        case _ => ()
+      }
+    }
+  }
+
   def jsonlRoundtripQuery(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
     val toks = Tables.documents(s, d)
@@ -161,22 +195,7 @@ object Tokenize {
     val dir = new java.io.File(tmpRoot,
       f"graft_jsonl_rt_${ProcessHandle.current.pid}_" +
         f"${scala.util.hashing.MurmurHash3.stringHash(d)}%08x")
-    // Scratch hygiene (round-17 advice): without a sweep, every process
-    // run leaves its graft_jsonl_rt_* slice behind forever. Sweep
-    // siblings whose owning pid is dead (safe: a dead process has no
-    // lazy frame left to scan its dir) or that have sat unmodified for
-    // a day (backstop for pid reuse). Our own live dirs are never
-    // touched — same-JVM reuse across corpora stays valid.
-    val staleRe = "graft_jsonl_rt_([0-9]+)_[0-9a-f]+".r
-    val dayOld = System.currentTimeMillis() - 86400L * 1000
-    Option(tmpRoot.listFiles()).getOrElse(Array.empty).foreach { f =>
-      f.getName match {
-        case staleRe(pid) if pid.toLong != ProcessHandle.current.pid &&
-            (ProcessHandle.of(pid.toLong).isEmpty || f.lastModified < dayOld) =>
-          Sinks.deleteRecursively(f)
-        case _ => ()
-      }
-    }
+    sweepStaleRoundtripDirs
     Sinks.writeDocsJsonl(toks, dir.getAbsolutePath)
     val schema = StructType(Seq(
       StructField("doc_id", LongType),

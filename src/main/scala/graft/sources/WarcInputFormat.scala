@@ -68,12 +68,16 @@ final class WarcRecordReader extends RecordReader[LongWritable, Text] {
     val conf = ctx.getConfiguration
     val p = fsplit.getPath
     fileLen = math.max(fsplit.getLength, 1L)
-    // Clamped below the JVM array ceiling: the cap feeds a single
+    // Clamped below the JVM array ceiling (the cap feeds a single
     // byte-array allocation in readFully, so a >2 GiB configured value
-    // must not overflow the Int size there.
+    // must not overflow the Int size there), and a nonpositive value —
+    // "-1 = unlimited" conventions included — falls back to the
+    // default rather than crashing every read with a negative-size
+    // array or silently truncating every payload to empty.
+    val confCap = conf.getLong(WarcInputFormat.MaxPayloadKey,
+      WarcInputFormat.DefaultMaxPayloadBytes)
     maxPayloadBytes = math.min(Int.MaxValue - 16L,
-      conf.getLong(WarcInputFormat.MaxPayloadKey,
-        WarcInputFormat.DefaultMaxPayloadBytes))
+      if (confCap <= 0) WarcInputFormat.DefaultMaxPayloadBytes else confCap)
     raw = p.getFileSystem(conf).open(p)
     val codec = new CompressionCodecFactory(conf).getCodec(p)
     in = new BufferedInputStream(
