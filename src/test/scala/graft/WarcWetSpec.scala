@@ -233,4 +233,24 @@ class WarcWetSpec extends SparkSpec {
       assert(capped.getAs[Long]("content_length") === big.getBytes("UTF-8").length.toLong)
     } finally hc.unset(graft.sources.WarcInputFormat.MaxPayloadKey)
   }
+
+  test("a nonpositive configured payload cap falls back to the default: " +
+      "-1 ('unlimited' convention) neither crashes the scan nor truncates " +
+      "(round-17 review)") {
+    val body = ("No crash and no truncation under a negative cap value. " +
+      "Payload text long enough to prove it is not emptied. ") * 20
+    val p = write(
+      rec("conversion", 30, "http://negcap.example/a", body) +
+        rec("conversion", 31, "http://negcap.example/b", longText),
+      "warc.wet")
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setLong(graft.sources.WarcInputFormat.MaxPayloadKey, -1L)
+    try {
+      val docs = WarcWet.documents(spark, p, exactFraming = true)
+        .orderBy("target_uri").collect()
+      assert(docs.length === 2)
+      assert(docs(0).getAs[String]("text") === body.trim)
+      assert(docs(1).getAs[String]("text") === longText)
+    } finally hc.unset(graft.sources.WarcInputFormat.MaxPayloadKey)
+  }
 }
