@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -181,7 +181,7 @@ object Similarity {
     * ~2^8 x occupancy ≈ 33k vectors, so gate-scale and 100x blocking
     * is unchanged. (Since round 14 [[annTopK]] derives its plane count
     * from this formula too; [[NumPlanes]] survives only as the
-    * small-fixture default of [[bucketS]] and its spec pins.) */
+    * small-fixture default of [[bucketC]] and its spec pins.) */
   def planesFor(n: Long): Int =
     math.max(1, math.min(MaxPlanes, bitLen(math.max(1L, n / TargetBucketOccupancy))))
 
@@ -209,29 +209,39 @@ object Similarity {
     Array.fill(MaxPlanes, Dim)(if (((next() >> 16) & 1L) == 1L) 1.0 else -1.0)
   }
 
-  /** Spark-side deterministic left-fold dot product of two vector columns. */
-  private def dotS(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (s, v) -> s + v)"
-
-  /** Spark-side deterministic left-fold squared L2 of two vector columns
-    * — the same ascending-element fold as the oracle's l2D and the JVM
-    * argmin loops. */
-  private def l2S(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE), (s, v) -> s + v)"
-
-  /** Spark-side signed projection against plane p (literal ±1 array). */
-  private def planeDotS(emb: String, p: Int): String = {
-    val arr = planes(p).map(v => s"${v}D").mkString("array(", ", ", ")")
-    s"aggregate(zip_with($emb, $arr, (x, s) -> CAST(x AS DOUBLE) * s), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+  /** Row-major flattened [[planes]] for the native bucket kernel. */
+  private lazy val planesFlat: Array[Double] = {
+    val out = new Array[Double](MaxPlanes * Dim)
+    var p = 0
+    while (p < MaxPlanes) { System.arraycopy(planes(p), 0, out, p * Dim, Dim); p += 1 }
+    out
   }
 
-  /** LSH bucket id from the sign bits of the first `np` plane projections.
-    * Every production caller ([[annTopK]] included since round 14) passes
-    * [[planesFor]] of the input cardinality. */
-  private def bucketS(emb: String, np: Int = NumPlanes): String =
-    (0 until np)
-      .map(p => s"(CASE WHEN ${planeDotS(emb, p)} > 0 THEN ${1 << p} ELSE 0 END)")
-      .mkString(" + ")
+  /** Spark-side deterministic left-fold dot product of two vector
+    * columns — since round 17 a native codegen'd kernel
+    * ([[graft.functions.VecDot]]) doing the same left fold as the
+    * retired `aggregate(zip_with(...))` HOF spelling (which ran on the
+    * interpreted higher-order path: an intermediate array plus two
+    * boxed-lambda evaluations per element, ×3 folds per candidate pair
+    * in the cosine verify — the last interpreted hot loop in the menu).
+    * Fold order is unchanged, so the doubles are bit-identical and the
+    * DuckDB oracles (`list_reduce(list_prepend(...))`) still compare
+    * exactly; [[graft.VecKernelsSpec]] pins kernel-vs-HOF bit-equality. */
+  private def dotC(a: Column, b: Column): Column = graft.functions.VecDot(a, b)
+
+  /** Left-fold squared L2 — the same ascending-element fold as the
+    * oracle's l2D and the JVM argmin loops (native kernel, same parity
+    * argument as [[dotC]]). */
+  private def l2C(a: Column, b: Column): Column = graft.functions.VecL2(a, b)
+
+  /** LSH bucket id from the sign bits of the first `np` plane
+    * projections ([[planes]], via the native kernel — per-plane fold
+    * order and the CASE-sum null/mismatch-to-0 semantics of the retired
+    * HOF spelling preserved; see [[graft.functions.VecKernels.bucket]]).
+    * Every production caller ([[annTopK]] included since round 14)
+    * passes [[planesFor]] of the input cardinality. */
+  private def bucketC(emb: Column, np: Int = NumPlanes): Column =
+    graft.functions.PlanesBucket(emb, np, planesFlat, Dim)
 
   private def queriesDf(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") < NumQueries)
@@ -272,9 +282,9 @@ object Similarity {
     import ss.implicits._
     val scored = emb.crossJoin(broadcast(queriesDf(emb)))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("dot", expr(dotS("embedding", "q_emb")))
-      .withColumn("na", expr(dotS("embedding", "embedding")))
-      .withColumn("nb", expr(dotS("q_emb", "q_emb")))
+      .withColumn("dot", dotC(col("embedding"), col("q_emb")))
+      .withColumn("na", dotC(col("embedding"), col("embedding")))
+      .withColumn("nb", dotC(col("q_emb"), col("q_emb")))
       .filter(col("na") > 0 && col("nb") > 0)
       .withColumn("sim", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
     scored
@@ -310,14 +320,14 @@ object Similarity {
     val n = nOpt.getOrElse(emb.count())
     val np = planesFor(n)
     val r = lshRadiusFor(n, np)
-    val bucketed = emb.withColumn("bucket", expr(bucketS("embedding", np)))
+    val bucketed = emb.withColumn("bucket", bucketC(col("embedding"), np))
     val q = queriesDf(bucketed.select(col("vec_id"), col("embedding")))
-      .withColumn("q_bucket", expr(bucketS("q_emb", np)))
+      .withColumn("q_bucket", bucketC(col("q_emb"), np))
     val scored = bucketed.join(broadcast(q),
         expr(s"bit_count(bucket ^ q_bucket) <= $r") && col("vec_id") =!= col("q_id"))
-      .withColumn("dot", expr(dotS("embedding", "q_emb")))
-      .withColumn("na", expr(dotS("embedding", "embedding")))
-      .withColumn("nb", expr(dotS("q_emb", "q_emb")))
+      .withColumn("dot", dotC(col("embedding"), col("q_emb")))
+      .withColumn("na", dotC(col("embedding"), col("embedding")))
+      .withColumn("nb", dotC(col("q_emb"), col("q_emb")))
       .filter(col("na") > 0 && col("nb") > 0)
       .withColumn("sim", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
@@ -350,9 +360,9 @@ object Similarity {
     val scored = emb.join(prior, "vec_id")
       .crossJoin(broadcast(queriesDf(emb)))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("dot", expr(dotS("embedding", "q_emb")))
-      .withColumn("na", expr(dotS("embedding", "embedding")))
-      .withColumn("nb", expr(dotS("q_emb", "q_emb")))
+      .withColumn("dot", dotC(col("embedding"), col("q_emb")))
+      .withColumn("na", dotC(col("embedding"), col("embedding")))
+      .withColumn("nb", dotC(col("q_emb"), col("q_emb")))
       .filter(col("na") > 0 && col("nb") > 0)
       .withColumn("score",
         (col("dot") / (sqrt(col("na")) * sqrt(col("nb")))) * col("prior"))
@@ -428,9 +438,9 @@ object Similarity {
         explode(nearestCellsUdf(ix.cents, nprobeFor(ix.n, ix.cells))(col("q_emb"))))
     val scored = cells.join(broadcast(q),
         col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
-      .withColumn("dot", expr(dotS("embedding", "q_emb")))
-      .withColumn("na", expr(dotS("embedding", "embedding")))
-      .withColumn("nb", expr(dotS("q_emb", "q_emb")))
+      .withColumn("dot", dotC(col("embedding"), col("q_emb")))
+      .withColumn("na", dotC(col("embedding"), col("embedding")))
+      .withColumn("nb", dotC(col("q_emb"), col("q_emb")))
       .filter(col("na") > 0 && col("nb") > 0)
       .withColumn("sim", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
@@ -578,7 +588,7 @@ object Similarity {
         ix.coded.drop("codes")
           .join(broadcast(qFlatDf), col("cell") === col("q_cell") &&
             col("vec_id") =!= col("q_id"))
-          .withColumn("adc", expr(l2S("embedding", "q_vec")))
+          .withColumn("adc", l2C(col("embedding"), col("q_vec")))
       } else {
         // ADC per-query distance tables (PqSub x cells doubles) ride the
         // UDF closure; the raw embedding column is DROPPED — the scanned
@@ -630,9 +640,9 @@ object Similarity {
     val scored = cand
       .join(ix.coded.select(col("vec_id"), col("embedding"), col("label")), "vec_id")
       .join(broadcast(queriesDf(ix.coded)), "q_id")
-      .withColumn("dot", expr(dotS("embedding", "q_emb")))
-      .withColumn("na", expr(dotS("embedding", "embedding")))
-      .withColumn("nb", expr(dotS("q_emb", "q_emb")))
+      .withColumn("dot", dotC(col("embedding"), col("q_emb")))
+      .withColumn("na", dotC(col("embedding"), col("embedding")))
+      .withColumn("nb", dotC(col("q_emb"), col("q_emb")))
       .filter(col("na") > 0 && col("nb") > 0)
       .withColumn("sim", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
@@ -674,7 +684,7 @@ object Similarity {
     val np = planesFor(nOpt.getOrElse(emb.count()))
     val (members, reps) = collapseIdenticalVectors(emb)
     val b = reps.select(col("gid"), col("embedding"),
-      expr(bucketS("embedding", np)).as("bucket"))
+      bucketC(col("embedding"), np).as("bucket"))
     val verified = b.select(col("gid").as("ga"), col("embedding").as("e_a"), col("bucket"))
       .join(b.select(col("gid").as("gb"), col("embedding").as("e_b"), col("bucket")),
         "bucket")
@@ -714,7 +724,7 @@ object Similarity {
     * mark keeps hitting in driver sweeps. */
   private def collapseIdenticalVectors(emb: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val nz = emb.filter(expr(s"(${dotS("embedding", "embedding")}) > 0"))
+    val nz = emb.filter(dotC(col("embedding"), col("embedding")) > 0)
     // Exchange keyed on the 8-byte xxhash64 of the vector, not the raw
     // 64-float array; the window keeps the array next to the hash so the
     // grouping stays exact (collision splits, never merges) — same
@@ -733,7 +743,8 @@ object Similarity {
   }
 
   private def cosineGE(a: String, b: String, t: Double) =
-    expr(s"(${dotS(a, b)}) / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)})) >= $t")
+    dotC(col(a), col(b)) /
+      (sqrt(dotC(col(a), col(a))) * sqrt(dotC(col(b), col(b)))) >= lit(t)
 
   /** Member-level duplicate→original attribution from verified
     * representative pairs — the same expansion algebra as
@@ -769,7 +780,7 @@ object Similarity {
     val np = planesFor(nOpt.getOrElse(emb.count()))
     val (members, reps) = collapseIdenticalVectors(emb)
     val b = reps.select(col("gid"), col("embedding"),
-      expr(bucketS("embedding", np)).as("bucket"))
+      bucketC(col("embedding"), np).as("bucket"))
     // The exploded probe side ships ONLY (ga, bucket) — 16 bytes/row —
     // through the bucket exchange (round 17, closing the r16 verdict's
     // widest-shuffle finding: the old spelling carried the full
@@ -849,7 +860,7 @@ object Similarity {
     val (members, reps) = collapseIdenticalVectors(emb)
     members
       .join(reps.select(col("gid"),
-        expr(bucketS("embedding", np)).as("bucket")), "gid")
+        bucketC(col("embedding"), np).as("bucket")), "gid")
       .select(col("vec_id"), col("bucket"))
   }
 
@@ -893,7 +904,7 @@ object Similarity {
 
   /** Variable-plane-count bucket: every [[MaxPlanes]] term is guarded by
     * `p < np` where `np` comes from the oracle's `params` CTE — the SQL
-    * twin of `bucketS(emb, np)` with a runtime-derived plane count. */
+    * twin of `bucketC(emb, np)` with a runtime-derived plane count. */
   private def bucketDNp(emb: String): String =
     (0 until MaxPlanes)
       .map(p =>
