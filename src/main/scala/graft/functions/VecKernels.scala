@@ -77,9 +77,9 @@ object VecKernels {
   }
 
   /** Sign-bit bucket over the first `np` hyperplanes of the row-major
-    * `planesFlat` (np ≥ planes × dim doubles, ±1 components). A
-    * mismatched length or null element zeroes every plane term (CASE →
-    * ELSE 0), so the bucket reads 0 — never null. */
+    * `planesFlat` (which holds at least np × dim doubles, ±1
+    * components). A mismatched length or null element zeroes every
+    * plane term (CASE → ELSE 0), so the bucket reads 0 — never null. */
   def bucket(e: ArrayData, np: Int, planesFlat: Array[Double], dim: Int): Int = {
     if (e.numElements() != dim) return 0
     var i = 0
@@ -168,9 +168,33 @@ object VecL2 {
 }
 
 /** `bucket(embedding)` over the caller's hyperplane matrix — see
-  * [[VecKernels.bucket]]. Non-nullable by the CASE-sum argument above. */
+  * [[VecKernels.bucket]]. Non-nullable by the CASE-sum argument above.
+  *
+  * Construction guards (round-18 advice): `np` feeds `1 << p`, which
+  * silently wraps past 31 bits, and an undersized `planesFlat` would
+  * only surface as a mid-query ArrayIndexOutOfBounds — both fail here
+  * instead. Equality is STRUCTURAL over the planes content (round-18
+  * advice): a case class with an Array field compares the array by
+  * reference, so semanticEquals/canonicalization (subexpression
+  * elimination, exchange reuse after a serialization round-trip) only
+  * worked while every caller shared one planesFlat instance; the
+  * overrides below compare content, making plan reuse independent of
+  * the caller's allocation. */
 case class PlanesBucketExpression(child: Expression, np: Int,
     planesFlat: Array[Double], dim: Int) extends UnaryExpression {
+  require(np >= 0 && np <= 31 && dim >= 0 && planesFlat.length >= np * dim,
+    s"graft_planes_bucket: need 0 <= np <= 31 and planesFlat.length >= np * dim, " +
+      s"got np=$np, dim=$dim, planesFlat.length=${planesFlat.length}")
+  override def equals(other: Any): Boolean = other match {
+    case PlanesBucketExpression(c, n, p, d) =>
+      c == child && n == np && d == dim &&
+        java.util.Arrays.equals(p, planesFlat)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(np),
+      Integer.valueOf(java.util.Arrays.hashCode(planesFlat)),
+      Integer.valueOf(dim))
   override def checkInputDataTypes(): TypeCheckResult =
     VecKernels.checkFloatArray(prettyName, child.dataType)
   override def dataType: DataType = IntegerType

@@ -273,7 +273,7 @@ object Bpe {
     * footprint is [[MaxLexicon]]-bounded by construction (the same
     * bounded-collect class the trainers already rely on). */
   private val lexMemo = new graft.pipeline.QueryMemo[LexiconCoverage](name = "lexicon")
-  private[pipeline] def lexiconFor(s: SparkSession, d: String): LexiconCoverage =
+  private[graft] def lexiconFor(s: SparkSession, d: String): LexiconCoverage =
     lexMemo.getOrElseUpdate(s, d) {
       wordFrequenciesWithCoverage(Tables.documents(s, d))
     }

@@ -125,23 +125,80 @@ object Dedup {
     * docs drops); order is restored by sorting (pos, line) structs, so
     * the rebuild is collect-order-independent — deterministic under any
     * partitioning. */
-  def lineDedupQuery(docs: DataFrame, sep: String = "\n"): DataFrame = {
+  /** Broadcast bound for the boilerplate-line DROP SET (round 18):
+    * ~60-char lines × 1M ≈ 60 MB framed — comfortably broadcastable;
+    * beyond it the drop join falls back to the shuffled semi join
+    * (AQE skew-splits it). Env-overridable for A/B probes (0 disables
+    * the broadcast path). */
+  val LineDropKeysMax: Long =
+    sys.env.get("SPARK_GRAFT_LINE_DROP_MAX").map(_.toLong).getOrElse(1000000L)
+
+  def lineDedupQuery(docs: DataFrame, sep: String = "\n",
+      dropBroadcastMax: Long = LineDropKeysMax): DataFrame = {
+    // Round-18 reshape (guide §2.3 / §8 "decide with small rows"): the
+    // old spelling shipped the exploded LINE TEXT through three
+    // corpus-width exchanges — the df-count aggregation, the
+    // lines ⋈ lineDf join, and a collect_list(struct(pos, line))
+    // groupBy(doc_id) that rebuilt every document from shuffled text
+    // structs. But the DECISION per (doc, pos) is just membership of
+    // the line in the drop set (df ≥ LineDropDf — boilerplate, a small
+    // set by nature), and the REBUILD only needs the original text plus
+    // the dropped positions: so ship text through ONE exchange (the
+    // df-count partials, skew-spread by its (line, doc_id) distinct
+    // stage), semi-join the exploded lines against the broadcast drop
+    // set map-side (count-probed against [[LineDropKeysMax]]; an
+    // adversarial corpus falls back to the shuffled semi join, which
+    // AQE skew-splits), shuffle only the dropped (doc_id, pos) pairs,
+    // and rebuild each doc from its own `text` in one linear kernel
+    // pass. Result-identical: n_lines = split length, the drop set and
+    // positions are exactly the old `line_df >= LineDropDf` rows, and
+    // the kernel keeps survivors in pos order with the same separator.
     val lines = docs.select(col("doc_id"),
       posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "line")))
-    val lineDf = lines.groupBy(col("line"))
-      .agg(countDistinct(col("doc_id")).as("line_df"))
-    lines.join(lineDf, "line")
+    val dropSet = graft.CacheScope.persist( // feeds the bound probe AND the join
+      lines.groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("line_df"))
+        .filter(col("line_df") >= LineDropDf)
+        .select(col("line")))
+    val drops =
+      if (dropSet.count() <= dropBroadcastMax) broadcast(dropSet) else dropSet
+    val cuts = lines.join(drops, Seq("line"), "left_semi")
       .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_lines"),
-        sum(when(col("line_df") < LineDropDf, 1L).otherwise(0L)).as("n_kept"),
-        array_join(
-          expr(s"""transform(
-                  |  array_sort(collect_list(
-                  |    IF(line_df < $LineDropDf, struct(pos, line), NULL))),
-                  |  x -> x.line)""".stripMargin),
-          sep).as("text_kept"))
+      .agg(sort_array(collect_list(col("pos"))).as("cut_pos"))
+    docs.filter(col("text").isNotNull) // parity: the explode emitted no rows for null text
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        dropLinesUdf(col("text"), lit(sep),
+          coalesce(col("cut_pos"), array().cast("array<int>"))).as("r"))
+      .select(col("doc_id"), col("r._1").as("n_lines"),
+        col("r._2").as("n_kept"), col("r._3").as("text_kept"))
+  }
+
+  /** Rebuild a doc without the lines at `cutPos` (0-based split indices,
+    * sorted): one linear pass over the same `split(text, quote(sep), -1)`
+    * array the explode produced. */
+  def dropLinesKernel(text: String, sep: String,
+      cutPos: Array[Int]): (Long, Long, String) = {
+    val ls = text.split(java.util.regex.Pattern.quote(sep), -1)
+    val kept = new java.lang.StringBuilder
+    var nKept = 0L
+    var k = 0
+    var i = 0
+    while (i < ls.length) {
+      if (k < cutPos.length && cutPos(k) == i) k += 1
+      else {
+        if (nKept > 0) kept.append(sep)
+        kept.append(ls(i))
+        nKept += 1
+      }
+      i += 1
+    }
+    (ls.length.toLong, nKept, kept.toString)
+  }
+
+  private val dropLinesUdf = udf { (text: String, sep: String, cutPos: Seq[Int]) =>
+    dropLinesKernel(text, sep, cutPos.toArray)
   }
 
   /** PARAGRAPH-level variant (Dolma ships both granularities: lines

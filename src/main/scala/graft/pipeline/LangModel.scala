@@ -638,7 +638,7 @@ object LangModel {
     * harness's per-query `CacheScope.drain()`/`clearCache()`; capacity
     * bound + data-fingerprint invalidation: [[QueryMemo]]. */
   private val lmMemo = new QueryMemo[DataFrame](name = "lm_scores")
-  private[pipeline] def scoresFor(s: SparkSession, d: String): DataFrame =
+  private[graft] def scoresFor(s: SparkSession, d: String): DataFrame =
     lmMemo.getOrElseUpdate(s, d) {
       QueryMemo.materialize(transitionScoreHashedQuery(Tables.documents(s, d)))
     }

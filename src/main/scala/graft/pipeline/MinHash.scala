@@ -202,6 +202,19 @@ object MinHash {
     df
   }
 
+  /** Wall-clock stage timer under the same probe env — for the stages
+    * whose cost is an ACTION already (checkpoints, driver probes), where
+    * [[mark]]'s forced noop would double-evaluate them. */
+  private def timed[A](name: String)(f: => A): A =
+    if (sys.env.contains("SPARK_GRAFT_MINHASH_PROBE")
+        || sys.env.contains("SPARK_GRAFT_MINHASH_TIMED")) {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[graft.minhash] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    } else f
+
   val BandBucketChunkLen = 4096
 
   /** Broadcast cap for the hot-bucket key set (see the pre-filter in
@@ -229,7 +242,21 @@ object MinHash {
     * `gid` is the min doc_id among byte-identical signatures and `gsz`
     * the group size. One probe job chooses between the unique-row
     * bypass and the full window (see inline notes). */
-  private def collapse(sigs: DataFrame): DataFrame = {
+  private def collapse(sigs: DataFrame): DataFrame =
+    collapseWithTransients(sigs)._1
+
+  /** [[collapse]] plus its two corpus-width transient persists (the
+    * hashed signature frame and its gh counts), so the memoized build
+    * path can release them the moment their last consumer has
+    * materialized (round 18, guide §5): through round 17 both stayed
+    * cached until the caller's post-query drain barrier, so the
+    * band/verify phase — the build's GC-heavy half — ran with ~2×
+    * corpus × 1.1 KB of dead blocks still pinned (the r17 driver sweep
+    * read 20 s of task GC inside this one mark). Unpersist here is
+    * lifecycle-only: [[graft.CacheScope]] still registers both frames,
+    * and its later drain no-ops on the already-released entries. */
+  private def collapseWithTransients(
+      sigs: DataFrame): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     // The collapse exchange is keyed on the 8-byte xxhash64 of the
     // signature, not the 128-long array itself (the array still crosses
@@ -264,10 +291,10 @@ object MinHash {
       .transform(graft.CacheScope.persist)
     val ghCounts = hashed.groupBy(col("gh")).agg(count(lit(1)).as("n"))
       .transform(graft.CacheScope.persist)
-    val stats = ghCounts.agg(
+    val stats = timed("collapse_stats_probe")(ghCounts.agg(
       coalesce(sum(col("n")), lit(0L)).as("total"),
       coalesce(sum(when(col("n") >= 2, col("n"))), lit(0L)).as("dup_rows"),
-      count(when(col("n") >= 2, lit(1))).as("dup_keys")).head()
+      count(when(col("n") >= 2, lit(1))).as("dup_keys")).head())
     val (nTotal, nDupRows, nDupKeys) =
       (stats.getLong(0), stats.getLong(1), stats.getLong(2))
     val grpW = Window.partitionBy(col("gh"), col("sig"))
@@ -284,7 +311,7 @@ object MinHash {
         .union(windowed(hashed.join(broadcast(dupGh), Seq("gh"), "left_semi")))
     } else windowed(hashed))
       .transform(mark("collapse", _))
-    withG
+    (withG, Seq(hashed, ghCounts))
   }
 
   /** The banded-LSH verify chain over a `(gid, sig)` rep frame.
@@ -343,8 +370,9 @@ object MinHash {
     // One probe job for both bucket statistics (round 14: was two
     // driver round-trips — max(c) then a count — each re-analyzing the
     // counts lineage).
-    val cstats = counts.agg(coalesce(max(col("c")), lit(0L)),
-      count(when(col("c") >= 2, lit(1)))).head()
+    val cstats = timed("bucket_stats_probe")(
+      counts.agg(coalesce(max(col("c")), lit(0L)),
+        count(when(col("c") >= 2, lit(1)))).head())
     val (maxBucket, nHot) = (cstats.getLong(0), cstats.getLong(1))
     val bands = if (nHot <= HotBucketKeysMax)
       allBands.join(broadcast(counts.filter(col("c") >= 2).select("band", "bh")),
@@ -670,14 +698,27 @@ object MinHash {
       // by the ContextCleaner once this build returns — only the two
       // skinny memoized frames outlive it), the same
       // one-build-lifetime class as the signature persist it joins.
-      val withG = graft.CacheScope.persist(
-        collapse(signatures(Tables.documents(s, d))))
-      val members = QueryMemo.materialize(
-        withG.select(col("doc_id"), col("gid"), col("gsz")))
-      val reps = QueryMemo.materialize(withG.filter(col("doc_id") === col("gid"))
-        .select(col("gid"), col("sig")))
-      val pairs = QueryMemo.materialize(
-        verifiedPairsOfReps(reps, BandBucketChunkLen))
+      val (withG0, transients) = timed("collapse_plan")(
+        collapseWithTransients(signatures(Tables.documents(s, d))))
+      val withG = graft.CacheScope.persist(withG0)
+      val members = timed("members_ckpt")(QueryMemo.materialize(
+        withG.select(col("doc_id"), col("gid"), col("gsz"))))
+      // The members checkpoint materialized the withG persist (the
+      // window executed once); the hashed/ghCounts transients have no
+      // further consumer — release them BEFORE the band/verify phase
+      // runs, instead of holding ~corpus × 1.1 KB of dead blocks
+      // through the build's GC-heavy half (guide §5; the r17 driver
+      // sweep read 20 s task GC inside this mark).
+      transients.foreach(_.unpersist(blocking = false))
+      val reps = timed("reps_ckpt")(
+        QueryMemo.materialize(withG.filter(col("doc_id") === col("gid"))
+          .select(col("gid"), col("sig"))))
+      // Same lifecycle cut: reps/members are checkpointed, so the wide
+      // withG cache is dead from here on — the verify chain plans over
+      // the reps checkpoint alone.
+      withG.unpersist(blocking = false)
+      val pairs = timed("pairs_ckpt")(QueryMemo.materialize(
+        verifiedPairsOfReps(reps, BandBucketChunkLen)))
       (members, pairs)
     }
 
@@ -771,14 +812,54 @@ object MinHash {
   private val storeMemo = new QueryMemo[(DataFrame, DataFrame)](name = "delta_sig_store")
   private[graft] def sigStoreFor(s: SparkSession, d: String): (DataFrame, DataFrame) =
     storeMemo.getOrElseUpdate(s, d) {
-      def built = storeRepsOf(
-        Tables.documents(s, d).filter(col("doc_id") % Dedup.DeltaMod =!= 0))
+      def built = storeRepsDerived(s, d)
       // name versions the FORMAT: "sigrep" = rep-contracted (gid, sig);
       // the retired member-level "sigstore" layout is legacy-swept.
       val reps = ScratchCache.parquetFor(s, d, "sigrep")(built)
         .getOrElse(QueryMemo.materialize(built)) // no stable key: heap fallback
       (reps, repBands(reps))
     }
+
+  /** Broadcast bound for the derived store-rep ID set (8 B/row — 4M ids
+    * ≈ 32 MB, the [[HotBucketKeysMax]] class); a corpus with more
+    * store reps falls back to the self-contained [[storeRepsOf]]
+    * spelling. */
+  val StoreRepIdsMax: Long = HotBucketKeysMax
+
+  /** The cold-build spelling of the sigrep store, derived from the
+    * shared rep graph instead of a SECOND corpus-wide signature pass
+    * (round 18, guide §2.4): [[storeRepsOf]] re-runs the 40k-op
+    * signature kernel over every store doc and pays a corpus-width
+    * sig-keyed window exchange — work the rep-graph memo chain has
+    * already done for the same corpus in the same build. Derivation:
+    * store groups = corpus identical-signature groups restricted to
+    * store members, so
+    *   sgid := min store member doc_id per corpus group (a skinny
+    *           16 B/row aggregation over the members checkpoint), and
+    *   sig(sgid doc) = its group's signature (identical within the
+    *           group by construction),
+    * hence ONE broadcast-semi-join fetch of the sgid docs plus the
+    * signature kernel at REP cardinality reproduces [[storeRepsOf]]'s
+    * output row-for-row (StoreRepsParitySpec pins it on a mixed
+    * corpus). Exactness: corpus groups are exact full-sig groups
+    * (collapse windows on (xxhash64(sig), sig) — collisions split,
+    * never merge), each corpus group holds at most one store group,
+    * distinct corpus groups have distinct sigs, so the (sgid, sig)
+    * sets coincide. Beyond [[StoreRepIdsMax]] reps the id broadcast
+    * would not fit — fall back to the old spelling. */
+  private[graft] def storeRepsDerived(s: SparkSession, d: String): DataFrame = {
+    val storeDocs =
+      Tables.documents(s, d).filter(col("doc_id") % Dedup.DeltaMod =!= 0)
+    val (members, _) = repGraphFor(s, d)
+    val sgids = members.filter(col("doc_id") % Dedup.DeltaMod =!= 0)
+      .groupBy(col("gid")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+      .transform(graft.CacheScope.persist) // feeds the bound probe AND the semi join
+    if (sgids.count() <= StoreRepIdsMax)
+      signatures(storeDocs.join(broadcast(sgids), Seq("doc_id"), "left_semi"))
+        .withColumnRenamed("doc_id", "gid")
+    else storeRepsOf(storeDocs)
+  }
 
   /** The rep-contracted store relation `(gid, sig)` of an arbitrary
     * corpus-snapshot docs frame — the library building block behind

@@ -257,7 +257,7 @@ object Quality {
     * cascade projection, the reference-default histogram and the
     * language report are projections of this one frame. */
   private val metricsMemo = new QueryMemo[DataFrame](name = "metrics")
-  private[pipeline] def metricsFor(s: SparkSession, d: String): DataFrame =
+  private[graft] def metricsFor(s: SparkSession, d: String): DataFrame =
     metricsMemo.getOrElseUpdate(s, d) {
       QueryMemo.materialize(withMetrics(Tables.documents(s, d))
         .drop("text", "m_lines", "m_langhits", "m_stripped_ne"))

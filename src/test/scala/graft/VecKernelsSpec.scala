@@ -90,6 +90,59 @@ class VecKernelsSpec extends SparkSpec {
     }
   }
 
+  test("a null ELEMENT inside the array matches the HOF spellings " +
+      "(dot/L2 poisoned to null, bucket zeroed)") {
+    // Array[Float]-derived columns carry containsNull=false, so the
+    // null-element branch needs an explicit schema (round-18 advice).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val t = ArrayType(FloatType, containsNull = true)
+    val schema = StructType(Seq(StructField("a", t), StructField("b", t)))
+    val full: Seq[Any] = Seq.fill(dim)(0.5f)
+    val holed: Seq[Any] = full.updated(3, null)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(holed, full), Row(full, holed), Row(full, full)),
+      schema)
+    val rows = df.select(
+        VecDot($"a", $"b").as("kd"), expr(dotHof("a", "b")).as("hd"),
+        VecL2($"a", $"b").as("kl"), expr(l2Hof("a", "b")).as("hl"),
+        PlanesBucket($"a", 8, planesFlat, dim).as("kb"),
+        expr(bucketHof("a", 8)).as("hb"))
+      .collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"row $i dot nullability: $r")
+      assert(r.isNullAt(2) == r.isNullAt(3), s"row $i l2 nullability: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1), s"row $i: $r")
+      if (!r.isNullAt(2)) assert(r.getDouble(2) == r.getDouble(3), s"row $i: $r")
+      assert(!r.isNullAt(4) && !r.isNullAt(5) && r.getInt(4) == r.getInt(5),
+        s"row $i bucket: $r")
+    }
+    // the holed rows exercised the branch: dot/L2 null, a-holed bucket 0
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(2) && rows(0).getInt(4) == 0)
+    assert(!rows(2).isNullAt(0))
+  }
+
+  test("PlanesBucketExpression equality is structural over the planes " +
+      "content (plan reuse survives a fresh array instance)") {
+    val copy = planesFlat.clone()
+    val e1 = graft.functions.PlanesBucketExpression(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array.fill(dim)(0.5f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)),
+      8, planesFlat, dim)
+    val e2 = e1.copy(planesFlat = copy)
+    assert(e1 == e2 && e1.hashCode == e2.hashCode)
+    assert(e1.semanticEquals(e2))
+    // construction guards fail loudly instead of mid-query
+    intercept[IllegalArgumentException] {
+      graft.functions.PlanesBucketExpression(e1.child, 32, planesFlat, dim)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.PlanesBucketExpression(e1.child, 8,
+        new Array[Double](dim), dim) // too short for 8 planes
+    }
+  }
+
   test("kernels run codegen'd inside a plan, no higher-order aggregate left") {
     val df = vecs.toDF("a", "b")
       .withColumn("dot", VecDot($"a", $"b"))
