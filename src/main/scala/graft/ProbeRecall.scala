@@ -109,10 +109,7 @@ object ProbeRecall {
       .orderBy(xxhash64(col("doc_id"))).limit(P)
       .select(col("text")).collect().map(_.getString(0))
     val rnd = new scala.util.Random(42)
-    def bands(sig: Array[Long]): Array[Long] =
-      graft.functions.BandHashesExpression.compute(
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(sig))
-        .toLongArray()
+    def bands(sig: Array[Int]): Array[Long] = MinHash.bandHashesOf(sig)
     var qual = 0; var caught = 0
     texts.foreach { t =>
       val sa = MinHash.signature(t)

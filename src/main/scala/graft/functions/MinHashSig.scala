@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the MinHash signature (brief's
@@ -25,7 +25,11 @@ case class MinHashSigExpression(child: Expression)
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string argument, got ${child.dataType}")
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // array<int>, not array<bigint> (round 18): every slot is a mod-P
+  // minimum < 2^31, and the signature is the fattest payload in the
+  // dedup family — INT halves the collapse exchange, the stores, the
+  // verify shuffle and the delta broadcasts. Values are unchanged.
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def foldable: Boolean = child.foldable // literal args constant-fold
   override def prettyName: String = "graft_minhash_sig"
 
@@ -92,9 +96,9 @@ object SimHash {
 case class BandHashesExpression(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires array<bigint>, got $t")
+        s"$prettyName requires array<int>, got $t")
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def foldable: Boolean = child.foldable
@@ -114,10 +118,10 @@ object BandHashesExpression {
     val out = new Array[Long](NumBands)
     var j = 0
     while (j < NumBands) {
-      var h = sig.getLong(j * RowsPerBand)
+      var h = sig.getInt(j * RowsPerBand).toLong
       var k = 1
       while (k < RowsPerBand) {
-        h = (h * HashMult + sig.getLong(j * RowsPerBand + k)) % P
+        h = (h * HashMult + sig.getInt(j * RowsPerBand + k)) % P
         k += 1
       }
       out(j) = h

@@ -161,18 +161,63 @@ object Dedup {
         .agg(countDistinct(col("doc_id")).as("line_df"))
         .filter(col("line_df") >= LineDropDf)
         .select(col("line")))
-    val drops =
-      if (dropSet.count() <= dropBroadcastMax) broadcast(dropSet) else dropSet
-    val cuts = lines.join(drops, Seq("line"), "left_semi")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("pos"))).as("cut_pos"))
-    docs.filter(col("text").isNotNull) // parity: the explode emitted no rows for null text
-      .join(cuts, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        dropLinesUdf(col("text"), lit(sep),
-          coalesce(col("cut_pos"), array().cast("array<int>"))).as("r"))
-      .select(col("doc_id"), col("r._1").as("n_lines"),
-        col("r._2").as("n_kept"), col("r._3").as("text_kept"))
+    if (dropSet.count() <= dropBroadcastMax) {
+      // The whole decision fits the driver (count-probed): ship it as a
+      // broadcast SET into the rebuild kernel — the main query is then a
+      // bare docs scan + one narrow kernel pass, no second explode, no
+      // join, no exchange at all (the [[bloomNewDocs]] scan-local-probe
+      // shape, exact here because the set is exact). The alternative
+      // semi-join spelling below re-evaluates the exploded lines as the
+      // probe side — a second full pass over the corpus text.
+      val sc = docs.sparkSession.sparkContext
+      val bc = sc.broadcast {
+        val set = new java.util.HashSet[String]()
+        dropSet.collect().foreach(r => set.add(r.getString(0)))
+        set
+      }
+      val kern = udf { (text: String) =>
+        dropLinesBySetKernel(text, sep, bc.value)
+      }
+      docs.filter(col("text").isNotNull) // parity: the explode emitted no rows for null text
+        .select(col("doc_id"), kern(col("text")).as("r"))
+        .select(col("doc_id"), col("r._1").as("n_lines"),
+          col("r._2").as("n_kept"), col("r._3").as("text_kept"))
+    } else {
+      // Fallback past the broadcast bound: shuffled left-semi join of the
+      // exploded lines against the drop set (AQE skew-splits hot lines),
+      // dropped (doc_id, pos) pairs only cross the doc_id exchange, and
+      // the doc rebuilds from its own text.
+      val cuts = lines.join(dropSet, Seq("line"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("pos"))).as("cut_pos"))
+      docs.filter(col("text").isNotNull)
+        .join(cuts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          dropLinesUdf(col("text"), lit(sep),
+            coalesce(col("cut_pos"), array().cast("array<int>"))).as("r"))
+        .select(col("doc_id"), col("r._1").as("n_lines"),
+          col("r._2").as("n_kept"), col("r._3").as("text_kept"))
+    }
+  }
+
+  /** Membership twin of [[dropLinesKernel]]: drop every line present in
+    * `dropSet` (exact string equality, the same equality the df-count
+    * grouped on). */
+  def dropLinesBySetKernel(text: String, sep: String,
+      dropSet: java.util.Set[String]): (Long, Long, String) = {
+    val ls = text.split(java.util.regex.Pattern.quote(sep), -1)
+    val kept = new java.lang.StringBuilder
+    var nKept = 0L
+    var i = 0
+    while (i < ls.length) {
+      if (!dropSet.contains(ls(i))) {
+        if (nKept > 0) kept.append(sep)
+        kept.append(ls(i))
+        nKept += 1
+      }
+      i += 1
+    }
+    (ls.length.toLong, nKept, kept.toString)
   }
 
   /** Rebuild a doc without the lines at `cutPos` (0-based split indices,

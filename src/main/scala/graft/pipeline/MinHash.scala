@@ -87,7 +87,7 @@ object MinHash {
     * duplicate-insensitive, so the signature is unchanged, and repetitive
     * corpora (the interesting ones for dedup) cut the 128x inner loop by
     * the repeat factor. */
-  def signature(text: String): Array[Long] = {
+  def signature(text: String): Array[Int] = {
     val hashes = shingleHashes(text)
     java.util.Arrays.sort(hashes)
     var n = 0
@@ -108,7 +108,18 @@ object MinHash {
       }
       si += 1
     }
-    sig
+    // Slot values are mod-P minima, 0 <= v < P = 2^31 - 1, so they fit
+    // INT exactly (round 18, guide §2.3 "narrower types"): the signature
+    // is the engine's fattest payload — the collapse exchange, the
+    // rep/sigrep stores, the hot-band verify shuffle and the delta
+    // broadcasts all carry it — and INT halves every one of those byte
+    // counts. Arithmetic stays in longs above; only the storage narrows,
+    // so values are unchanged and the DuckDB oracle (whose SQL twin
+    // keeps BIGINT lists) still agrees on every derived result.
+    val out = new Array[Int](NumPerm)
+    var k = 0
+    while (k < NumPerm) { out(k) = sig(k).toInt; k += 1 }
+    out
   }
 
   /** H(s) = reduceLeft over codepoints: h -> (h*131 + c) mod P. */
@@ -136,6 +147,27 @@ object MinHash {
   /** (doc_id, sig) — the narrow, shuffle-free stage. */
   def signatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), sigCol(col("text")).as("sig"))
+
+  /** The D3 band-hash fold over an INT signature — the one spelling
+    * shared by [[graft.functions.BandHashesExpression]] and the verify
+    * kernel's in-kernel recomputation (the hot-band shuffle stopped
+    * shipping `bhs` arrays in round 18; 16 x 8 mul-mods per posting is
+    * noise next to the 128 B/row it saves). */
+  def bandHashesOf(sig: Array[Int]): Array[Long] = {
+    val out = new Array[Long](NumBands)
+    var j = 0
+    while (j < NumBands) {
+      var h = sig(j * RowsPerBand).toLong
+      var k = 1
+      while (k < RowsPerBand) {
+        h = (h * HashMult + sig(j * RowsPerBand + k)) % P
+        k += 1
+      }
+      out(j) = h
+      j += 1
+    }
+    out
+  }
 
   /** (doc_id, band, bh) exploded band keys of a `(doc_id, sig)` frame —
     * the LSH bucket key both the batch self-join and the streaming
@@ -331,11 +363,14 @@ object MinHash {
     // and is WORSE — it materializes the 56M collision rows wide). The
     // bucket form is the jaccard min-partner idiom adapted to emit ALL
     // verified pairs: one groupBy collects each (band, bh) bucket's
-    // postings (a rep ships its signature + band array once per band,
-    // ~16 × 1.1 KB — a third of the verify joins' per-pair bytes), and
+    // postings (a rep ships its INT signature once per hot band,
+    // ~16 × 520 B since round 18 — the BIGINT + shipped-band-array form
+    // was 16 × 1.25 KB, and both are a fraction of the retired verify
+    // joins' per-pair bytes), and
     // the kernel enumerates in-bucket pairs, keeps a pair only in its
     // FIRST shared band (exactly-once without any distinct exchange —
-    // the earlier-band scan is a few long compares), and verifies with
+    // the earlier-band scan is a few long compares over band hashes
+    // recomputed in-kernel from the signature since round 18), and verifies with
     // the early-exit GE check; the exhaustive `matches` count runs only
     // on survivors (the pair report reads it; every other consumer
     // selects (ga, gb)). Bucket cardinality = same-band-hash near-dup
@@ -346,9 +381,8 @@ object MinHash {
     // single-pass path.
     val numPartsB = reps.sparkSession.sparkContext.defaultParallelism
     val allBands = reps
-      .withColumn("bhs", graft.functions.BandHashes(col("sig")))
-      .select(col("gid"), col("sig"), col("bhs"),
-        posexplode(col("bhs")).as(Seq("band", "bh")))
+      .select(col("gid"), col("sig"),
+        posexplode(graft.functions.BandHashes(col("sig"))).as(Seq("band", "bh")))
     // Hot-bucket pre-filter (round 11): a singleton (band, bh) bucket
     // can produce no pair, yet the payload shuffle shipped its rep's
     // full signature + band array anyway — ~17 KB per rep across the 16
@@ -382,7 +416,7 @@ object MinHash {
       bands
         .repartition(numPartsB, col("band"), col("bh"))
         .groupBy(col("band"), col("bh"))
-        .agg(collect_list(struct(col("gid"), col("bhs"), col("sig"))).as("ps"))
+        .agg(collect_list(struct(col("gid"), col("sig"))).as("ps"))
         .filter(size(col("ps")) >= 2)
         .select(explode(verifyBucketUdf(col("band"), col("ps"))).as("p"))
     } else {
@@ -401,14 +435,14 @@ object MinHash {
         .transform(graft.CacheScope.persist)
       val small = posted.filter(col("cnt") <= chunkLen)
         .groupBy(col("band"), col("bh"))
-        .agg(collect_list(struct(col("gid"), col("bhs"), col("sig"))).as("ps"))
+        .agg(collect_list(struct(col("gid"), col("sig"))).as("ps"))
         .filter(size(col("ps")) >= 2)
         .select(explode(verifyBucketUdf(col("band"), col("ps"))).as("p"))
       val chunks = posted.filter(col("cnt") > chunkLen)
         .withColumn("ci", ((col("pp") - 1) / chunkLen).cast("int"))
         .groupBy(col("band"), col("bh"), col("ci"))
         .agg(sort_array(collect_list(
-          struct(col("gid"), col("bhs"), col("sig")))).as("ps"))
+          struct(col("gid"), col("sig")))).as("ps"))
       val large = chunks.as("l").join(chunks.as("r"),
           col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
             col("l.ci") <= col("r.ci"))
@@ -421,19 +455,22 @@ object MinHash {
         col("p._3").as("matches"), col("p._4").as("tree"))
   }
 
-  /** Decoded (band, bh) bucket posting: (gids, band-hash arrays, sigs). */
-  private type BandPosting = (Array[Long], Array[Array[Long]], Array[Array[Long]])
+  /** Decoded (band, bh) bucket posting: (gids, band-hash arrays, sigs).
+    * Band-hash arrays are RECOMPUTED from the signature (round 18) —
+    * the shuffle ships (gid, sig) only; one [[bandHashesOf]] fold per
+    * posting replaces 16 x 8 B of shipped bytes per posting row. */
+  private type BandPosting = (Array[Long], Array[Array[Long]], Array[Array[Int]])
   private def decodeBandPosting(ps: Seq[Row]): BandPosting = {
     val k = ps.length
     val ids = new Array[Long](k)
     val bhs = new Array[Array[Long]](k)
-    val sigs = new Array[Array[Long]](k)
+    val sigs = new Array[Array[Int]](k)
     var i = 0
     while (i < k) {
       val r = ps(i)
       ids(i) = r.getLong(0)
-      bhs(i) = r.getSeq[Long](1).toArray
-      sigs(i) = r.getSeq[Long](2).toArray
+      sigs(i) = r.getSeq[Int](1).toArray
+      bhs(i) = bandHashesOf(sigs(i))
       i += 1
     }
     (ids, bhs, sigs)
@@ -620,7 +657,7 @@ object MinHash {
     * form of `size(filter(zip_with(sig_a, sig_b, (x,y) -> x = y), v -> v))
     * >= MinMatches` (the HOF spelling runs interpreted and allocates two
     * intermediate arrays per candidate pair). */
-  def sigMatchesGE(a: Array[Long], b: Array[Long]): Boolean = {
+  def sigMatchesGE(a: Array[Int], b: Array[Int]): Boolean = {
     var i = 0; var m = 0
     while (i < NumPerm) {
       if (a(i) == b(i)) {
@@ -635,7 +672,7 @@ object MinHash {
 
   /** Exact matched-slot count (no early exit — the count itself is the
     * output for the pair report; est. Jaccard = matches / NumPerm). */
-  def sigMatchCount(a: Array[Long], b: Array[Long]): Int = {
+  def sigMatchCount(a: Array[Int], b: Array[Int]): Int = {
     var i = 0; var m = 0
     while (i < NumPerm) { if (a(i) == b(i)) m += 1; i += 1 }
     m
@@ -673,7 +710,7 @@ object MinHash {
     * signatures). The memoized state is the SKINNY rep graph — members
     * `(doc_id, gid)` and verified rep pairs `(ga, gb, matches)`, two
     * longs + one int per row — eagerly `localCheckpoint`ed while the signature subtree's
-    * CacheScope persist is still alive, so the wide 128-long signatures
+    * CacheScope persist is still alive, so the wide 128-int signatures
     * never outlive the build. Same capacity-bounded-LRU + fingerprint
     * invalidation story as every [[QueryMemo]]. On a real cluster the
     * members frame is corpus-cardinality × 16 bytes in executor block
@@ -813,9 +850,10 @@ object MinHash {
   private[graft] def sigStoreFor(s: SparkSession, d: String): (DataFrame, DataFrame) =
     storeMemo.getOrElseUpdate(s, d) {
       def built = storeRepsDerived(s, d)
-      // name versions the FORMAT: "sigrep" = rep-contracted (gid, sig);
-      // the retired member-level "sigstore" layout is legacy-swept.
-      val reps = ScratchCache.parquetFor(s, d, "sigrep")(built)
+      // name versions the FORMAT: "sigrepi" = rep-contracted (gid, sig)
+      // with INT signature elements (round 18); the BIGINT "sigrep" and
+      // the member-level "sigstore" layouts are legacy-swept.
+      val reps = ScratchCache.parquetFor(s, d, "sigrepi")(built)
         .getOrElse(QueryMemo.materialize(built)) // no stable key: heap fallback
       (reps, repBands(reps))
     }

@@ -134,10 +134,11 @@ private[graft] object ScratchCache {
   private def gc(fs: FileSystem, root: Path, name: String, corpusKey: String,
                  target: Path, installedHere: Boolean): Unit = {
     // retired layouts, swept on sight: pre-round-13 grams (no corpus
-    // key) and the short-lived member-level "sigstore" (superseded by
-    // the rep-contracted "sigrep" — same fingerprint, new format, so a
-    // name change is what versions the cache)
-    val legacy = ("graft_grams_[0-9a-f]{16}|graft_sigstore_.*").r
+    // key), the member-level "sigstore", and the BIGINT-element
+    // "sigrep" (superseded in round 18 by the INT-element "sigrepi" —
+    // same fingerprint, new format, so a name change is what versions
+    // the cache; the trailing `_` keeps "sigrepi" itself unmatched)
+    val legacy = ("graft_grams_[0-9a-f]{16}|graft_sigstore_.*|graft_sigrep_.*").r
     val cutoff = System.currentTimeMillis() - 3600L * 1000
     val weekOld = System.currentTimeMillis() - 7L * 86400 * 1000
     val entries: Array[FileStatus] =

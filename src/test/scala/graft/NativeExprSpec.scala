@@ -16,7 +16,7 @@ class NativeExprSpec extends SparkSpec {
   test("expression output matches the shared kernel exactly") {
     val rows = texts.toDF("text")
       .select(MinHashSig($"text").as("sig"))
-      .as[Array[Long]].collect()
+      .as[Array[Int]].collect()
     texts.zip(rows).foreach { case (t, sig) =>
       assert(sig.sameElements(MinHash.signature(t)), s"mismatch for '$t'")
     }
@@ -37,7 +37,7 @@ class NativeExprSpec extends SparkSpec {
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
     val sig = spark.sql("SELECT graft_minhash_sig('hello world') AS s")
-      .as[Array[Long]].collect().head
+      .as[Array[Int]].collect().head
     assert(sig.sameElements(MinHash.signature("hello world")))
   }
 
@@ -59,11 +59,13 @@ class NativeExprSpec extends SparkSpec {
     val P = MinHash.P
     val rnd = new scala.util.Random(11)
     val rows = Seq.tabulate(50)(i =>
-      (i.toLong, Array.fill(MinHash.NumPerm)(math.abs(rnd.nextLong()) % P)))
+      (i.toLong, Array.fill(MinHash.NumPerm)((math.abs(rnd.nextLong()) % P).toInt)))
     val df = rows.toDF("doc_id", "sig")
+    // sig elements are INT now — the HOF fold must run in BIGINT (the
+    // kernel does), so the zero is cast up and promotion carries it.
     val hof = s"""transform(sequence(0, ${MinHash.NumBands - 1}), j ->
       |  aggregate(slice(sig, j * ${MinHash.RowsPerBand} + 2, ${MinHash.RowsPerBand - 1}),
-      |            element_at(sig, j * ${MinHash.RowsPerBand} + 1),
+      |            CAST(element_at(sig, j * ${MinHash.RowsPerBand} + 1) AS BIGINT),
       |            (h, v) -> (h * ${MinHash.HashMult} + v) % $P))""".stripMargin
     val got = df.select(col("doc_id"), graft.functions.BandHashes(col("sig")).as("b"))
       .as[(Long, Seq[Long])].collect().toMap
