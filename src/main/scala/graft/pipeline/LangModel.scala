@@ -178,7 +178,7 @@ object LangModel {
           col("f.n").as("n_occ")),
       passedIds,
       nName = "n_bigrams",
-      collapsed = true)
+      collapsed = true, modelBounded = true)
 
   /** Per-thread scratch for [[dsirBigramFeatCounts]]: the MD5 digest
     * (JCA provider lookup is not a per-row cost) and a reusable counts
@@ -392,7 +392,7 @@ object LangModel {
     * carry `n_occ`; exploded rows count 1 each). `nName` labels the
     * per-doc feature-occurrence count column. */
   private def dsirOver(feats: DataFrame, passedIds: DataFrame, nName: String,
-      collapsed: Boolean = false): DataFrame = {
+      collapsed: Boolean = false, modelBounded: Boolean = false): DataFrame = {
     val occ = if (feats.columns.contains("n_occ")) feats
       else feats.withColumn("n_occ", lit(1L))
     // `collapsed` callers guarantee one row per (doc_id, feat) already
@@ -421,7 +421,15 @@ object LangModel {
       sum(col("c_raw")).as("t_raw"),
       sum(col("c_tgt")).as("t_tgt"),
       count(lit(1)).as("v"))
-    pdw.join(model, Seq("feat"))
+    // `modelBounded` callers guarantee a model of at most DsirHashDim-
+    // class cardinality BY CONSTRUCTION (hashed feature space), so the
+    // corpus-side join needs no exchange at all: broadcast the model
+    // (round 18, guide §3.1 — no size probe needed, unlike the
+    // vocabulary-shaped unigram model where the round-12 probe+persist
+    // A/B said no) and let the per-doc rollup partial-aggregate
+    // scan-locally before its one skinny doc_id exchange. The unigram
+    // caller keeps the shuffled join (its model is vocabulary-sized).
+    pdw.join(if (modelBounded) broadcast(model) else model, Seq("feat"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("n_occ")).as(nName),
